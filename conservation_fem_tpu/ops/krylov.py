@@ -1,0 +1,128 @@
+"""Matrix-free Krylov solvers: CG and BiCGStab with Jacobi preconditioning.
+
+Replaces the reference's PETSc KSP direct-LU solves
+(ref Code/Linear_advection/linear_advection.py:128-131 PREONLY+LU;
+Code/Compressible_euler/stokes.py:107-125 BCGS+AMG/CG+SOR). On TPU there is
+no distributed LU; parity with the exact solves is achieved by running the
+iterative solvers to tolerances far below the accuracy gate (<=1e-12 rel).
+
+All solvers are pure jittable functions built on lax.while_loop with
+reduction-based stopping criteria; dot products are plain jnp.vdot (replace
+with psum-reductions in the sharded path, see parallel/dist_krylov.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KrylovResult(NamedTuple):
+    x: object
+    iters: object        # int32
+    residual: object     # final ||r||
+    converged: object    # bool
+
+
+def _identity(x):
+    return x
+
+
+def cg(
+    matvec: Callable,
+    b,
+    x0=None,
+    *,
+    precond: Callable = _identity,
+    rtol=1e-12,
+    atol=0.0,
+    maxiter=1000,
+    dot: Callable = jnp.vdot,
+) -> KrylovResult:
+    """Preconditioned conjugate gradient for SPD operators."""
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    bnorm = jnp.sqrt(dot(b, b))
+    tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return (dot(r, r) > tol2) & (k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, z, p, rz_new, k + 1
+
+    init = (x0, r0, z0, z0, dot(r0, z0), jnp.int32(0))
+    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, init)
+    rnorm = jnp.sqrt(dot(r, r))
+    return KrylovResult(x, k, rnorm, rnorm <= jnp.sqrt(tol2))
+
+
+def bicgstab(
+    matvec: Callable,
+    b,
+    x0=None,
+    *,
+    precond: Callable = _identity,
+    rtol=1e-12,
+    atol=0.0,
+    maxiter=2000,
+    dot: Callable = jnp.vdot,
+) -> KrylovResult:
+    """Preconditioned BiCGStab for nonsymmetric operators (CN advection,
+    Newton Jacobians)."""
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    rhat = r0
+    bnorm = jnp.sqrt(dot(b, b))
+    tol = jnp.maximum(rtol * bnorm, atol)
+    eps_break = jnp.asarray(1e-300, dtype=b.dtype) if b.dtype == jnp.float64 else jnp.asarray(1e-30, dtype=b.dtype)
+
+    # state: x, r, p, v, rho, alpha, omega, k, breakdown
+    def cond(state):
+        x, r, p, v, rho, alpha, omega, k, brk = state
+        return (jnp.sqrt(dot(r, r)) > tol) & (k < maxiter) & (~brk)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, k, brk = state
+        rho_new = dot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = precond(p)
+        v = matvec(phat)
+        denom = dot(rhat, v)
+        alpha = rho_new / denom
+        s = r - alpha * v
+        shat = precond(s)
+        t = matvec(shat)
+        tt = dot(t, t)
+        omega = dot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        brk = (jnp.abs(rho_new) < eps_break) | (jnp.abs(denom) < eps_break) | (jnp.abs(omega) < eps_break)
+        return x, r, p, v, rho_new, alpha, omega, k + 1, brk
+
+    one = jnp.ones((), dtype=b.dtype)
+    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+            jnp.int32(0), jnp.asarray(False))
+    x, r, p, v, rho, alpha, omega, k, brk = jax.lax.while_loop(cond, body, init)
+    rnorm = jnp.sqrt(dot(r, r))
+    return KrylovResult(x, k, rnorm, rnorm <= tol)
+
+
+def jacobi_preconditioner(diag):
+    """Inverse-diagonal preconditioner; safe where diag == 0."""
+    inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    return lambda r: inv * r

@@ -1,0 +1,372 @@
+"""Mesh data structures and mesh generation.
+
+TPU-native replacement for the reference's gmsh + DOLFINx mesh layer
+(ref: Code/Linear_advection/linear_advection.py:26-42 builds a gmsh disk,
+Code/Burgers_equation/Exact_Burger_RV.py:28 a structured triangle rectangle,
+Code/KPP/KPP_NodeRV.py:32-45 a gmsh rectangle).
+
+A mesh here is nothing but dense arrays plus precomputed sparse structure:
+
+  * ``points (N,2)`` / ``cells (M,3)``  — geometry/topology.
+  * ``patch_cols (N,K)`` + ``patch_mask`` — ELL node-adjacency ("node patch",
+    including self), the vectorized replacement of
+    ``SI.get_patch_dictionary`` (ref Code/Utils/SI.py:12-28). The same layout
+    stores assembled sparse operators, so stabilization kernels can gather
+    stiffness entries without PETSc ``Mat.getValue`` calls
+    (ref Code/Utils/SI.py:54).
+  * per-cell geometry factors (area, P1 basis gradients, min edge length
+    ``h_cell`` — ref Code/Utils/helpers.py:18-24).
+  * sorted scatter orderings so per-cell assembly contributions can be
+    accumulated with ``jax.ops.segment_sum(indices_are_sorted=True)`` —
+    deterministic, TPU-friendly, replaces MPI ghost accumulation
+    (ref linear_advection.py:165).
+
+All construction is host-side NumPy (it runs once); everything consumed by
+jitted kernels is exported via :meth:`Mesh.device_arrays`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+
+Array = np.ndarray
+
+
+class MeshArrays(NamedTuple):
+    """Device-resident mesh bundle consumed by jitted kernels.
+
+    Float arrays are cast to the requested compute dtype; index arrays are
+    int32 (TPU-native). Static structure (N, M, K) is baked into shapes.
+    """
+
+    points: object        # (N,2) float
+    cells: object         # (M,3) int32
+    boundary_mask: object  # (N,) bool
+    patch_cols: object    # (N,K) int32
+    patch_mask: object    # (N,K) bool
+    diag_slot: object     # (N,) int32
+    cell_slots: object    # (M,3,3) int32 — ELL slot of local pair (a,b)
+    area: object          # (M,) float
+    grads: object         # (M,3,2) float
+    h_cell: object        # (M,) float
+    mat_perm: object      # (9M,) int32 — sort order for matrix scatter
+    mat_segs: object      # (9M,) int32 — sorted flat targets row*K+slot
+    vec_perm: object      # (3M,) int32 — sort order for vector scatter
+    vec_segs: object      # (3M,) int32 — sorted row targets
+
+
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """An immutable 2D triangle mesh with precomputed sparse structure."""
+
+    points: Array          # (N,2) f64
+    cells: Array           # (M,3) i32
+    boundary_mask: Array   # (N,) bool
+    patch_cols: Array      # (N,K) i32, sorted cols, padded with row index
+    patch_mask: Array      # (N,K) bool
+    diag_slot: Array       # (N,) i32
+    cell_slots: Array      # (M,3,3) i32
+    area: Array            # (M,) f64
+    grads: Array           # (M,3,2) f64
+    h_cell: Array          # (M,) f64
+    mat_perm: Array        # (9M,) i64
+    mat_segs: Array        # (9M,) i64
+    vec_perm: Array        # (3M,) i64
+    vec_segs: Array        # (3M,) i64
+
+    @property
+    def n_nodes(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def n_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def max_patch(self) -> int:
+        return self.patch_cols.shape[1]
+
+    @property
+    def boundary_nodes(self) -> Array:
+        return np.nonzero(self.boundary_mask)[0]
+
+    @property
+    def hmin(self) -> float:
+        return float(self.h_cell.min())
+
+    def device_arrays(self, dtype=None) -> MeshArrays:
+        """Export the mesh as a bundle of jax arrays at the given dtype."""
+        import jax.numpy as jnp
+
+        if dtype is None:
+            dtype = jnp.float64 if jnp.zeros(0).dtype == jnp.float64 else jnp.float32
+        f = lambda x: jnp.asarray(x, dtype=dtype)
+        i = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        return MeshArrays(
+            points=f(self.points),
+            cells=i(self.cells),
+            boundary_mask=jnp.asarray(self.boundary_mask),
+            patch_cols=i(self.patch_cols),
+            patch_mask=jnp.asarray(self.patch_mask),
+            diag_slot=i(self.diag_slot),
+            cell_slots=i(self.cell_slots),
+            area=f(self.area),
+            grads=f(self.grads),
+            h_cell=f(self.h_cell),
+            mat_perm=i(self.mat_perm),
+            mat_segs=i(self.mat_segs),
+            vec_perm=i(self.vec_perm),
+            vec_segs=i(self.vec_segs),
+        )
+
+
+# ---------------------------------------------------------------------------
+# construction
+# ---------------------------------------------------------------------------
+
+
+def _cell_geometry(points: Array, cells: Array):
+    """Per-cell area, P1 physical basis gradients and min edge length.
+
+    Reference P1 basis on the unit triangle: N0 = 1-x-y, N1 = x, N2 = y with
+    gradients [(-1,-1),(1,0),(0,1)]; physical gradients are J^{-T} @ ref_grad.
+    """
+    p = points[cells]                      # (M,3,2)
+    e1 = p[:, 1] - p[:, 0]                 # (M,2)
+    e2 = p[:, 2] - p[:, 0]
+    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    area = 0.5 * np.abs(det)
+    if (area <= 0).any():
+        raise ValueError("degenerate cell with non-positive area")
+    # J = [e1 e2] (columns); J^{-T} = 1/det * [[ e2y, -e1y],[-e2x, e1x]]^T ...
+    # direct: grad N1 = ( e2y,-e2x)/det ; grad N2 = (-e1y, e1x)/det
+    g1 = np.stack([e2[:, 1], -e2[:, 0]], axis=1) / det[:, None]
+    g2 = np.stack([-e1[:, 1], e1[:, 0]], axis=1) / det[:, None]
+    g0 = -(g1 + g2)
+    grads = np.stack([g0, g1, g2], axis=1)  # (M,3,2)
+    # min edge length per cell (ref Code/Utils/helpers.py:23-24)
+    l01 = np.linalg.norm(p[:, 0] - p[:, 1], axis=1)
+    l02 = np.linalg.norm(p[:, 0] - p[:, 2], axis=1)
+    l12 = np.linalg.norm(p[:, 1] - p[:, 2], axis=1)
+    h_cell = np.minimum(np.minimum(l01, l02), l12)
+    return area, grads, h_cell
+
+
+def _boundary_mask(n_nodes: int, cells: Array) -> Array:
+    """Nodes on edges that belong to exactly one cell."""
+    edges = np.concatenate(
+        [cells[:, [0, 1]], cells[:, [1, 2]], cells[:, [2, 0]]], axis=0
+    )
+    edges = np.sort(edges, axis=1)
+    uniq, counts = np.unique(edges, axis=0, return_counts=True)
+    bnd_edges = uniq[counts == 1]
+    mask = np.zeros(n_nodes, dtype=bool)
+    mask[bnd_edges.ravel()] = True
+    return mask
+
+
+def _build_patches(n_nodes: int, cells: Array):
+    """ELL node adjacency (incl. self) sorted by column index.
+
+    Vectorized equivalent of ``SI.get_patch_dictionary``
+    (ref Code/Utils/SI.py:12-28), which loops cells x cell_dofs in Python.
+    """
+    # all ordered pairs within each cell, plus self pairs
+    a = np.repeat(cells, 3, axis=1).reshape(-1)          # rows
+    b = np.tile(cells, (1, 3)).reshape(-1)               # cols
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)  # sorted lexicographic
+    rows, cols = pairs[:, 0], pairs[:, 1]
+    deg = np.bincount(rows, minlength=n_nodes)
+    K = int(deg.max())
+    patch_cols = np.tile(np.arange(n_nodes, dtype=np.int64)[:, None], (1, K))
+    patch_mask = np.zeros((n_nodes, K), dtype=bool)
+    # slot index within each row (pairs are sorted by row then col)
+    offsets = np.concatenate([[0], np.cumsum(deg)])
+    slot = np.arange(len(rows)) - offsets[rows]
+    patch_cols[rows, slot] = cols
+    patch_mask[rows, slot] = True
+    # pad entries keep self index (safe gathers, masked out in reductions)
+    diag_slot = np.argmax(
+        (patch_cols == np.arange(n_nodes)[:, None]) & patch_mask, axis=1
+    )
+    return patch_cols.astype(np.int64), patch_mask, diag_slot.astype(np.int64), K
+
+
+def _build_cell_slots(cells: Array, patch_cols: Array, patch_mask: Array):
+    """For each cell and local pair (a,b): ELL slot k with
+    patch_cols[cells[m,a], k] == cells[m,b]."""
+    M = cells.shape[0]
+    rows = np.repeat(cells, 3, axis=1).reshape(M, 3, 3)   # rows[m,a,b]=cells[m,a]
+    colt = np.tile(cells, (1, 3)).reshape(M, 3, 3)        # colt[m,a,b]=cells[m,b]
+    # binary search in each sorted row; padded cols equal row index which can
+    # collide — use mask check afterwards via exact match search
+    row_cols = patch_cols[rows.reshape(-1)]               # (9M, K)
+    target = colt.reshape(-1, 1)
+    # exact-match argmax over masked equality (rows are sorted but padding may
+    # duplicate the row index; equality+mask is robust)
+    row_mask = patch_mask[rows.reshape(-1)]
+    eq = (row_cols == target) & row_mask
+    slot = np.argmax(eq, axis=1)
+    assert eq[np.arange(eq.shape[0]), slot].all(), "cell pair missing from patch"
+    return slot.reshape(M, 3, 3).astype(np.int64)
+
+
+def _scatter_orderings(cells: Array, cell_slots: Array, K: int):
+    """Sorted permutations for deterministic segment_sum scatter-adds."""
+    M = cells.shape[0]
+    rows = np.repeat(cells, 3, axis=1).reshape(M, 3, 3)
+    mat_target = (rows * K + cell_slots).reshape(-1)
+    mat_perm = np.argsort(mat_target, kind="stable")
+    mat_segs = mat_target[mat_perm]
+    vec_target = cells.reshape(-1)
+    vec_perm = np.argsort(vec_target, kind="stable")
+    vec_segs = vec_target[vec_perm]
+    return mat_perm, mat_segs, vec_perm, vec_segs
+
+
+def mesh_from_arrays(points: Array, cells: Array) -> Mesh:
+    """Build a full Mesh (with sparse structure) from raw geometry/topology."""
+    points = np.ascontiguousarray(np.asarray(points, dtype=np.float64)[:, :2])
+    cells = np.ascontiguousarray(np.asarray(cells, dtype=np.int64))
+    n = points.shape[0]
+    area, grads, h_cell = _cell_geometry(points, cells)
+    if (area <= 0).any():
+        raise ValueError("degenerate cell with non-positive area")
+    patch_cols, patch_mask, diag_slot, K = _build_patches(n, cells)
+    cell_slots = _build_cell_slots(cells, patch_cols, patch_mask)
+    mat_perm, mat_segs, vec_perm, vec_segs = _scatter_orderings(cells, cell_slots, K)
+    return Mesh(
+        points=points,
+        cells=cells.astype(np.int32),
+        boundary_mask=_boundary_mask(n, cells),
+        patch_cols=patch_cols,
+        patch_mask=patch_mask,
+        diag_slot=diag_slot,
+        cell_slots=cell_slots,
+        area=area,
+        grads=grads,
+        h_cell=h_cell,
+        mat_perm=mat_perm,
+        mat_segs=mat_segs,
+        vec_perm=vec_perm,
+        vec_segs=vec_segs,
+    )
+
+
+def rectangle_mesh(
+    p0=(0.0, 0.0),
+    p1=(1.0, 1.0),
+    nx: int = 8,
+    ny: int | None = None,
+    diagonal: str = "right",
+) -> Mesh:
+    """Structured triangle rectangle, matching DOLFINx ``create_rectangle``
+    (ref Code/Burgers_equation/Exact_Burger_RV.py:28).
+
+    diagonal: 'right' ("/" diagonal), 'left' ("\\"), or 'crossed' (4 triangles
+    per quad around a center node — ref tests/verification/stiffness.py:38).
+    """
+    if ny is None:
+        ny = nx
+    x = np.linspace(p0[0], p1[0], nx + 1)
+    y = np.linspace(p0[1], p1[1], ny + 1)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    points = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    I, J = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    I, J = I.ravel(), J.ravel()
+    v00, v10 = vid(I, J), vid(I + 1, J)
+    v01, v11 = vid(I, J + 1), vid(I + 1, J + 1)
+    if diagonal == "right":
+        tris = np.concatenate(
+            [np.stack([v00, v10, v11], 1), np.stack([v00, v11, v01], 1)], axis=0
+        )
+    elif diagonal == "left":
+        tris = np.concatenate(
+            [np.stack([v00, v10, v01], 1), np.stack([v10, v11, v01], 1)], axis=0
+        )
+    elif diagonal == "crossed":
+        nq = nx * ny
+        centers = np.stack(
+            [(X[:-1, :-1] + X[1:, 1:]).ravel() * 0.5,
+             (Y[:-1, :-1] + Y[1:, 1:]).ravel() * 0.5],
+            axis=1,
+        )
+        c = points.shape[0] + np.arange(nq)
+        points = np.concatenate([points, centers], axis=0)
+        tris = np.concatenate(
+            [
+                np.stack([v00, v10, c], 1),
+                np.stack([v10, v11, c], 1),
+                np.stack([v11, v01, c], 1),
+                np.stack([v01, v00, c], 1),
+            ],
+            axis=0,
+        )
+    else:
+        raise ValueError(f"unknown diagonal {diagonal!r}")
+    return mesh_from_arrays(points, tris)
+
+
+def disk_mesh(hmax: float, radius: float = 1.0, center=(0.0, 0.0)) -> Mesh:
+    """Deterministic unit-disk triangulation from concentric rings.
+
+    Replaces the gmsh OCC disk mesher (ref linear_advection.py:26-38, mesh
+    size via CharacteristicLength min=max=hmax). Ring k (k=1..nr) holds 6k
+    nodes at radius k*dr; between consecutive rings 6(2k-1) near-equilateral
+    triangles are built. Quality and h are comparable to gmsh output; exact
+    node placement differs (documented deviation — gmsh meshes are
+    non-deterministic external artifacts).
+    """
+    nr = max(1, int(round(radius / hmax)))
+    dr = radius / nr
+    pts = [np.array([[center[0], center[1]]])]
+    ring_start = [None, 1]
+    for k in range(1, nr + 1):
+        m = 6 * k
+        th = 2 * np.pi * np.arange(m) / m
+        pts.append(
+            np.stack(
+                [center[0] + k * dr * np.cos(th), center[1] + k * dr * np.sin(th)],
+                axis=1,
+            )
+        )
+        ring_start.append(ring_start[-1] + m)
+    points = np.concatenate(pts, axis=0)
+
+    tris = []
+    # innermost fan: ring 1 (6 nodes) to center (node 0)
+    for i in range(6):
+        tris.append([0, 1 + i, 1 + (i + 1) % 6])
+    for k in range(1, nr):
+        s_in, n_in = ring_start[k], 6 * k
+        s_out, n_out = ring_start[k + 1], 6 * (k + 1)
+        # each of 6 sectors has k inner and k+1 outer nodes; the sector's
+        # last inner node wraps into the next sector's first
+        for sec in range(6):
+            for j in range(k + 1):
+                o0 = s_out + (sec * (k + 1) + j) % n_out
+                o1 = s_out + (sec * (k + 1) + j + 1) % n_out
+                i0 = s_in + (sec * k + j) % n_in
+                tris.append([i0, o0, o1])
+                if j < k:
+                    i1 = s_in + (sec * k + j + 1) % n_in
+                    tris.append([i0, o1, i1])
+    return mesh_from_arrays(points, np.asarray(tris))
+
+
+def load_h5_mesh(path: str, geometry="Mesh/mesh/geometry", topology="Mesh/mesh/topology") -> Mesh:
+    """Import a DOLFINx XDMF/HDF5 mesh snapshot (ref Data/KPP_RV.h5:
+    geometry (4886,2) f64, topology (9514,3) i64)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        points = np.asarray(f[geometry])
+        cells = np.asarray(f[topology])
+    return mesh_from_arrays(points, cells)

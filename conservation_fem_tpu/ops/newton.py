@@ -1,0 +1,98 @@
+"""Matrix-free Newton solver with jvp Jacobian action.
+
+Replaces dolfinx NonlinearProblem + NewtonSolver
+(ref Code/KPP/KPP_NodeRV.py:136-163, Code/Burgers_equation/
+Exact_Burger_RV.py:192-221). Semantics matched:
+
+  * convergence_criterion "residual" (dolfinx default, used for the
+    stabilized CN solves): converged when ||F(u)|| <= rtol ||F(u0)|| + atol.
+  * convergence_criterion "incremental" (used for the BDF2 residual
+    projections): converged when ||du|| <= rtol ||du_0|| + atol.
+  * the linear step J du = -F is solved with BiCGStab to a tolerance far
+    tighter than Newton's (the reference uses exact LU).
+
+The Jacobian action is jax.jvp of the residual — no assembled Jacobian, no
+per-step re-JIT (the reference re-creates forms and LU factors every step,
+ref KPP_NodeRV.py:136-145).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from conservation_fem_tpu.ops.krylov import bicgstab
+
+
+class NewtonResult(NamedTuple):
+    u: object
+    iters: object
+    converged: object
+    residual_norm: object
+
+
+def newton_solve(
+    residual_fn: Callable,
+    u0,
+    *,
+    rtol=1e-4,
+    atol=1e-10,
+    max_it=100,
+    criterion: str = "residual",
+    linear_rtol=1e-12,
+    linear_maxiter=2000,
+    precond_fn: Callable | None = None,
+    dot: Callable = jnp.vdot,
+) -> NewtonResult:
+    """Solve residual_fn(u) = 0.
+
+    precond_fn: optional u -> (r -> z) preconditioner factory for the inner
+    BiCGStab (e.g. inverse Jacobian diagonal).
+    """
+    norm = lambda v: jnp.sqrt(dot(v, v))
+
+    F0 = residual_fn(u0)
+    r0_norm = norm(F0)
+
+    def linear_solve(u, F):
+        matvec = lambda v: jax.jvp(residual_fn, (u,), (v,))[1]
+        precond = precond_fn(u) if precond_fn is not None else (lambda r: r)
+        res = bicgstab(
+            matvec, -F, precond=precond, rtol=linear_rtol, maxiter=linear_maxiter,
+            dot=dot,
+        )
+        return res.x
+
+    # first iteration done outside the loop to set the incremental reference
+    du0 = linear_solve(u0, F0)
+    u1 = u0 + du0
+    du0_norm = norm(du0)
+    F1 = residual_fn(u1)
+
+    if criterion == "residual":
+        ref = jnp.maximum(r0_norm, jnp.asarray(1e-300, u0.dtype))
+        metric1 = norm(F1)
+        tol = rtol * ref + atol
+    elif criterion == "incremental":
+        ref = jnp.maximum(du0_norm, jnp.asarray(1e-300, u0.dtype))
+        metric1 = du0_norm  # checked after first update, as dolfinx does
+        tol = rtol * ref + atol
+    else:
+        raise ValueError(f"unknown criterion {criterion!r}")
+
+    def cond(state):
+        u, F, metric, k = state
+        return (metric > tol) & (k < max_it)
+
+    def body(state):
+        u, F, metric, k = state
+        du = linear_solve(u, F)
+        u = u + du
+        F = residual_fn(u)
+        metric = norm(F) if criterion == "residual" else norm(du)
+        return u, F, metric, k + 1
+
+    u, F, metric, k = jax.lax.while_loop(cond, body, (u1, F1, metric1, jnp.int32(1)))
+    return NewtonResult(u, k, metric <= tol, norm(F))

@@ -1,0 +1,94 @@
+"""Mesh construction tests, mirroring the reference's hand-verifiable
+micro-fixtures (ref tests/verification/{stiffness,patch_test,hk_test}.py)."""
+
+import numpy as np
+import pytest
+
+from conservation_fem_tpu.ops.mesh import (
+    disk_mesh,
+    load_h5_mesh,
+    mesh_from_arrays,
+    rectangle_mesh,
+)
+
+KPP_H5 = "/root/reference/Data/KPP_RV.h5"
+
+
+def test_handmade_mesh():
+    """6-node / 4-triangle handmade mesh (ref tests/verification/hk_test.py:36-40)."""
+    pts = np.array([[0, 0], [1, 0], [2, 0], [0, 1], [1, 1], [2, 1]], dtype=float)
+    cells = np.array([[0, 1, 4], [0, 4, 3], [1, 2, 5], [1, 5, 4]])
+    m = mesh_from_arrays(pts, cells)
+    assert m.n_nodes == 6 and m.n_cells == 4
+    np.testing.assert_allclose(m.area, 0.5)
+    np.testing.assert_allclose(m.area.sum(), 2.0)
+    # every node is on the boundary of this strip
+    assert m.boundary_mask.all()
+    # h_cell = min edge = 1 for all (legs 1, hyp sqrt2)
+    np.testing.assert_allclose(m.h_cell, 1.0)
+
+
+def test_patches_match_reference_semantics():
+    """Patch = all nodes sharing a cell with i, including self
+    (ref Code/Utils/SI.py:12-28; fixture ref tests/verification/patch_test.py)."""
+    m = rectangle_mesh(nx=2, ny=2, diagonal="crossed")
+    # crossed 2x2: 9 grid + 4 centers = 13 nodes, 16 triangles
+    assert m.n_nodes == 13 and m.n_cells == 16
+    patches = {}
+    for c in m.cells:
+        for a in c:
+            patches.setdefault(int(a), set()).update(int(b) for b in c)
+    for i in range(m.n_nodes):
+        got = set(m.patch_cols[i][m.patch_mask[i]].tolist())
+        assert got == patches[i], f"patch mismatch at node {i}"
+        # diag_slot points at self
+        assert m.patch_cols[i][m.diag_slot[i]] == i
+
+
+def test_rectangle_geometry():
+    m = rectangle_mesh((0, 0), (1, 1), nx=4, ny=4)
+    assert m.n_nodes == 25 and m.n_cells == 32
+    np.testing.assert_allclose(m.area.sum(), 1.0)
+    # boundary = 16 perimeter nodes
+    assert m.boundary_mask.sum() == 16
+    np.testing.assert_allclose(m.h_cell, 0.25)
+
+
+def test_rectangle_left_diagonal():
+    m = rectangle_mesh((0, 0), (2, 1), nx=4, ny=2, diagonal="left")
+    np.testing.assert_allclose(m.area.sum(), 2.0)
+    assert m.n_cells == 16
+
+
+def test_disk_mesh_quality():
+    m = disk_mesh(hmax=1 / 8)
+    # area approaches pi; with the outer polygon at nr rings:
+    nr = 8
+    n_outer = 6 * nr
+    polygon_area = 0.5 * n_outer * np.sin(2 * np.pi / n_outer)
+    np.testing.assert_allclose(m.area.sum(), polygon_area, rtol=1e-12)
+    assert abs(m.area.sum() - np.pi) < 0.02
+    # boundary nodes = outermost ring only
+    assert m.boundary_mask.sum() == n_outer
+    r = np.linalg.norm(m.points[m.boundary_mask], axis=1)
+    np.testing.assert_allclose(r, 1.0, atol=1e-12)
+    # all cells non-degenerate and h near hmax
+    assert (m.area > 1e-6).all()
+    assert 0.05 < m.h_cell.min() and m.h_cell.max() < 0.3
+
+
+def test_load_reference_kpp_mesh():
+    m = load_h5_mesh(KPP_H5)
+    # ref Data/KPP_RV.xdmf:7-11 — 4886 nodes / 9514 triangles
+    assert m.n_nodes == 4886 and m.n_cells == 9514
+    np.testing.assert_allclose(m.area.sum(), 16.0, rtol=1e-9)  # [-2,2]^2
+    assert (m.area > 0).all()
+
+
+def test_scatter_orderings_consistent():
+    m = rectangle_mesh(nx=3, ny=3)
+    # matrix scatter targets must be a permutation-sorted view
+    assert (np.diff(m.mat_segs) >= 0).all()
+    assert (np.diff(m.vec_segs) >= 0).all()
+    assert len(m.mat_perm) == 9 * m.n_cells
+    assert len(m.vec_perm) == 3 * m.n_cells
