@@ -1,0 +1,292 @@
+"""Linear advection u_t + w . grad u = 0, solid-body rotation on the unit
+disk (or a rectangle), Crank-Nicolson in time, P1 in space.
+
+TPU-native rebuild of the reference workload family
+Code/Linear_advection/ (SURVEY.md section 2.2):
+
+  * gfem     — unstabilized Galerkin CN (ref linear_advection.py:112-182)
+  * rv_node  — node-based residual viscosity (ref RV_node.py:206-255,
+               RV_node_convergence.py; Cvel=0.25, CRV=1.0)
+  * rv_cell  — cell-based residual viscosity (ref RV_cell.py:169-209;
+               Cvel=0.25, CRV=1.0)
+  * si       — smoothness-indicator viscosity (ref smoothness.py:147-168;
+               Cm=0.5, stiffness assembled once WITH bcs)
+  * rk4      — explicit RK4 with mass solves per stage (ref GFEM_RK4.py)
+
+Reference semantics reproduced:
+  * w = 2*pi*(-y, x); dt = CFL*hmax/||w||_inf where ||.||_inf is
+    numpy.linalg.norm(w_values, ord=inf) on the (N,2) array = max row sum
+    |wx|+|wy| (a reference quirk, ref linear_advection.py:74-75 — kept).
+  * IC = 0.5*(1 - tanh(((x-0.3)^2 + y^2)/0.25^2 - 1)) (ref :53-54).
+  * homogeneous Dirichlet bc on the whole boundary (ref :90-93).
+  * num_steps = ceil(T/dt), no final-step clamping (ref :85).
+  * stabilized runs bootstrap with ONE plain GFEM step so a BDF1 residual
+    exists (ref RV_cell.py:142-160).
+  * the BDF1 residual projection M Rh = M (u_n-u_old)/dt + C u_n is solved
+    with the bc applied (LinearProblem(..., bcs=[bc]), ref RV_cell.py:171).
+  * L2 error at T=1 is measured against the P1 interpolant of the IC
+    (one full rotation returns the IC; ref RV_cell.py:243).
+
+Everything per-step is jitted and driven by lax.scan; linear solves are
+matrix-free BiCGStab/CG (the reference re-assembles + LU-factorizes every
+step, ref RV_node.py:220-232 — here only the eps-weighted ELL values are
+recomputed, structure and code are fixed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conservation_fem_tpu.ops import assembly
+from conservation_fem_tpu.ops.bc import constrained_matvec, ell_with_bc
+from conservation_fem_tpu.ops.helpers import get_nodal_h
+from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.mesh import Mesh, MeshArrays, disk_mesh, rectangle_mesh
+from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
+from conservation_fem_tpu.ops import stabilization as stab
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvectionConfig:
+    mesh_size: int = 32            # hmax = 1/mesh_size
+    domain: str = "disk"           # "disk" | "square"
+    stabilization: str = "gfem"    # gfem | rv_node | rv_cell | si | rk4
+    CFL: float = 0.5               # ref linear_advection.py:81
+    T: float = 1.0
+    Cvel: float = 0.25             # ref RV_node.py:87
+    CRV: float = 1.0               # ref RV_node.py:88
+    Cm: float = 0.5                # ref smoothness.py:94
+    si_eps: float = 1e-8           # denominator floor (ref SI.py:186)
+    krylov_rtol: float = 1e-12
+    dtype: str = "float64"
+
+
+def initial_condition(x, y, r0=0.25, x0=0.3, y0=0.0):
+    """Smooth bump IC (ref linear_advection.py:53-54)."""
+    return 0.5 * (1.0 - jnp.tanh(((x - x0) ** 2 + (y - y0) ** 2) / r0**2 - 1.0))
+
+
+def velocity(points):
+    """Solid rotation w = 2*pi*(-y, x) (ref linear_advection.py:59-60)."""
+    return 2.0 * jnp.pi * jnp.stack([-points[:, 1], points[:, 0]], axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvectionProblem:
+    # static metadata (hashable; Mesh hashes by identity)
+    cfg: AdvectionConfig
+    host_mesh: Mesh
+    dt: float
+    num_steps: int
+    # dynamic arrays
+    mesh: MeshArrays
+    w: object            # (N,2)
+    M: object            # ELL mass
+    C: object            # ELL convection
+    h_cg: object         # nodal h (rv/si variants) or None
+    K_bc: object         # bc-applied ELL stiffness (si variant) or None
+    u0: object           # (N,) initial condition
+
+
+jax.tree_util.register_dataclass(
+    AdvectionProblem,
+    data_fields=["mesh", "w", "M", "C", "h_cg", "K_bc", "u0"],
+    meta_fields=["cfg", "host_mesh", "dt", "num_steps"],
+)
+
+
+def build(cfg: AdvectionConfig, host_mesh: Mesh | None = None) -> AdvectionProblem:
+    dtype = jnp.dtype(cfg.dtype)
+    hmax = 1.0 / cfg.mesh_size
+    if host_mesh is None:
+        if cfg.domain == "disk":
+            host_mesh = disk_mesh(hmax)
+        elif cfg.domain == "square":
+            host_mesh = rectangle_mesh((0, 0), (1, 1), nx=cfg.mesh_size)
+        else:
+            raise ValueError(f"unknown domain {cfg.domain!r}")
+    m = host_mesh.device_arrays(dtype)
+    w = velocity(m.points)
+    # reference quirk: matrix inf-norm = max |wx_i| + |wy_i|
+    w_inf = float(jnp.abs(w).sum(axis=1).max())
+    dt = cfg.CFL * hmax / w_inf
+    num_steps = int(np.ceil(cfg.T / dt))
+    M = assembly.assemble_mass(m)
+    C = assembly.assemble_convection(m, w)
+    needs_h = cfg.stabilization in ("rv_node", "rv_cell", "si")
+    h_cg = get_nodal_h(m, mass_ell=M) if needs_h else None
+    K_bc = None
+    if cfg.stabilization == "si":
+        K = assembly.assemble_stiffness(m)
+        K_bc = ell_with_bc(m, K, m.boundary_mask)
+    u0 = initial_condition(m.points[:, 0], m.points[:, 1]).astype(dtype)
+    return AdvectionProblem(
+        cfg=cfg, host_mesh=host_mesh, dt=dt, num_steps=num_steps,
+        mesh=m, w=w, M=M, C=C, h_cg=h_cg, K_bc=K_bc, u0=u0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# step kernels
+# ---------------------------------------------------------------------------
+
+
+def _cn_solve(p: AdvectionProblem, Keps, u_n, rtol):
+    """One Crank-Nicolson solve with optional eps-stiffness term:
+    (M + dt/2 C + dt/2 Keps) u = (M - dt/2 C - dt/2 Keps) u_n, u|bc = 0."""
+    m, dt = p.mesh, p.dt
+    bc = m.boundary_mask
+    if Keps is None:
+        A = p.M + 0.5 * dt * p.C
+        B = p.M - 0.5 * dt * p.C
+    else:
+        A = p.M + 0.5 * dt * p.C + 0.5 * dt * Keps
+        B = p.M - 0.5 * dt * p.C - 0.5 * dt * Keps
+    b = ell_matvec(m, B, u_n)
+    b = jnp.where(bc, 0.0, b)
+    diag = jnp.where(bc, 1.0, ell_diag(m, A))
+    pre = jacobi_preconditioner(diag)
+    op = lambda x: constrained_matvec(m, A, x, bc)
+    res = bicgstab(op, b, x0=u_n, precond=pre, rtol=rtol)
+    return res.x, res
+
+
+def _residual_bdf1(p: AdvectionProblem, u_n, u_old, rtol):
+    """Solve M Rh = M (u_n - u_old)/dt + C u_n with Rh|bc = 0
+    (ref RV_cell.py:169-174: LinearProblem(u v dx, ..., bcs=[bc]))."""
+    m = p.mesh
+    bc = m.boundary_mask
+    rhs = ell_matvec(m, p.M, (u_n - u_old) / p.dt) + ell_matvec(m, p.C, u_n)
+    rhs = jnp.where(bc, 0.0, rhs)
+    diag = jnp.where(bc, 1.0, ell_diag(m, p.M))
+    op = lambda x: constrained_matvec(m, p.M, x, bc)
+    res = cg(op, rhs, precond=jacobi_preconditioner(diag), rtol=rtol)
+    return res.x
+
+
+def _step_gfem(p: AdvectionProblem, carry, _):
+    u_n, u_old = carry
+    uh, _ = _cn_solve(p, None, u_n, p.cfg.krylov_rtol)
+    return (uh, u_n), None
+
+
+def _step_rv_node(p: AdvectionProblem, carry, _):
+    u_n, u_old = carry
+    cfg = p.cfg
+    Rh = _residual_bdf1(p, u_n, u_old, cfg.krylov_rtol)
+    eps = stab.rv_epsilon_linear(
+        p.mesh, cfg.Cvel, cfg.CRV, u_n, u_n, p.w, Rh, p.h_cg
+    )
+    Keps = assembly.assemble_eps_stiffness(p.mesh, eps)
+    uh, _ = _cn_solve(p, Keps, u_n, cfg.krylov_rtol)
+    return (uh, u_n), None
+
+
+def _step_rv_cell(p: AdvectionProblem, carry, _):
+    u_n, u_old = carry
+    cfg = p.cfg
+    m = p.mesh
+    Rh = _residual_bdf1(p, u_n, u_old, cfg.krylov_rtol)
+    # global normalization max(u_n - mean(u_n)) — plain max, not inf-norm
+    # (ref RV_cell.py:175)
+    Rh = Rh / (u_n - u_n.mean()).max()
+    beta_cell = jnp.linalg.norm(p.w, axis=1)[m.cells].max(axis=1)   # (M,)
+    eps = stab.rv_epsilon_cell(m, cfg.Cvel, cfg.CRV, Rh, beta_cell, m.h_cell)
+    # deviation: reference assigns eps_k per cell in loop order (last cell
+    # wins, ref RV_cell.py:193-195); we take the max over adjacent cells —
+    # deterministic and slightly more diffusive at cell interfaces.
+    Keps = assembly.assemble_eps_stiffness(m, eps)
+    uh, _ = _cn_solve(p, Keps, u_n, cfg.krylov_rtol)
+    return (uh, u_n), None
+
+
+def _step_si(p: AdvectionProblem, carry, _):
+    u_n, u_old = carry
+    cfg = p.cfg
+    beta = jnp.linalg.norm(p.w, axis=1)
+    eps = stab.si_epsilon(
+        p.mesh, cfg.Cm, p.K_bc, u_n, beta, p.h_cg, eps_floor=cfg.si_eps
+    ).epsilon
+    Keps = assembly.assemble_eps_stiffness(p.mesh, eps)
+    uh, _ = _cn_solve(p, Keps, u_n, cfg.krylov_rtol)
+    return (uh, u_n), None
+
+
+def _step_rk4(p: AdvectionProblem, carry, _):
+    """Explicit RK4: each stage solves M k = -C u_stage with k|bc = 0
+    (ref GFEM_RK4.py:134-218)."""
+    u_n, u_old = carry
+    m = p.mesh
+    bc = m.boundary_mask
+    diag = jnp.where(bc, 1.0, ell_diag(m, p.M))
+    pre = jacobi_preconditioner(diag)
+    op = lambda x: constrained_matvec(m, p.M, x, bc)
+
+    def rhs_stage(u):
+        r = -ell_matvec(m, p.C, u)
+        return jnp.where(bc, 0.0, r)
+
+    k1 = cg(op, rhs_stage(u_n), precond=pre, rtol=p.cfg.krylov_rtol).x
+    k2 = cg(op, rhs_stage(u_n + 0.5 * p.dt * k1), precond=pre, rtol=p.cfg.krylov_rtol).x
+    k3 = cg(op, rhs_stage(u_n + 0.5 * p.dt * k2), precond=pre, rtol=p.cfg.krylov_rtol).x
+    k4 = cg(op, rhs_stage(u_n + p.dt * k3), precond=pre, rtol=p.cfg.krylov_rtol).x
+    uh = u_n + p.dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+    uh = jnp.where(bc, 0.0, uh)
+    return (uh, u_n), None
+
+
+_STEPS = {
+    "gfem": _step_gfem,
+    "rv_node": _step_rv_node,
+    "rv_cell": _step_rv_cell,
+    "si": _step_si,
+    "rk4": _step_rk4,
+}
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+
+class SolveResult(NamedTuple):
+    u: object
+    error_l2: object
+    dt: float
+    num_steps: int
+
+
+@partial(jax.jit, static_argnums=0)
+def _run_scan(step_name: str, p: AdvectionProblem):
+    step = _STEPS[step_name]
+    bootstrap = step_name in ("rv_node", "rv_cell")
+    u0 = p.u0
+    if bootstrap:
+        # one plain GFEM step to seed the BDF1 history (ref RV_cell.py:142-160)
+        (u1, _), _ = _step_gfem(p, (u0, u0), None)
+        carry, n = (u1, u0), p.num_steps - 1
+    else:
+        carry, n = (u0, u0), p.num_steps
+    (u, u_prev), _ = jax.lax.scan(partial(step, p), carry, None, length=n)
+    # L2 error vs P1 interpolant of the IC (exact for P1 via mass matrix)
+    d = u - p.u0
+    err = jnp.sqrt(d @ ell_matvec(p.mesh, p.M, d))
+    return u, err
+
+
+def solve(p: AdvectionProblem) -> SolveResult:
+    u, err = _run_scan(p.cfg.stabilization, p)
+    return SolveResult(u, err, p.dt, p.num_steps)
+
+
+def run(cfg: AdvectionConfig | None = None, **kw) -> SolveResult:
+    """Convenience: build + solve (the 'python linear_advection.py' analog)."""
+    if cfg is None:
+        cfg = AdvectionConfig(**kw)
+    return solve(build(cfg))

@@ -37,6 +37,22 @@ def lift_rhs(mesh: MeshArrays, A, b, g, bc_mask):
     return jnp.where(bc_mask, g, lifted)
 
 
+def ell_with_bc(mesh: MeshArrays, A, bc_mask):
+    """Materialize DOLFINx ``assemble_matrix(a, bcs)`` semantics on an ELL
+    matrix: zero bc rows AND bc columns, unit diagonal on bc rows
+    (ref linear_advection.py:122). Needed where the reference feeds the
+    bc-applied matrix to downstream kernels — e.g. the SI stiffness
+    (ref Code/Linear_advection/smoothness.py:147-149)."""
+    n, K = A.shape
+    bc_row = bc_mask[:, None]
+    bc_col = bc_mask[mesh.patch_cols]
+    out = jnp.where(bc_row | bc_col, 0.0, A)
+    rows = jnp.arange(n)
+    diag_one = out[rows, mesh.diag_slot]
+    out = out.at[rows, mesh.diag_slot].set(jnp.where(bc_mask, 1.0, diag_one))
+    return out
+
+
 def constrain_residual(F, u, g, bc_mask):
     """Newton residual with Dirichlet rows replaced by (u - g).
 

@@ -58,9 +58,12 @@ class MeshArrays(NamedTuple):
     vec_segs: object      # (3M,) int32 — sorted row targets
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class Mesh:
-    """An immutable 2D triangle mesh with precomputed sparse structure."""
+    """An immutable 2D triangle mesh with precomputed sparse structure.
+
+    ``eq=False``: identity hashing, so a Mesh can ride through jit as static
+    metadata (same object -> cache hit)."""
 
     points: Array          # (N,2) f64
     cells: Array           # (M,3) i32
