@@ -1,0 +1,81 @@
+"""Benchmark: KPP rotating-wave RV throughput (DOF-steps/sec/chip).
+
+The driver-defined north-star metric (BASELINE.json): DOF-steps/sec/chip on
+the KPP RV workload, compared against the reference stack's throughput. The
+reference stack (DOLFINx+PETSc LU+Python RV loops) is not installable here;
+the baseline is a measured scipy sparse-direct proxy with the same
+algorithmic structure (see conservation_fem_tpu/utils/baseline_proxy.py —
+if anything faster than real DOLFINx because it reuses factorizations the
+reference rebuilds each step).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": DOF-steps/s on this chip,
+   "unit": "DOF-steps/s", "vs_baseline": value / proxy_DOF-steps/s}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from conservation_fem_tpu.models import kpp
+
+    mesh_size = int(os.environ.get("BENCH_MESH_SIZE", 32))
+    steps_proxy = int(os.environ.get("BENCH_PROXY_STEPS", 3))
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = "float32" if on_tpu else "float64"
+
+    cfg = kpp.KPPConfig(
+        mesh_size=mesh_size, dtype=dtype,
+        krylov_rtol=1e-5 if dtype == "float32" else 1e-12,
+    )
+    p = kpp.build(cfg)
+    n_dofs = int(p.u0.shape[0])
+
+    verbose = os.environ.get("BENCH_VERBOSE")
+
+    def log(msg):
+        if verbose:
+            print(msg, file=sys.stderr, flush=True)
+
+    # compile + warm run
+    t0 = time.perf_counter()
+    res = p.solve()
+    jax.block_until_ready(res.u)
+    log(f"compile+first solve: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    res = p.solve()
+    jax.block_until_ready(res.u)
+    elapsed = time.perf_counter() - t0
+    log(f"timed solve: {elapsed:.1f}s")
+    value = n_dofs * res.num_steps / elapsed
+
+    # measured proxy baseline (same mesh, scipy sparse LU + python RV loop)
+    from conservation_fem_tpu.utils.baseline_proxy import make_kpp_proxy
+
+    proxy = make_kpp_proxy(p.host_mesh, dt=cfg.dt)
+    u0 = np.asarray(p.u0, dtype=np.float64)
+    proxy.step(u0, u0, u0)  # warm numpy caches
+    t0 = time.perf_counter()
+    proxy.solve(u0, steps_proxy)
+    proxy_elapsed = time.perf_counter() - t0
+    proxy_value = n_dofs * steps_proxy / proxy_elapsed
+    log(f"proxy {steps_proxy} steps: {proxy_elapsed:.1f}s")
+
+    print(json.dumps({
+        "metric": f"KPP-RV DOF-steps/sec/chip (N={n_dofs}, {res.num_steps} steps, {dtype})",
+        "value": round(value, 1),
+        "unit": "DOF-steps/s",
+        "vs_baseline": round(value / proxy_value, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,6 @@
-from conservation_fem_tpu.models import linear_advection  # noqa: F401
+from conservation_fem_tpu.models import (  # noqa: F401
+    burgers,
+    kpp,
+    linear_advection,
+    scalar_hyperbolic,
+)

@@ -1,0 +1,95 @@
+"""KPP rotating-wave benchmark: u_t + div(sin u, cos u) = 0.
+
+The rebuild's north-star workload (BASELINE.json). Reference:
+Code/KPP/KPP_NodeRV.py — domain [-2,2]^2 at hmax=1/32 (gmsh rectangle,
+:32-41), IC = 14*pi/4 inside the unit circle else pi/4 (:50-51),
+Dirichlet bc = pi/4 (:86), dt = 0.01, T = 1 (:70-74), Cvel = 0.5,
+CRV = 4.0 (:75-76); quasilinear flux derivative f'(u) = (cos u, -sin u)
+(:53-55) so |f'(u)| = 1 identically. Variants: SI (Cm=0.5,
+ref KPP_SI.py:72), GFEM (no stabilization, ref KPP.py — demonstrates the
+wrong rotating wave), exact-field generator at hmax=1/64
+(ref KPP_exact.py:38).
+
+The mesh is either a deterministic structured triangulation of [-2,2]^2
+(default) or the stored reference gmsh mesh Data/KPP_RV.h5 (for field
+comparison against the FEniCSx reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from conservation_fem_tpu.models.scalar_hyperbolic import (
+    HyperbolicConfig,
+    HyperbolicProblem,
+)
+from conservation_fem_tpu.ops.mesh import Mesh, load_h5_mesh, rectangle_mesh
+
+KPP_REFERENCE_H5 = "/root/reference/Data/KPP_RV.h5"
+
+
+@dataclasses.dataclass(frozen=True)
+class KPPConfig:
+    mesh_size: int = 32            # cells per unit length: hmax = 1/mesh_size
+    mesh_source: str = "structured"  # "structured" | path to .h5
+    stabilization: str = "rv"      # rv | si | gfem
+    dt: float = 0.01               # ref KPP_NodeRV.py:73
+    T: float = 1.0
+    Cvel: float = 0.5              # ref KPP_NodeRV.py:75
+    CRV: float = 4.0               # ref KPP_NodeRV.py:76
+    Cm: float = 0.5                # ref KPP_SI.py:72
+    newton_rtol: float = 1e-4
+    newton_atol: float = 1e-10
+    krylov_rtol: float = 1e-12
+    dtype: str = "float64"
+    record_metrics: bool = False
+
+
+def initial_condition(x, y):
+    """14*pi/4 inside the unit circle, pi/4 outside (ref KPP_NodeRV.py:50-51)."""
+    inside = (x**2 + y**2) <= 1.0
+    return jnp.where(inside, 14.0 * jnp.pi / 4.0, jnp.pi / 4.0)
+
+
+def flux_prime(u):
+    """f(u) = (sin u, cos u) => f'(u) = (cos u, -sin u) (ref :53-55)."""
+    return jnp.stack([jnp.cos(u), -jnp.sin(u)], axis=-1)
+
+
+def flux_prime_norm(u):
+    return jnp.ones_like(u)
+
+
+def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
+    if cfg is None:
+        cfg = KPPConfig(**kw)
+    if host_mesh is None:
+        if cfg.mesh_source == "structured":
+            n = 4 * cfg.mesh_size   # [-2,2] spans 4 units
+            host_mesh = rectangle_mesh((-2, -2), (2, 2), nx=n, ny=n)
+        else:
+            host_mesh = load_h5_mesh(cfg.mesh_source)
+    hcfg = HyperbolicConfig(
+        stabilization=cfg.stabilization,
+        Cvel=cfg.Cvel, CRV=cfg.CRV, Cm=cfg.Cm,
+        newton_rtol=cfg.newton_rtol, newton_atol=cfg.newton_atol,
+        krylov_rtol=cfg.krylov_rtol,
+        dtype=cfg.dtype, record_metrics=cfg.record_metrics,
+    )
+    bc_val = float(np.pi / 4.0)
+    return HyperbolicProblem(
+        hcfg, host_mesh,
+        flux_prime=flux_prime,
+        flux_prime_norm=flux_prime_norm,
+        bc_value=lambda pts, t: jnp.full(pts.shape[0], bc_val, pts.dtype),
+        u0_fn=initial_condition,
+        dt=cfg.dt,
+        num_steps=int(np.ceil(cfg.T / cfg.dt)),
+    )
+
+
+def run(cfg: KPPConfig | None = None, **kw):
+    return build(cfg, **kw).solve()

@@ -1,0 +1,215 @@
+"""Generic nonlinear scalar conservation law u_t + div f(u) = 0 in 2D,
+P1 FEM + Crank-Nicolson + Newton, RV/SI shock capturing.
+
+This is the framework core that the reference re-implements as a repeated
+script skeleton (ref Code/KPP/KPP_NodeRV.py:127-172 and
+Code/Burgers_equation/Exact_Burger_RV.py:169-231 are structurally
+identical); KPP and Burgers below are thin instantiations.
+
+Per time step (all inside one jitted lax.scan):
+  1. BDF2 residual projection (ref KPP_NodeRV.py:131-145):
+       M RH = M (3 u_n - 4 u_old + u_old_old)/(2 dt) + N(u_n),  RH|bc = 0
+     where N(u)_a = int (f'(u) . grad u) phi_a dx. The reference wraps this
+     linear problem in a NewtonSolver (1 effective iteration == exact LU
+     solve); here it is a single mass CG solve to 1e-12 — equivalent.
+  2. epsilon: RV patch kernel (ref RV.py:56-90) or SI kernel
+     (ref SI.py:38-67, stiffness re-applied with current bc each step as in
+     Exact_Burger_SI.py:169-172).
+  3. stabilized CN Newton solve (ref KPP_NodeRV.py:149-163):
+       F(v) = M(v - u_n) + dt/2 [N(v) + N(u_n)] + dt/2 Keps (v + u_n),
+       v|bc = g(t);  NewtonSolver semantics: criterion 'residual',
+       rtol 1e-4, inner solves exact (here BiCGStab at 1e-12).
+  4. optional post-solve patch smoothing (ref Exact_Burger_SI.py:193).
+  5. history shift x3 (ref KPP_NodeRV.py:167-169).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conservation_fem_tpu.ops import assembly
+from conservation_fem_tpu.ops.bc import constrained_matvec, constrain_residual, ell_with_bc
+from conservation_fem_tpu.ops.helpers import get_nodal_h
+from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.mesh import Mesh, MeshArrays
+from conservation_fem_tpu.ops.newton import newton_solve
+from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
+from conservation_fem_tpu.ops import stabilization as stab
+
+
+@dataclasses.dataclass(frozen=True)
+class HyperbolicConfig:
+    stabilization: str = "rv"      # rv | si | gfem
+    Cvel: float = 0.5
+    CRV: float = 4.0
+    Cm: float = 1.0
+    si_eps: float = 1e-8
+    newton_rtol: float = 1e-4      # ref KPP_NodeRV.py:158
+    newton_atol: float = 1e-10     # dolfinx NewtonSolver default
+    newton_max_it: int = 100
+    krylov_rtol: float = 1e-12
+    smooth_l: float = 0.0          # >0: post-solve smoothing strength
+    dtype: str = "float64"
+    record_metrics: bool = False
+
+
+class HyperbolicProblem:
+    """Holds the static setup; step/solve are jitted methods over arrays.
+
+    flux_prime: u -> (..., 2) pointwise f'(u)
+    flux_prime_norm: u -> |f'(u)| pointwise
+    bc_value: (points, t) -> (N,) Dirichlet data (full vector, used on bc)
+    """
+
+    def __init__(
+        self,
+        cfg: HyperbolicConfig,
+        host_mesh: Mesh,
+        flux_prime: Callable,
+        flux_prime_norm: Callable,
+        bc_value: Callable,
+        u0_fn: Callable,
+        dt: float,
+        num_steps: int,
+    ):
+        self.cfg = cfg
+        self.host_mesh = host_mesh
+        dtype = jnp.dtype(cfg.dtype)
+        m = host_mesh.device_arrays(dtype)
+        self.mesh = m
+        self.flux_prime = flux_prime
+        self.flux_prime_norm = flux_prime_norm
+        self.bc_value = bc_value
+        self.dt = float(dt)
+        self.num_steps = int(num_steps)
+        self.M = assembly.assemble_mass(m)
+        self.h_cg = get_nodal_h(m, mass_ell=self.M)
+        self.u0 = u0_fn(m.points[:, 0], m.points[:, 1]).astype(dtype)
+        if cfg.stabilization == "si":
+            K = assembly.assemble_stiffness(m)
+            self.K_bc = ell_with_bc(m, K, m.boundary_mask)
+        else:
+            self.K_bc = None
+        self._solve_jit = None
+
+    # -- step pieces --------------------------------------------------------
+
+    def _nonlinear_rhs(self, u):
+        """N(u)_a = int (f'(u) . grad u) phi_a dx. Overridden by the sharded
+        problem (parallel/sharded.py) with a cell-partitioned kernel."""
+        return assembly.convection_rhs_flux(self.mesh, u, self.flux_prime)
+
+    def _assemble_keps(self, eps):
+        """eps-weighted stiffness in ELL form; overridable (sharded path)."""
+        return assembly.assemble_eps_stiffness(self.mesh, eps)
+
+    def _residual_bdf2(self, u_n, u_old, u_old_old):
+        """BDF2 residual projection with RH|bc = 0 (ref KPP_NodeRV.py:131-145)."""
+        m, dt = self.mesh, self.dt
+        bc = m.boundary_mask
+        rhs = (
+            ell_matvec(m, self.M, (3.0 * u_n - 4.0 * u_old + u_old_old) / (2.0 * dt))
+            + self._nonlinear_rhs(u_n)
+        )
+        rhs = jnp.where(bc, 0.0, rhs)
+        diag = jnp.where(bc, 1.0, ell_diag(m, self.M))
+        op = lambda x: constrained_matvec(m, self.M, x, bc)
+        return cg(op, rhs, precond=jacobi_preconditioner(diag),
+                  rtol=self.cfg.krylov_rtol).x
+
+    def _epsilon(self, u_n, RH):
+        cfg = self.cfg
+        if cfg.stabilization == "rv":
+            return stab.rv_epsilon_nonlinear(
+                self.mesh, cfg.Cvel, cfg.CRV, u_n, u_n,
+                self.flux_prime_norm, RH, self.h_cg,
+            )
+        elif cfg.stabilization == "si":
+            beta = self.flux_prime_norm(u_n)
+            return stab.si_epsilon(
+                self.mesh, cfg.Cm, self.K_bc, u_n, beta, self.h_cg,
+                eps_floor=cfg.si_eps,
+            ).epsilon
+        else:  # gfem — no stabilization (ref Exact_Burger_GFEM.py)
+            return jnp.zeros_like(u_n)
+
+    def _newton_cn(self, u_n, eps, g):
+        """Stabilized CN Newton solve with u|bc = g."""
+        m, dt = self.mesh, self.dt
+        bc = m.boundary_mask
+        Keps = self._assemble_keps(eps)
+        N_un = self._nonlinear_rhs(u_n)
+        Keps_un = ell_matvec(m, Keps, u_n)
+
+        def residual(v):
+            F = (
+                ell_matvec(m, self.M, v - u_n)
+                + 0.5 * dt * (self._nonlinear_rhs(v) + N_un)
+                + 0.5 * dt * (ell_matvec(m, Keps, v) + Keps_un)
+            )
+            return constrain_residual(F, v, g, bc)
+
+        diag = jnp.where(
+            bc, 1.0, ell_diag(m, self.M) + 0.5 * dt * ell_diag(m, Keps)
+        )
+        pre_fn = lambda u: jacobi_preconditioner(diag)
+        u_init = jnp.where(bc, g, u_n)
+        res = newton_solve(
+            residual, u_init,
+            rtol=self.cfg.newton_rtol, atol=self.cfg.newton_atol,
+            max_it=self.cfg.newton_max_it,
+            criterion="residual", linear_rtol=self.cfg.krylov_rtol,
+            precond_fn=pre_fn,
+        )
+        return res
+
+    def step(self, carry, t):
+        """One full stabilized time step; carry = (u_n, u_old, u_old_old)."""
+        u_n, u_old, u_old_old = carry
+        RH = self._residual_bdf2(u_n, u_old, u_old_old)
+        eps = self._epsilon(u_n, RH)
+        g = self.bc_value(self.mesh.points, t)
+        res = self._newton_cn(u_n, eps, g)
+        uh = res.u
+        if self.cfg.smooth_l > 0:
+            uh = stab.smooth_vector(self.mesh, uh, self.cfg.smooth_l)
+        metrics = None
+        if self.cfg.record_metrics:
+            metrics = {
+                "eps_max": eps.max(),
+                "newton_iters": res.iters,
+                "newton_converged": res.converged,
+                "residual_norm": res.residual_norm,
+                "u_min": uh.min(),
+                "u_max": uh.max(),
+            }
+        return (uh, u_n, u_old), metrics
+
+    # -- driver -------------------------------------------------------------
+
+    def solve(self):
+        if self._solve_jit is None:
+
+            @jax.jit
+            def _run(u0):
+                ts = (jnp.arange(self.num_steps, dtype=u0.dtype) + 1.0) * self.dt
+                carry0 = (u0, u0, u0)
+                (u, u_n, _), metrics = jax.lax.scan(self.step, carry0, ts)
+                return u, metrics
+
+            self._solve_jit = _run
+        u, metrics = self._solve_jit(self.u0)
+        return SolveResult(u=u, metrics=metrics, dt=self.dt, num_steps=self.num_steps)
+
+
+class SolveResult(NamedTuple):
+    u: object
+    metrics: object
+    dt: float
+    num_steps: int

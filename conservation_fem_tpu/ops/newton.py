@@ -29,7 +29,7 @@ from conservation_fem_tpu.ops.krylov import bicgstab
 class NewtonResult(NamedTuple):
     u: object
     iters: object
-    converged: object
+    converged: object       # metric <= tol OR stagnated at the dtype floor
     residual_norm: object
 
 
@@ -82,17 +82,26 @@ def newton_solve(
     else:
         raise ValueError(f"unknown criterion {criterion!r}")
 
+    # stagnation guard: in low precision (f32 on TPU) the residual floors
+    # above rtol*||F0||; once an iteration fails to shrink the metric by
+    # 10%, further iterations are pure roundoff churn — stop and count the
+    # solve as converged-at-machine-floor.
     def cond(state):
-        u, F, metric, k = state
-        return (metric > tol) & (k < max_it)
+        u, F, metric, prev, k = state
+        stalled = metric > 0.9 * prev
+        return (metric > tol) & (k < max_it) & (~stalled)
 
     def body(state):
-        u, F, metric, k = state
+        u, F, metric, prev, k = state
         du = linear_solve(u, F)
         u = u + du
         F = residual_fn(u)
-        metric = norm(F) if criterion == "residual" else norm(du)
-        return u, F, metric, k + 1
+        new_metric = norm(F) if criterion == "residual" else norm(du)
+        return u, F, new_metric, metric, k + 1
 
-    u, F, metric, k = jax.lax.while_loop(cond, body, (u1, F1, metric1, jnp.int32(1)))
-    return NewtonResult(u, k, metric <= tol, norm(F))
+    big = jnp.asarray(jnp.inf, u0.dtype)
+    u, F, metric, prev, k = jax.lax.while_loop(
+        cond, body, (u1, F1, metric1, big, jnp.int32(1))
+    )
+    stalled = metric > 0.9 * prev
+    return NewtonResult(u, k, (metric <= tol) | stalled, norm(F))

@@ -1,0 +1,59 @@
+"""Burgers 2D Riemann tests against the closed-form exact solution
+(ref Code/Burgers_equation/Exact_Burger_RV_conv.py, Burger_CPP/res.m)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conservation_fem_tpu.models import burgers
+
+
+def test_exact_solution_band_continuity():
+    """The rarefaction fan matches its neighbors at the band edges:
+    u = 0.5 at x = 1/2 + t/2, u = 0.8 at x = 1/2 + 4t/5 (below the shock)."""
+    t = 0.3
+    y = jnp.asarray([0.1])  # below all separating curves
+    x_left = jnp.asarray([0.5 + 0.5 * t])
+    x_right = jnp.asarray([0.5 + 0.8 * t])
+    u_left = burgers.exact_solution(x_left, y, t)
+    u_right = burgers.exact_solution(x_right, y, t)
+    np.testing.assert_allclose(float(u_left[0]), 0.5, atol=1e-12)
+    np.testing.assert_allclose(float(u_right[0]), 0.8, atol=1e-12)
+
+
+def test_exact_solution_at_t0_is_ic():
+    x = jnp.asarray([0.2, 0.7, 0.2, 0.7])
+    y = jnp.asarray([0.7, 0.7, 0.2, 0.2])
+    u = burgers.exact_solution(x, y, 0.0)
+    np.testing.assert_allclose(np.asarray(u), [-0.2, -1.0, 0.5, 0.8])
+
+
+def test_rv_n50_error():
+    """RV at N=50: shock-limited error, must beat the trivial bound and the
+    unstabilized run."""
+    res, err = burgers.run(mesh_size=50, stabilization="rv", record_metrics=True)
+    assert bool(res.metrics["newton_converged"].all())
+    assert err < 0.15, err
+    # solution stays within Riemann bounds + small overshoot
+    assert float(res.u.min()) > -1.1 and float(res.u.max()) < 0.9
+
+
+def test_si_n100_matches_reference_cpp():
+    """SI at N=100 with smoothing l=4 vs the stored C++ benchmark errors
+    (ref Burger_CPP/res.m:1 — L1=0.0146037, L2=0.0928357). Scheme details
+    differ (BDF2 residual + CN here vs the C++ forward scheme), so assert
+    the same error regime: within 35% on L1 and not worse on L2."""
+    p = burgers.build(mesh_size=100, stabilization="si", smooth_l=4.0)
+    res = p.solve()
+    l1 = float(burgers.l1_error_vs_exact(p, res.u, 0.5))
+    l2 = float(burgers.l2_error_vs_exact(p, res.u, 0.5))
+    assert l1 < 0.0146037 * 1.35, l1
+    assert l2 < 0.0928357 * 1.05, l2
+
+
+def test_dt_formula():
+    """dt = 0.5 * min(h_CG) (ref Exact_Burger_RV.py:105-108)."""
+    p = burgers.build(mesh_size=50)
+    assert p.num_steps == int(np.ceil(0.5 / p.dt))
+    # structured unit square N=50: h = min edge = 1/50, h_CG ~ 1/50
+    assert 0.009 < p.dt < 0.011
