@@ -135,6 +135,22 @@ def assemble_eps_stiffness(mesh: MeshArrays, eps):
     )
 
 
+def assemble_directional_convection(mesh: MeshArrays):
+    """Cx, Cy with (Cd)_ab = int phi_a d_d phi_b dx = (A/3) g_b[d] per cell.
+
+    Used for group-FEM divergence of vector/tensor fluxes (Euler):
+    (div F_h)_i ~ ML^-1 (Cx Fx + Cy Fy) with F_h = sum_j F(U_j) phi_j.
+    """
+    a3 = mesh.area / 3.0
+    gx = jnp.broadcast_to(
+        (a3[:, None] * mesh.grads[:, :, 0])[:, None, :], (mesh.area.shape[0], 3, 3)
+    )
+    gy = jnp.broadcast_to(
+        (a3[:, None] * mesh.grads[:, :, 1])[:, None, :], (mesh.area.shape[0], 3, 3)
+    )
+    return scatter_matrix(mesh, gx), scatter_matrix(mesh, gy)
+
+
 def lumped_mass(mesh: MeshArrays):
     """Row-sum lumped mass vector (N,)."""
     cell_vals = mesh.area[:, None] * (jnp.ones(3) / 3.0)

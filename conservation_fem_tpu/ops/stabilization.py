@@ -118,6 +118,22 @@ def rv_epsilon_linear_simple(Cvel, Crv, w, residual, u_n, h):
     return jnp.minimum(Cvel * h * beta, Crv * h**2 * jnp.abs(r))
 
 
+def rv_epsilon_system(mesh: MeshArrays, Cvel, Crv, rho, beta, Rh, h):
+    """RV for systems (Euler): same patch structure as rv_epsilon_nonlinear
+    but the scalar field is the density and the wavespeed beta (|u|+c) is a
+    precomputed nodal array (it is not a function of the scalar alone)."""
+    mask = mesh.patch_mask
+    abs_term = inf_norm_centered(rho)
+    r_patch = _patch_gather(mesh, rho)
+    u_tilde = _masked_max(r_patch, mask) - _masked_min(r_patch, mask)
+    n_i = jnp.abs(u_tilde - abs_term)
+    Rh_i = _masked_max(jnp.abs(_patch_gather(mesh, Rh)), mask)
+    tiny = jnp.asarray(1e-300 if n_i.dtype == jnp.float64 else 1e-30, n_i.dtype)
+    R_i = Rh_i / jnp.maximum(n_i, tiny)
+    beta_i = _masked_max(_patch_gather(mesh, beta), mask)
+    return jnp.minimum(Cvel * h * beta_i, Crv * h**2 * jnp.abs(R_i))
+
+
 def rv_epsilon_cell(mesh: MeshArrays, Cvel, Crv, residual_node, beta_cell, h_cell):
     """Cell-based RV (ref Code/Linear_advection/RV_cell.py:182-195):
     eps_k = min(Cvel h_k beta_k, Crv h_k^2 max_{a in cell} |R_a|), then the

@@ -1,0 +1,55 @@
+"""Compressible Euler tests: exact Riemann oracle (Sod), conservation and
+stability checks (the reference's Euler was abandoned without tests —
+ref LOG.md; BASELINE.json requires Sod + 2D Riemann with RV)."""
+
+import numpy as np
+import pytest
+
+from conservation_fem_tpu.models import euler
+from conservation_fem_tpu.utils.riemann_exact import sod_exact, solve_star
+
+
+def test_exact_riemann_star_state():
+    p, u = solve_star(1.0, 0.0, 1.0, 0.125, 0.0, 0.1)
+    np.testing.assert_allclose(p, 0.30313, atol=2e-5)
+    np.testing.assert_allclose(u, 0.92745, atol=2e-5)
+
+
+def test_sod_density_profile():
+    p = euler.build(problem="sod", nx=100)
+    res = euler.solve(p)
+    rho = np.asarray(res.U[:, 0])
+    # positivity and bounds
+    assert rho.min() > 0.1 and rho.max() <= 1.0 + 1e-8
+    err = euler.sod_density_error(p, res.U, res.num_steps * res.dt)
+    assert err < 0.08, err
+
+
+def test_sod_converges_under_refinement():
+    errs = []
+    for nx in (50, 100):
+        p = euler.build(problem="sod", nx=nx)
+        res = euler.solve(p)
+        errs.append(euler.sod_density_error(p, res.U, res.num_steps * res.dt))
+    assert errs[1] < errs[0], errs
+
+
+def test_uniform_state_exactly_preserved():
+    """The reference prototype's constant IC (ref euler_RV.py:66-72) is a
+    steady state; drift must be machine-zero."""
+    p = euler.build(problem="uniform", nx=10)
+    res = euler.solve(p)
+    assert float(np.abs(np.asarray(res.U) - np.asarray(p.U0)).max()) < 1e-12
+
+
+def test_riemann2d_stable_positive():
+    p = euler.build(problem="riemann2d", nx=40)
+    res = euler.solve(p)
+    rho = np.asarray(res.U[:, 0])
+    assert np.isfinite(np.asarray(res.U)).all()
+    assert rho.min() > 0.0
+    # guarded pressure stays at/above the floor
+    _, _, _, pr = euler.primitives(res.U, 1.4, 1e-10)
+    assert float(pr.min()) >= 1e-10
+    # overshoot bounded: config-3 max density ~1.75 behind the four shocks
+    assert rho.max() < 2.5
