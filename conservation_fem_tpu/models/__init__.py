@@ -2,5 +2,7 @@ from conservation_fem_tpu.models import (  # noqa: F401
     burgers,
     kpp,
     linear_advection,
+    advection_ho,
+    euler,
     scalar_hyperbolic,
 )

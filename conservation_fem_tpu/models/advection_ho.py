@@ -1,0 +1,210 @@
+"""Higher-order (P1-P3) linear advection: degree x mesh sweeps with
+GFEM / RV / SI stabilization — the unified driver the reference implements
+as polynomial_alternation.py (STABILIZATION switch, :27,193-206), with the
+degree-sweep harness of GFEM_pol.py:63-67, the P3 RV variant of
+higher_order_RV.py (get_epsilon_linear_simple, :229) and the P2 paths of
+RV_node.py:48 / higher_order_SI.py.
+
+Reference semantics:
+  * same CN forms as the P1 path, assembled in the Pk space;
+  * BDF1 residual projection with bc for RV (ref polynomial_alternation.py
+    :194-199, LinearProblem(..., bcs=[bc]));
+  * RV variants: "rv" = patch epsilon (RV.get_epsilon_linear, RV.py:92-127),
+    "rv_simple" = global normalization (RV.get_epsilon_linear_simple,
+    RV.py:129-142, used for P3);
+  * SI: stiffness assembled once with bc (ref smoothness.py:147-149);
+  * GFEM_pol's final-step dt clamp (:199-200) is a no-op in the reference —
+    the UFL forms were compiled with the original dt — so it is not
+    reproduced here (documented deviation; both codes actually overshoot T).
+  * error: L2 vs the Pk interpolant of the IC (ref GFEM_pol.py:234).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conservation_fem_tpu.models.linear_advection import initial_condition, velocity
+from conservation_fem_tpu.ops import assembly_pk as apk
+from conservation_fem_tpu.ops import stabilization as stab
+from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.mesh import Mesh, disk_mesh, rectangle_mesh
+from conservation_fem_tpu.ops.spaces import build_space
+from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
+
+
+@dataclasses.dataclass(frozen=True)
+class HOAdvectionConfig:
+    mesh_size: int = 16
+    degree: int = 2
+    domain: str = "disk"
+    stabilization: str = "gfem"    # gfem | rv | rv_simple | si
+    discontinuous_ic: bool = False  # ref GFEM_pol.py DISCONT flag (:26)
+    CFL: float = 0.5
+    T: float = 1.0
+    Cvel: float = 0.25
+    CRV: float = 1.0
+    Cm: float = 0.5
+    si_eps: float = 1e-8
+    krylov_rtol: float = 1e-12
+    dtype: str = "float64"
+
+
+def ic_discontinuous(x, y, r0=0.25, x0=0.3, y0=0.0):
+    """Indicator-disk IC (ref GFEM_pol.py:95-97)."""
+    return ((x - x0) ** 2 + (y - y0) ** 2 <= r0**2).astype(x.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class HOProblem:
+    cfg: HOAdvectionConfig
+    host_mesh: Mesh
+    space: object          # host FunctionSpace
+    dt: float
+    num_steps: int
+    sp: object             # SpaceArrays
+    w: object
+    M: object
+    C: object
+    h_cg: object
+    K_bc: object
+    u0: object
+
+
+jax.tree_util.register_dataclass(
+    HOProblem,
+    data_fields=["sp", "w", "M", "C", "h_cg", "K_bc", "u0"],
+    meta_fields=["cfg", "host_mesh", "space", "dt", "num_steps"],
+)
+
+
+def get_nodal_h_pk(sp, M=None, rtol=1e-14):
+    """DG0 min-edge h L2-projected into the Pk space (ref helpers.py:7-38
+    with degree argument)."""
+    b_loc = 2.0 * (sp.h_cell * sp.area)[:, None] * jnp.einsum(
+        "q,qa->a", sp.quad_w, sp.phi
+    )[None]
+    b = apk.scatter_vector(sp, b_loc)
+    if M is None:
+        M = apk.assemble_mass(sp)
+    pre = jacobi_preconditioner(ell_diag(sp, M))
+    return cg(lambda x: ell_matvec(sp, M, x), b, precond=pre, rtol=rtol).x
+
+
+def _ell_with_bc(sp, A, bc):
+    n = A.shape[0]
+    bc_col = bc[sp.patch_cols]
+    out = jnp.where(bc[:, None] | bc_col, 0.0, A)
+    rows = jnp.arange(n)
+    diag = out[rows, sp.diag_slot]
+    return out.at[rows, sp.diag_slot].set(jnp.where(bc, 1.0, diag))
+
+
+def build(cfg: HOAdvectionConfig | None = None, host_mesh: Mesh | None = None, **kw):
+    if cfg is None:
+        cfg = HOAdvectionConfig(**kw)
+    hmax = 1.0 / cfg.mesh_size
+    if host_mesh is None:
+        host_mesh = disk_mesh(hmax) if cfg.domain == "disk" else rectangle_mesh(
+            (0, 0), (1, 1), nx=cfg.mesh_size
+        )
+    space = build_space(host_mesh, cfg.degree)
+    dtype = jnp.dtype(cfg.dtype)
+    sp = space.device_arrays(dtype)
+    w = velocity(sp.dof_coords)
+    w_inf = float(jnp.abs(w).sum(axis=1).max())   # reference matrix-inf quirk
+    dt = cfg.CFL * hmax / w_inf
+    num_steps = int(np.ceil(cfg.T / dt))
+    M = apk.assemble_mass(sp)
+    C = apk.assemble_convection(sp, w)
+    h_cg = None
+    if cfg.stabilization in ("rv", "rv_simple", "si"):
+        h_cg = get_nodal_h_pk(sp, M)
+    K_bc = None
+    if cfg.stabilization == "si":
+        K_bc = _ell_with_bc(sp, apk.assemble_stiffness(sp), sp.boundary_mask)
+    icfn = ic_discontinuous if cfg.discontinuous_ic else initial_condition
+    u0 = icfn(sp.dof_coords[:, 0], sp.dof_coords[:, 1]).astype(dtype)
+    return HOProblem(cfg, host_mesh, space, dt, num_steps, sp, w, M, C, h_cg, K_bc, u0)
+
+
+def _cn_solve(p: HOProblem, Keps, u_n):
+    sp, dt = p.sp, p.dt
+    bc = sp.boundary_mask
+    if Keps is None:
+        A = p.M + 0.5 * dt * p.C
+        B = p.M - 0.5 * dt * p.C
+    else:
+        A = p.M + 0.5 * dt * (p.C + Keps)
+        B = p.M - 0.5 * dt * (p.C + Keps)
+    b = jnp.where(bc, 0.0, ell_matvec(sp, B, u_n))
+    diag = jnp.where(bc, 1.0, ell_diag(sp, A))
+    op = lambda x: jnp.where(bc, x, ell_matvec(sp, A, jnp.where(bc, 0.0, x)))
+    return bicgstab(op, b, x0=u_n, precond=jacobi_preconditioner(diag),
+                    rtol=p.cfg.krylov_rtol).x
+
+
+def _residual(p: HOProblem, u_n, u_old):
+    sp = p.sp
+    bc = sp.boundary_mask
+    rhs = ell_matvec(sp, p.M, (u_n - u_old) / p.dt) + ell_matvec(sp, p.C, u_n)
+    rhs = jnp.where(bc, 0.0, rhs)
+    diag = jnp.where(bc, 1.0, ell_diag(sp, p.M))
+    op = lambda x: jnp.where(bc, x, ell_matvec(sp, p.M, jnp.where(bc, 0.0, x)))
+    return cg(op, rhs, precond=jacobi_preconditioner(diag),
+              rtol=p.cfg.krylov_rtol).x
+
+
+def _step(p: HOProblem, carry, _):
+    u_n, u_old = carry
+    cfg = p.cfg
+    if cfg.stabilization == "gfem":
+        Keps = None
+    else:
+        if cfg.stabilization == "si":
+            beta = jnp.linalg.norm(p.w, axis=1)
+            eps = stab.si_epsilon(
+                p.sp, cfg.Cm, p.K_bc, u_n, beta, p.h_cg, eps_floor=cfg.si_eps
+            ).epsilon
+        else:
+            Rh = _residual(p, u_n, u_old)
+            if cfg.stabilization == "rv":
+                eps = stab.rv_epsilon_linear(
+                    p.sp, cfg.Cvel, cfg.CRV, u_n, u_n, p.w, Rh, p.h_cg
+                )
+            else:  # rv_simple (ref RV.py:129-142)
+                eps = stab.rv_epsilon_linear_simple(
+                    cfg.Cvel, cfg.CRV, p.w, Rh, u_n, p.h_cg
+                )
+        Keps = apk.assemble_eps_stiffness(p.sp, eps)
+    uh = _cn_solve(p, Keps, u_n)
+    return (uh, u_n), None
+
+
+@partial(jax.jit, static_argnums=0)
+def _run(stab_name: str, p: HOProblem):
+    bootstrap = stab_name in ("rv", "rv_simple")
+    if bootstrap:
+        (u1, _), _ = _step(
+            dataclasses.replace(p, cfg=dataclasses.replace(p.cfg, stabilization="gfem")),
+            (p.u0, p.u0), None,
+        )
+        carry, n = (u1, p.u0), p.num_steps - 1
+    else:
+        carry, n = (p.u0, p.u0), p.num_steps
+    (u, _), _ = jax.lax.scan(partial(_step, p), carry, None, length=n)
+    d = u - p.u0
+    err = jnp.sqrt(d @ ell_matvec(p.sp, p.M, d))
+    return u, err
+
+
+def run(cfg: HOAdvectionConfig | None = None, **kw):
+    if cfg is None:
+        cfg = HOAdvectionConfig(**kw)
+    p = build(cfg)
+    u, err = _run(cfg.stabilization, p)
+    return p, u, float(err)

@@ -1,0 +1,122 @@
+"""Generic Pk quadrature assembly over SpaceArrays (k = 1..3).
+
+Replaces ffcx-generated element kernels for higher-degree spaces
+(ref UFL forms at Code/Linear_advection/GFEM_pol.py:63-67 and the generated
+tabulate_tensor kernels in Burger_CPP/Burger.h). Everything is one einsum
+over (cells x quadrature points) with tabulated reference basis values —
+batched dense work that XLA maps straight onto the TPU vector/matrix units.
+
+All outputs use the ELL layout defined by the space's dof adjacency, so the
+SpMV/BC/stabilization machinery from the P1 path applies unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from conservation_fem_tpu.ops.spaces import SpaceArrays
+
+
+def _phys_grads(sp: SpaceArrays):
+    """Physical basis gradients at quad points: (M,Q,nloc,2)."""
+    return jnp.einsum("mde,qne->mqnd", sp.jinv_t, sp.dphi)
+
+
+def scatter_matrix(sp: SpaceArrays, cell_vals):
+    n, K = sp.patch_cols.shape
+    flat = cell_vals.reshape(-1)[sp.mat_perm]
+    out = jax.ops.segment_sum(
+        flat, sp.mat_segs, num_segments=n * K, indices_are_sorted=True
+    )
+    return out.reshape(n, K)
+
+
+def scatter_vector(sp: SpaceArrays, cell_vals):
+    n = sp.patch_cols.shape[0]
+    flat = cell_vals.reshape(-1)[sp.vec_perm]
+    return jax.ops.segment_sum(
+        flat, sp.vec_segs, num_segments=n, indices_are_sorted=True
+    )
+
+
+def assemble_mass(sp: SpaceArrays):
+    loc = jnp.einsum("q,qa,qb->ab", sp.quad_w, sp.phi, sp.phi)
+    vals = 2.0 * sp.area[:, None, None] * loc[None]
+    return scatter_matrix(sp, vals)
+
+
+def assemble_stiffness(sp: SpaceArrays):
+    g = _phys_grads(sp)                                   # (M,Q,n,2)
+    vals = 2.0 * sp.area[:, None, None] * jnp.einsum(
+        "q,mqad,mqbd->mab", sp.quad_w, g, g
+    )
+    return scatter_matrix(sp, vals)
+
+
+def assemble_convection(sp: SpaceArrays, w):
+    """w: (ndof,2) vector field in the same space."""
+    g = _phys_grads(sp)
+    w_cell = w[sp.cell_dofs]                              # (M,n,2)
+    w_q = jnp.einsum("qc,mcd->mqd", sp.phi, w_cell)       # (M,Q,2)
+    vals = 2.0 * sp.area[:, None, None] * jnp.einsum(
+        "q,qa,mqd,mqbd->mab", sp.quad_w, sp.phi, w_q, g
+    )
+    return scatter_matrix(sp, vals)
+
+
+def assemble_eps_stiffness(sp: SpaceArrays, eps):
+    """eps: (ndof,) scalar field in the same space."""
+    g = _phys_grads(sp)
+    e_cell = eps[sp.cell_dofs]
+    e_q = jnp.einsum("qc,mc->mq", sp.phi, e_cell)
+    vals = 2.0 * sp.area[:, None, None] * jnp.einsum(
+        "q,mq,mqad,mqbd->mab", sp.quad_w, e_q, g, g
+    )
+    return scatter_matrix(sp, vals)
+
+
+def convection_rhs_flux(sp: SpaceArrays, u, fprime):
+    """r_a = int (f'(u_h) . grad u_h) phi_a dx."""
+    g = _phys_grads(sp)
+    u_cell = u[sp.cell_dofs]
+    u_q = jnp.einsum("qc,mc->mq", sp.phi, u_cell)
+    grad_u = jnp.einsum("mc,mqcd->mqd", u_cell, g)
+    conv = jnp.einsum("mqd,mqd->mq", fprime(u_q), grad_u)
+    vals = 2.0 * sp.area[:, None] * jnp.einsum("q,mq,qa->ma", sp.quad_w, conv, sp.phi)
+    return scatter_vector(sp, vals)
+
+
+def mass_apply(sp: SpaceArrays, u):
+    loc = jnp.einsum("q,qa,qb->ab", sp.quad_w, sp.phi, sp.phi)
+    u_cell = u[sp.cell_dofs]
+    vals = 2.0 * sp.area[:, None] * jnp.einsum("ab,mb->ma", loc, u_cell)
+    return scatter_vector(sp, vals)
+
+
+def lumped_mass(sp: SpaceArrays):
+    loc = jnp.einsum("q,qa->a", sp.quad_w, sp.phi)
+    vals = 2.0 * sp.area[:, None] * loc[None]
+    return scatter_vector(sp, vals)
+
+
+def quad_coords(sp: SpaceArrays):
+    """Physical coordinates of the quadrature points: (M,Q,2) via the
+    per-cell affine map x = p0 + qx*e1 + qy*e2."""
+    return (
+        sp.cell_p0[:, None, :]
+        + sp.quad_pts[None, :, 0:1] * sp.cell_e1[:, None, :]
+        + sp.quad_pts[None, :, 1:2] * sp.cell_e2[:, None, :]
+    )
+
+
+def l2_error_vs_function(sp: SpaceArrays, u, exact_fn, t=None):
+    """sqrt(int (u_h - u_ex)^2) with u_ex evaluated at quadrature points."""
+    u_cell = u[sp.cell_dofs]
+    u_q = jnp.einsum("qc,mc->mq", sp.phi, u_cell)
+    xq = quad_coords(sp)
+    ex = exact_fn(xq[..., 0], xq[..., 1]) if t is None else exact_fn(
+        xq[..., 0], xq[..., 1], t
+    )
+    err2 = ((u_q - ex) ** 2 * sp.quad_w[None, :]).sum(axis=1) * 2.0 * sp.area
+    return jnp.sqrt(err2.sum())

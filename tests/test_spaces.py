@@ -1,0 +1,112 @@
+"""Pk space + quadrature assembly tests (k = 1..3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conservation_fem_tpu.ops import assembly, assembly_pk, spaces
+from conservation_fem_tpu.ops.mesh import rectangle_mesh
+from conservation_fem_tpu.ops.spmv import ell_matvec
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_basis_partition_of_unity(k):
+    pts = np.random.default_rng(0).uniform(0, 0.5, size=(20, 2))
+    phi, dphi = spaces.tabulate_basis(k, pts)
+    np.testing.assert_allclose(phi.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(dphi.sum(axis=1), 0.0, atol=1e-11)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_basis_kronecker_at_nodes(k):
+    nodes = spaces.reference_lattice(k)
+    phi, _ = spaces.tabulate_basis(k, nodes)
+    np.testing.assert_allclose(phi, np.eye(len(nodes)), atol=1e-11)
+
+
+@pytest.mark.parametrize("k,ndof", [(1, 25), (2, 81), (3, 169)])
+def test_space_dof_counts(k, ndof):
+    """Unit square nx=4: V + E(k-1) + M*(k-1)(k-2)/2 dofs."""
+    mesh = rectangle_mesh((0, 0), (1, 1), nx=4)
+    sp = spaces.build_space(mesh, k)
+    assert sp.ndof == ndof
+    # every boundary edge contributes its dofs
+    if k == 2:
+        assert sp.boundary_mask.sum() == 16 + 16   # verts + edge midpoints
+    # cell_dofs indices are valid and unique per cell
+    for c in range(mesh.n_cells):
+        assert len(set(sp.cell_dofs[c].tolist())) == sp.nloc
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_mass_total_and_interpolation_exactness(k):
+    mesh = rectangle_mesh((0, 0), (2, 1), nx=4, ny=2)
+    sp = spaces.build_space(mesh, k)
+    spa = sp.device_arrays(jnp.float64)
+    M = assembly_pk.assemble_mass(spa)
+    ones = jnp.ones(sp.ndof)
+    np.testing.assert_allclose(float(ones @ ell_matvec_sp(spa, M, ones)), 2.0, rtol=1e-12)
+    # interpolation of x^k is exact: stiffness energy of u=x equals area*1
+    u = spa.dof_coords[:, 0] ** 1
+    K = assembly_pk.assemble_stiffness(spa)
+    np.testing.assert_allclose(float(u @ ell_matvec_sp(spa, K, u)), 2.0, rtol=1e-12)
+
+
+def ell_matvec_sp(spa, A, x):
+    return (A * x[spa.patch_cols]).sum(axis=1)
+
+
+def test_p1_quadrature_matches_closed_form():
+    """The generic Pk path at k=1 must reproduce the closed-form P1 path."""
+    mesh = rectangle_mesh((0, 0), (1, 1), nx=3)
+    m = mesh.device_arrays(jnp.float64)
+    sp = spaces.build_space(mesh, 1).device_arrays(jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(assembly_pk.assemble_mass(sp)),
+        np.asarray(assembly.assemble_mass(m)), atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        np.asarray(assembly_pk.assemble_stiffness(sp)),
+        np.asarray(assembly.assemble_stiffness(m)), atol=1e-13,
+    )
+    w = jnp.stack([m.points[:, 1], -m.points[:, 0]], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(assembly_pk.assemble_convection(sp, w)),
+        np.asarray(assembly.assemble_convection(m, w)), atol=1e-13,
+    )
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_poisson_exactness_pk(k):
+    """-lap u = 0 with u = x^k-ish harmonic polynomial boundary data:
+    for u = x^2 - y^2 (harmonic, degree 2 <= k) the Pk solution is exact."""
+    from conservation_fem_tpu.ops.krylov import cg
+
+    mesh = rectangle_mesh((0, 0), (1, 1), nx=4)
+    sp = spaces.build_space(mesh, k)
+    spa = sp.device_arrays(jnp.float64)
+    K = assembly_pk.assemble_stiffness(spa)
+    bc = spa.boundary_mask
+    g = spa.dof_coords[:, 0] ** 2 - spa.dof_coords[:, 1] ** 2
+    # lift: b = -K @ (g on bc), pin bc rows
+    g_ext = jnp.where(bc, g, 0.0)
+    b = -ell_matvec_sp(spa, K, g_ext)
+    b = jnp.where(bc, g, b)
+    op = lambda x: jnp.where(bc, x, ell_matvec_sp(spa, K, jnp.where(bc, 0.0, x)))
+    res = cg(op, b, rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(g), atol=1e-9)
+
+
+def test_quadrature_rules_integrate_polynomials():
+    import math
+
+    for d, (pts, w) in spaces._RULES.items():
+        for a in range(d + 1):
+            for b in range(d + 1 - a):
+                exact = (
+                    math.factorial(a) * math.factorial(b)
+                    / math.factorial(a + b + 2)
+                )
+                got = (w * pts[:, 0] ** a * pts[:, 1] ** b).sum()
+                np.testing.assert_allclose(got, exact, atol=1e-14,
+                                           err_msg=f"deg {d}, x^{a} y^{b}")
