@@ -5,4 +5,5 @@ from conservation_fem_tpu.models import (  # noqa: F401
     advection_ho,
     euler,
     scalar_hyperbolic,
+    stokes,
 )

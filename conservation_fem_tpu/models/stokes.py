@@ -1,0 +1,361 @@
+"""Incompressible Navier-Stokes via Chorin/IPCS splitting, P2-P1
+Taylor-Hood, pressure-driven Poiseuille channel flow.
+
+Rebuild of Code/Compressible_euler/stokes.py:
+  * unit square 10x10 (:15), dt = T/num_steps = 0.02, T = 10 (:16-19);
+  * vector P2 velocity / P1 pressure (:22-25);
+  * bcs: no-slip on walls y=0,1 (:32-37), pressure 8 at inflow x=0 and 0 at
+    outflow x=1 (:39-51);
+  * step 1 tentative velocity (:76-82): rho (u-u_n)/k . v + rho (u_n.grad u_n).v
+    + sigma((u+u_n)/2, p_n):eps(v) + boundary terms
+    int p_n n.v ds - int mu grad(U) n . v ds;
+  * step 2 pressure Poisson (:90-94): grad p.grad q = grad p_n.grad q
+    - (rho/k) div(u*) q with pressure bcs;
+  * step 3 velocity correction (:98-102): rho u.v = rho u*.v - k grad(p*-p_n).v;
+  * oracle: exact Poiseuille u = (4 y (1-y), 0), L2 error checked every 20
+    steps (:135-144,186-190).
+
+Solvers: the reference uses BCGS+AMG / CG+SOR (:104-125); here BiCGStab/CG
+with Jacobi to tight tolerance. Per-step work is pure SpMV + two small
+quadrature RHS terms, jitted in one lax.scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conservation_fem_tpu.ops import assembly, assembly_pk as apk
+from conservation_fem_tpu.ops.facets import boundary_facet_data
+from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.mesh import Mesh, rectangle_mesh
+from conservation_fem_tpu.ops.spaces import build_space
+from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
+
+
+@dataclasses.dataclass(frozen=True)
+class StokesConfig:
+    nx: int = 10                  # ref stokes.py:15
+    T: float = 10.0
+    num_steps: int = 500
+    mu: float = 1.0
+    rho: float = 1.0
+    p_in: float = 8.0             # ref :43
+    p_out: float = 0.0
+    krylov_rtol: float = 1e-11
+    dtype: str = "float64"
+
+
+class StokesProblem(NamedTuple):
+    cfg: object
+    host_mesh: object
+    vspace: object                # host P2 FunctionSpace
+    sp: object                    # P2 SpaceArrays (velocity components)
+    mp: object                    # P1 MeshArrays (pressure)
+    dt: float
+    M2: object                    # P2 mass ELL
+    visc: object                  # (2,2,N,K) viscous blocks (volume, mu incl.)
+    edge: object                  # (2,2,N,K) edge-grad blocks (no mu)
+    K1: object                    # P1 stiffness ELL
+    wall_mask: object             # (N2,) velocity Dirichlet mask
+    p_bc_mask: object             # (N1,)
+    p_bc_val: object              # (N1,)
+    u0: object                    # (2,N2)
+    p0: object                    # (N1,)
+
+
+def _phys_grads(sp):
+    return jnp.einsum("mde,qne->mqnd", sp.jinv_t, sp.dphi)
+
+
+def _assemble_visc_blocks(sp, mu):
+    """V[m][l]_ab = mu ( delta_ml grad phi_a . grad phi_b
+                        + d_l phi_a d_m phi_b ), volume part of
+    2 mu eps(u):eps(v)."""
+    g = _phys_grads(sp)                                   # (M,Q,n,2)
+    lap = jnp.einsum("q,mqad,mqbd->mab", sp.quad_w, g, g)
+    blocks = []
+    for m in range(2):
+        row = []
+        for l in range(2):
+            cross = jnp.einsum("q,mqa,mqb->mab", sp.quad_w,
+                               g[..., l], g[..., m])
+            loc = mu * ((lap if m == l else 0.0) + cross)
+            vals = 2.0 * sp.area[:, None, None] * loc
+            row.append(apk.scatter_matrix(sp, vals))
+        blocks.append(row)
+    return jnp.stack([jnp.stack(r) for r in blocks])       # (2,2,N,K)
+
+
+def _assemble_edge_blocks(space, sp, fd):
+    """E[m][l]_ab = int_bnd phi_a d_m phi_b n_l ds (no mu factor)."""
+    n2, K = sp.patch_cols.shape
+    nloc = space.nloc
+    dtype = sp.area.dtype
+    cs = np.asarray(space.cell_slots)                     # host
+    cd = np.asarray(space.cell_dofs)
+    jinv_t = np.asarray(sp.jinv_t)
+    out = np.zeros((2, 2, n2 * K))
+    for e in range(len(fd.edge_cell)):
+        c = fd.edge_cell[e]
+        le = fd.local_edge[e]
+        phi = fd.phi_edge[le]                             # (Q,nloc)
+        dphi = fd.dphi_edge[le]                           # (Q,nloc,2)
+        gphys = np.einsum("de,qne->qnd", jinv_t[c], dphi)  # (Q,nloc,2)
+        # loc[m]_ab = len * sum_q w phi_a(q) d_m phi_b(q)
+        loc = fd.length[e] * np.einsum("q,qa,qbm->mab", fd.w1d, phi, gphys)
+        tgt = (cd[c][:, None] * K + cs[c]).reshape(-1)    # (nloc*nloc,)
+        for m in range(2):
+            for l in range(2):
+                np.add.at(out[m, l], tgt, (loc[m] * fd.normal[e, l]).reshape(-1))
+    return jnp.asarray(out.reshape(2, 2, n2, K), dtype=dtype)
+
+
+def _edge_pressure_vec_data(space, sp, fd):
+    """Precompute for int p n . v ds: per edge, P1 pressure vertex dofs and
+    the tested P2 dof coefficients. Returns host closure applied per step."""
+    return fd
+
+
+def build(cfg: StokesConfig | None = None, host_mesh: Mesh | None = None, **kw):
+    if cfg is None:
+        cfg = StokesConfig(**kw)
+    if host_mesh is None:
+        host_mesh = rectangle_mesh((0, 0), (1, 1), nx=cfg.nx)
+    dtype = jnp.dtype(cfg.dtype)
+    vspace = build_space(host_mesh, 2)
+    sp = vspace.device_arrays(dtype)
+    mp = host_mesh.device_arrays(dtype)
+    dt = cfg.T / cfg.num_steps
+    M2 = apk.assemble_mass(sp)
+    visc = _assemble_visc_blocks(sp, cfg.mu)
+    fd = boundary_facet_data(vspace)
+    edge = _assemble_edge_blocks(vspace, sp, fd)
+    K1 = assembly.assemble_stiffness(mp)
+
+    xy = np.asarray(vspace.dof_coords)
+    wall = np.isclose(xy[:, 1], 0.0) | np.isclose(xy[:, 1], 1.0)
+    pxy = host_mesh.points
+    inflow = np.isclose(pxy[:, 0], 0.0)
+    outflow = np.isclose(pxy[:, 0], 1.0)
+    p_bc_mask = inflow | outflow
+    p_bc_val = np.where(inflow, cfg.p_in, np.where(outflow, cfg.p_out, 0.0))
+
+    n2 = vspace.ndof
+    u0 = jnp.zeros((2, n2), dtype)
+    p0 = jnp.zeros(host_mesh.n_nodes, dtype)
+    # store edge data needed for the per-step pressure boundary term
+    prob = StokesProblem(
+        cfg, host_mesh, vspace, sp, mp, dt, M2, visc, edge, K1,
+        jnp.asarray(wall), jnp.asarray(p_bc_mask),
+        jnp.asarray(p_bc_val, dtype), u0, p0,
+    )
+    return prob, fd
+
+
+def _block_matvec(sp, blocks, x):
+    """blocks (2,2,N,K), x (2,N) -> (2,N)."""
+    return jnp.stack([
+        ell_matvec(sp, blocks[0, 0], x[0]) + ell_matvec(sp, blocks[0, 1], x[1]),
+        ell_matvec(sp, blocks[1, 0], x[0]) + ell_matvec(sp, blocks[1, 1], x[1]),
+    ])
+
+
+def make_step(p: StokesProblem, fd):
+    cfg = p.cfg
+    sp, mp = p.sp, p.mp
+    dt, mu, rho = p.dt, cfg.mu, cfg.rho
+    wall = p.wall_mask
+    g = _phys_grads(sp)
+    phi = sp.phi
+    qw = sp.quad_w
+    # P1 basis at the P2 quad points (barycentric coordinates)
+    lam = jnp.stack(
+        [1 - sp.quad_pts[:, 0] - sp.quad_pts[:, 1],
+         sp.quad_pts[:, 0], sp.quad_pts[:, 1]], axis=1
+    ).astype(sp.area.dtype)                                # (Q,3)
+
+    # precomputed edge quantities for the pressure boundary RHS
+    e_cells = jnp.asarray(fd.edge_cell, jnp.int32)
+    e_len = jnp.asarray(fd.length, sp.area.dtype)
+    e_norm = jnp.asarray(fd.normal, sp.area.dtype)
+    e_phi = jnp.asarray(fd.phi_edge, sp.area.dtype)        # (3,Q,nloc)
+    e_loc = jnp.asarray(fd.local_edge, jnp.int32)
+    w1d = jnp.asarray(fd.w1d, sp.area.dtype)
+    # P1 pressure values along each local edge at gauss pts: lambda on edge
+    ref_edge_lam = []
+    from conservation_fem_tpu.ops.facets import _GAUSS_X, _LOCAL_EDGES, _REF_VERTS
+
+    for (a, b) in _LOCAL_EDGES:
+        pts = (_REF_VERTS[a][None] * (1 - _GAUSS_X[:, None])
+               + _REF_VERTS[b][None] * _GAUSS_X[:, None])
+        ref_edge_lam.append(
+            np.stack([1 - pts[:, 0] - pts[:, 1], pts[:, 0], pts[:, 1]], axis=1)
+        )
+    e_lam = jnp.asarray(np.stack(ref_edge_lam), sp.area.dtype)  # (3,Q,3)
+
+    A_blocks = (rho / dt) * jnp.stack([
+        jnp.stack([p.M2, jnp.zeros_like(p.M2)]),
+        jnp.stack([jnp.zeros_like(p.M2), p.M2]),
+    ]) + 0.5 * p.visc - 0.5 * mu * p.edge
+
+    diag1 = jnp.where(
+        wall, 1.0,
+        (rho / dt) * ell_diag(sp, p.M2)
+        + 0.5 * ell_diag(sp, p.visc[0, 0]) - 0.5 * mu * ell_diag(sp, p.edge[0, 0]),
+    )
+    pre1 = jacobi_preconditioner(jnp.stack([diag1, diag1]).reshape(-1))
+
+    def A1_op(xflat):
+        x = xflat.reshape(2, -1)
+        x_in = jnp.where(wall[None, :], 0.0, x)
+        y = _block_matvec(sp, A_blocks, x_in)
+        return jnp.where(wall[None, :], x, y).reshape(-1)
+
+    K1_diag = jnp.where(p.p_bc_mask, 1.0, ell_diag(mp, p.K1))
+    pre2 = jacobi_preconditioner(K1_diag)
+
+    def A2_op(x):
+        x_in = jnp.where(p.p_bc_mask, 0.0, x)
+        y = ell_matvec(mp, p.K1, x_in)
+        return jnp.where(p.p_bc_mask, x, y)
+
+    M2_diag = ell_diag(sp, p.M2)
+    pre3 = jacobi_preconditioner(M2_diag)
+
+    def conv_rhs(u):
+        """rho (u . grad u) . v componentwise: (2,N)."""
+        u_cell = u[:, sp.cell_dofs]                       # (2,M,n)
+        u_q = jnp.einsum("qc,smc->smq", phi, u_cell)      # (2,M,Q)
+        gu = jnp.einsum("smc,mqcd->smqd", u_cell, g)      # (2,M,Q,2) grad u_s
+        conv = jnp.einsum("dmq,smqd->smq",
+                          jnp.stack([u_q[0], u_q[1]]), gu)
+        vals = 2.0 * sp.area[None, :, None] * jnp.einsum(
+            "q,smq,qa->sma", qw, conv, phi
+        )
+        return rho * jnp.stack(
+            [apk.scatter_vector(sp, vals[0]), apk.scatter_vector(sp, vals[1])]
+        )
+
+    def pressure_div_rhs(pn):
+        """(D_m pn)_a = int pn d_m phi_a dx: (2,N)."""
+        p_q = jnp.einsum("qc,mc->mq", lam, pn[mp.cells])  # (M,Q)
+        v0 = 2.0 * sp.area[:, None] * jnp.einsum("q,mq,mqa->ma", qw, p_q, g[..., 0])
+        v1 = 2.0 * sp.area[:, None] * jnp.einsum("q,mq,mqa->ma", qw, p_q, g[..., 1])
+        return jnp.stack(
+            [apk.scatter_vector(sp, v0), apk.scatter_vector(sp, v1)]
+        )
+
+    def pressure_edge_rhs(pn):
+        """int pn n . v ds: (2,N) scatter over boundary edges."""
+        p_vert = pn[mp.cells[e_cells]]                    # (nb,3)
+        lam_e = e_lam[e_loc]                              # (nb,Q,3)
+        p_q = jnp.einsum("bqc,bc->bq", lam_e, p_vert)     # (nb,Q)
+        phi_e = e_phi[e_loc]                              # (nb,Q,nloc)
+        base = e_len[:, None] * jnp.einsum("q,bq,bqa->ba", w1d, p_q, phi_e)
+        dofs = sp.cell_dofs[e_cells]                      # (nb,nloc)
+        n2 = p.u0.shape[1]
+        out0 = jnp.zeros(n2, sp.area.dtype).at[dofs.reshape(-1)].add(
+            (base * e_norm[:, 0:1]).reshape(-1))
+        out1 = jnp.zeros(n2, sp.area.dtype).at[dofs.reshape(-1)].add(
+            (base * e_norm[:, 1:2]).reshape(-1))
+        return jnp.stack([out0, out1])
+
+    def div_u_rhs(u):
+        """int q div(u) dx for P1 test q: (N1,)."""
+        u_cell = u[:, sp.cell_dofs]
+        div_q = (jnp.einsum("mc,mqc->mq", u_cell[0], g[..., 0])
+                 + jnp.einsum("mc,mqc->mq", u_cell[1], g[..., 1]))
+        vals = 2.0 * mp.area[:, None] * jnp.einsum("q,mq,qc->mc", qw, div_q, lam)
+        return assembly.scatter_vector(mp, vals)
+
+    def grad_p_rhs(dp):
+        """int phi_a d_m dp dx with dp P1 (const grad per cell): (2,N2)."""
+        gp = jnp.einsum("mc,mcd->md", dp[mp.cells], mp.grads)  # (M,2)
+        phi_int = 2.0 * sp.area[:, None] * jnp.einsum("q,qa->a", qw, phi)[None]
+        v0 = phi_int * gp[:, 0:1]
+        v1 = phi_int * gp[:, 1:2]
+        return jnp.stack(
+            [apk.scatter_vector(sp, v0), apk.scatter_vector(sp, v1)]
+        )
+
+    def step(carry, _):
+        u_n, p_n = carry
+        # --- step 1: tentative velocity
+        rhs = (
+            (rho / dt) * jnp.stack([
+                ell_matvec(sp, p.M2, u_n[0]), ell_matvec(sp, p.M2, u_n[1])
+            ])
+            - conv_rhs(u_n)
+            - 0.5 * _block_matvec(sp, p.visc, u_n)
+            + 0.5 * mu * _block_matvec(sp, p.edge, u_n)
+            + pressure_div_rhs(p_n)
+            - pressure_edge_rhs(p_n)
+        )
+        rhs = jnp.where(wall[None, :], 0.0, rhs)
+        sol = bicgstab(A1_op, rhs.reshape(-1), x0=u_n.reshape(-1),
+                       precond=pre1, rtol=cfg.krylov_rtol)
+        u_star = sol.x.reshape(2, -1)
+        # --- step 2: pressure Poisson
+        b2 = ell_matvec(mp, p.K1, p_n) - (rho / dt) * div_u_rhs(u_star)
+        g_ext = jnp.where(p.p_bc_mask, p.p_bc_val, 0.0)
+        b2 = b2 - ell_matvec(mp, p.K1, g_ext)
+        b2 = jnp.where(p.p_bc_mask, p.p_bc_val, b2)
+        p_new = cg(A2_op, b2, x0=p_n, precond=pre2, rtol=cfg.krylov_rtol).x
+        # --- step 3: velocity correction
+        b3 = rho * jnp.stack([
+            ell_matvec(sp, p.M2, u_star[0]), ell_matvec(sp, p.M2, u_star[1])
+        ]) - dt * grad_p_rhs(p_new - p_n)
+
+        def M_op(xflat):
+            x = xflat.reshape(2, -1)
+            return rho * jnp.stack([
+                ell_matvec(sp, p.M2, x[0]), ell_matvec(sp, p.M2, x[1])
+            ]).reshape(-1)
+
+        u_new = cg(M_op, b3.reshape(-1), x0=u_star.reshape(-1),
+                   precond=jacobi_preconditioner(
+                       rho * jnp.stack([M2_diag, M2_diag]).reshape(-1)),
+                   rtol=cfg.krylov_rtol).x.reshape(2, -1)
+        return (u_new, p_new), None
+
+    return step
+
+
+class StokesResult(NamedTuple):
+    u: object      # (2,N2)
+    p: object      # (N1,)
+    error_l2: float
+    dt: float
+    num_steps: int
+
+
+def exact_velocity(sp):
+    """Poiseuille u = (4 y (1-y), 0) (ref stokes.py:135-138)."""
+    y = sp.dof_coords[:, 1]
+    return jnp.stack([4.0 * y * (1.0 - y), jnp.zeros_like(y)])
+
+
+def solve(prob_fd=None, cfg: StokesConfig | None = None, **kw) -> StokesResult:
+    if prob_fd is None:
+        prob_fd = build(cfg, **kw)
+    p, fd = prob_fd
+    step = make_step(p, fd)
+
+    @jax.jit
+    def _run(u0, p0):
+        (u, pr), _ = jax.lax.scan(step, (u0, p0), None, length=p.cfg.num_steps)
+        return u, pr
+
+    u, pr = _run(p.u0, p.p0)
+    u_ex = exact_velocity(p.sp)
+    d = u - u_ex
+    err = jnp.sqrt(
+        d[0] @ ell_matvec(p.sp, p.M2, d[0]) + d[1] @ ell_matvec(p.sp, p.M2, d[1])
+    )
+    return StokesResult(u, pr, float(err), p.dt, p.cfg.num_steps)
