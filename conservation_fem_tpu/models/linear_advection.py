@@ -63,6 +63,7 @@ class AdvectionConfig:
     CRV: float = 1.0               # ref RV_node.py:88
     Cm: float = 0.5                # ref smoothness.py:94
     si_eps: float = 1e-8           # denominator floor (ref SI.py:186)
+    discontinuous_ic: bool = False  # indicator-disk IC (ref RV_cell.py:44-45)
     krylov_rtol: float = 1e-12
     dtype: str = "float64"
 
@@ -70,6 +71,11 @@ class AdvectionConfig:
 def initial_condition(x, y, r0=0.25, x0=0.3, y0=0.0):
     """Smooth bump IC (ref linear_advection.py:53-54)."""
     return 0.5 * (1.0 - jnp.tanh(((x - x0) ** 2 + (y - y0) ** 2) / r0**2 - 1.0))
+
+
+def initial_condition_discont(x, y, r0=0.25, x0=0.3, y0=0.0):
+    """Indicator-disk IC (ref RV_cell.py:44-45)."""
+    return ((x - x0) ** 2 + (y - y0) ** 2 <= r0**2).astype(x.dtype)
 
 
 def velocity(points):
@@ -125,7 +131,8 @@ def build(cfg: AdvectionConfig, host_mesh: Mesh | None = None) -> AdvectionProbl
     if cfg.stabilization == "si":
         K = assembly.assemble_stiffness(m)
         K_bc = ell_with_bc(m, K, m.boundary_mask)
-    u0 = initial_condition(m.points[:, 0], m.points[:, 1]).astype(dtype)
+    icfn = initial_condition_discont if cfg.discontinuous_ic else initial_condition
+    u0 = icfn(m.points[:, 0], m.points[:, 1]).astype(dtype)
     return AdvectionProblem(
         cfg=cfg, host_mesh=host_mesh, dt=dt, num_steps=num_steps,
         mesh=m, w=w, M=M, C=C, h_cg=h_cg, K_bc=K_bc, u0=u0,

@@ -134,18 +134,32 @@ def rv_epsilon_system(mesh: MeshArrays, Cvel, Crv, rho, beta, Rh, h):
     return jnp.minimum(Cvel * h * beta_i, Crv * h**2 * jnp.abs(R_i))
 
 
-def rv_epsilon_cell(mesh: MeshArrays, Cvel, Crv, residual_node, beta_cell, h_cell):
+def rv_epsilon_cell(mesh: MeshArrays, Cvel, Crv, residual_node, beta_cell,
+                    h_cell, scatter: str = "last"):
     """Cell-based RV (ref Code/Linear_advection/RV_cell.py:182-195):
-    eps_k = min(Cvel h_k beta_k, Crv h_k^2 max_{a in cell} |R_a|), then the
-    cell value is scattered to its nodes (max over adjacent cells)."""
-    R_cell = jnp.abs(residual_node[mesh.cells]).max(axis=1)       # (M,)
-    eps_k = jnp.minimum(Cvel * h_cell * beta_cell, Crv * h_cell**2 * R_cell)
-    # scatter max to nodes: node eps = max over cells containing it
+    eps_k = min(Cvel h_k beta_k, Crv h_k^2 max_{a in cell} |R_a|), scattered
+    to the cell's nodes.
+
+    scatter="last" reproduces the reference exactly: the Python cell loop
+    assigns eps_k to each dof, so the highest-indexed adjacent cell wins
+    (ref RV_cell.py:193-195, plain assignment in loop order).
+    scatter="max" takes the max over adjacent cells (slightly more
+    diffusive at cell interfaces, order-independent).
+    """
     import jax
 
+    n = mesh.patch_cols.shape[0]
+    R_cell = jnp.abs(residual_node[mesh.cells]).max(axis=1)       # (M,)
+    eps_k = jnp.minimum(Cvel * h_cell * beta_cell, Crv * h_cell**2 * R_cell)
     flat_nodes = mesh.cells.reshape(-1)
-    eps_rep = jnp.repeat(eps_k, 3)
-    return jax.ops.segment_max(eps_rep, flat_nodes, num_segments=mesh.patch_cols.shape[0])
+    if scatter == "max":
+        eps_rep = jnp.repeat(eps_k, 3)
+        return jax.ops.segment_max(eps_rep, flat_nodes, num_segments=n)
+    # last-cell-wins: find the max adjacent cell index per node, gather eps
+    m_cells = mesh.cells.shape[0]
+    cell_idx = jnp.repeat(jnp.arange(m_cells, dtype=jnp.int32), 3)
+    last_cell = jax.ops.segment_max(cell_idx, flat_nodes, num_segments=n)
+    return eps_k[last_cell]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,101 @@
+"""Golden-data parity against the reference's stored FEniCSx fields
+(Code/Linear_advection/Data/*/*.h5 — gmsh disk mesh, 1011 nodes, plus
+per-step solution series at hmax=1/16).
+
+Provenance notes (verified by inspection in round 1):
+  * All three stored series (RV_cell, RV_node, SI) share an identical first
+    entry — a GFEM Crank-Nicolson bootstrap step. Our CN step reproduces it
+    to 2.5e-15 on the reference's own mesh — exact parity of assembly +
+    solve against PETSc LU.
+  * RV_cell.h5 tracks our rv_cell trajectory: first stabilized step matches
+    to 2.4e-11; later steps drift to ~3e-3 Linf because the reference's
+    nodal epsilon is last-cell-wins in DOLFINx's *internal* (reordered)
+    cell numbering, which the stored file does not preserve (ref
+    RV_cell.py:193-195). The artifact is order-dependent by construction.
+  * GFEM/solution.h5 is from an abandoned run — the stored field never
+    evolves (identical to the IC at every timestep), so it is unusable as
+    an oracle.
+  * SI/smoothness.h5 was produced by an older SI variant (first stabilized
+    step differs structurally from the current Code/Utils/SI.py kernel).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conservation_fem_tpu.models import linear_advection as la
+from conservation_fem_tpu.utils.io import read_h5_mesh, read_h5_series
+
+RV_CELL_H5 = "/root/reference/Code/Linear_advection/Data/RV/RV_cell.h5"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    mesh = read_h5_mesh(RV_CELL_H5)
+    times, vals = read_h5_series(RV_CELL_H5, "uh")
+    return mesh, times, vals
+
+
+def test_reference_mesh_geometry(golden):
+    mesh, times, vals = golden
+    assert mesh.n_nodes == 1011 and mesh.n_cells == 1919
+    assert len(times) == 285
+    # dt grid matches the reference formula on this mesh
+    p = la.build(la.AdvectionConfig(mesh_size=16), host_mesh=mesh)
+    np.testing.assert_allclose(p.dt, times[0], rtol=0, atol=0)
+
+
+def test_gfem_step_matches_petsc_lu_exactly(golden):
+    """Our CN + BiCGStab reproduces the stored PETSc-LU bootstrap step on
+    the reference gmsh mesh to 1e-11 Linf (the 1e-8 accuracy gate)."""
+    mesh, times, vals = golden
+    p = la.build(
+        la.AdvectionConfig(mesh_size=16, stabilization="rv_cell",
+                           discontinuous_ic=True, krylov_rtol=1e-14),
+        host_mesh=mesh,
+    )
+    (u1, _), _ = la._step_gfem(p, (p.u0, p.u0), None)
+    assert float(jnp.abs(u1 - vals[0]).max()) < 1e-11
+
+
+def test_rv_cell_first_step_parity(golden):
+    """First stabilized RV-cell step matches the stored field to 1e-9."""
+    mesh, times, vals = golden
+    p = la.build(
+        la.AdvectionConfig(mesh_size=16, stabilization="rv_cell",
+                           discontinuous_ic=True, krylov_rtol=1e-14),
+        host_mesh=mesh,
+    )
+    (u1, _), _ = la._step_gfem(p, (p.u0, p.u0), None)
+    (u2, _), _ = la._step_rv_cell(p, (u1, p.u0), None)
+    assert float(jnp.abs(u2 - vals[1]).max()) < 1e-9
+
+
+def test_rv_cell_full_trajectory_tracks(golden):
+    """Full 285-step trajectory stays within the cell-ordering-artifact
+    envelope (~3e-3 Linf, ~1e-3 L2) of the stored reference run."""
+    import jax
+
+    mesh, times, vals = golden
+    p = la.build(
+        la.AdvectionConfig(mesh_size=16, stabilization="rv_cell",
+                           discontinuous_ic=True),
+        host_mesh=mesh,
+    )
+
+    @jax.jit
+    def traj(u0):
+        (u1, _), _ = la._step_gfem(p, (u0, u0), None)
+        def stepfn(c, _):
+            c2, _ = la._step_rv_cell(p, c, None)
+            return c2, c2[0]
+        _, us = jax.lax.scan(stepfn, (u1, u0), None, length=284)
+        return us
+
+    us = np.asarray(traj(p.u0))
+    final = us[-1]
+    ref = vals[-1]
+    assert np.abs(final - ref).max() < 5e-3
+    d = jnp.asarray(final - ref)
+    l2 = float(jnp.sqrt(d @ (p.M * d[p.mesh.patch_cols]).sum(1)))
+    assert l2 < 2e-3, l2
