@@ -44,6 +44,8 @@ class KPPConfig:
     newton_rtol: float = 1e-4
     newton_atol: float = 1e-10
     krylov_rtol: float = 1e-12
+    newton_linear_rtol: float | None = None
+    modified_newton: bool = False
     dtype: str = "float64"
     record_metrics: bool = False
 
@@ -76,7 +78,8 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         stabilization=cfg.stabilization,
         Cvel=cfg.Cvel, CRV=cfg.CRV, Cm=cfg.Cm,
         newton_rtol=cfg.newton_rtol, newton_atol=cfg.newton_atol,
-        krylov_rtol=cfg.krylov_rtol,
+        krylov_rtol=cfg.krylov_rtol, newton_linear_rtol=cfg.newton_linear_rtol,
+        modified_newton=cfg.modified_newton,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
     )
     bc_val = float(np.pi / 4.0)

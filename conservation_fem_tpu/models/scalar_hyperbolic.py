@@ -54,6 +54,13 @@ class HyperbolicConfig:
     newton_atol: float = 1e-10     # dolfinx NewtonSolver default
     newton_max_it: int = 100
     krylov_rtol: float = 1e-12
+    # inner Newton linear-solve tolerance; None = krylov_rtol. Inexact
+    # Newton (e.g. 1e-3) cuts BiCGStab iterations sharply on TPU while the
+    # outer residual criterion still guarantees newton_rtol accuracy.
+    newton_linear_rtol: float | None = None
+    # modified Newton: one Jacobian assembly per step instead of per
+    # iteration (same residual tolerance; used by the TPU bench path)
+    modified_newton: bool = False
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
     dtype: str = "float64"
     record_metrics: bool = False
@@ -155,17 +162,27 @@ class HyperbolicProblem:
             )
             return constrain_residual(F, v, g, bc)
 
-        diag = jnp.where(
-            bc, 1.0, ell_diag(m, self.M) + 0.5 * dt * ell_diag(m, Keps)
-        )
-        pre_fn = lambda u: jacobi_preconditioner(diag)
+        base = self.M + 0.5 * dt * Keps
+
+        def jacobian(u):
+            """Assembled exact Jacobian J = M + dt/2 (C'(u) + Keps) as an
+            ELL matrix: inner Krylov iterations become single SpMVs
+            (the jvp path would re-quadrature the flux every iteration)."""
+            Cu = assembly.assemble_flux_jacobian(m, u, self.flux_prime)
+            J = base + 0.5 * dt * Cu
+            matvec = lambda v: constrained_matvec(m, J, v, bc)
+            pre = jacobi_preconditioner(jnp.where(bc, 1.0, ell_diag(m, J)))
+            return matvec, pre
+
         u_init = jnp.where(bc, g, u_n)
         res = newton_solve(
             residual, u_init,
             rtol=self.cfg.newton_rtol, atol=self.cfg.newton_atol,
             max_it=self.cfg.newton_max_it,
-            criterion="residual", linear_rtol=self.cfg.krylov_rtol,
-            precond_fn=pre_fn,
+            criterion="residual",
+            linear_rtol=self.cfg.newton_linear_rtol or self.cfg.krylov_rtol,
+            jacobian_fn=jacobian,
+            freeze_jacobian=self.cfg.modified_newton,
         )
         return res
 

@@ -182,6 +182,33 @@ def convection_rhs_flux(mesh: MeshArrays, u, fprime):
     return scatter_vector(mesh, r)
 
 
+def assemble_flux_jacobian(mesh: MeshArrays, u, fprime):
+    """ELL assembly of d/du N(u), N(u)_a = int (f'(u).grad u) phi_a dx:
+
+      J_ab = int [ (f''(u) . grad u) phi_b + f'(u) . grad phi_b ] phi_a dx
+
+    f'' is obtained as the elementwise jvp of ``fprime`` — no user-provided
+    second derivative needed. Identical (to roundoff) to the jvp of
+    ``convection_rhs_flux`` since the same quadrature rule is used; the
+    point of materializing it is performance: Newton's inner Krylov
+    iterations become single ELL SpMVs instead of full re-quadratures.
+    """
+    phi = _quad_basis().astype(u.dtype)          # (Q,3)
+    u_cell = u[mesh.cells]                       # (M,3)
+    u_q = u_cell @ phi.T                         # (M,Q)
+    fp_q, fpp_q = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
+    grad_u = jnp.einsum("ma,mad->md", u_cell, mesh.grads)          # (M,2)
+    t1 = jnp.einsum("mqd,md->mq", fpp_q, grad_u)                   # (M,Q)
+    w = _DUN4_W.astype(u.dtype) * 0.5
+    # term1[m,a,b] = 2A sum_q w_q t1 phi_a phi_b
+    term1 = jnp.einsum("mq,qa,qb->mab", t1 * w[None], phi, phi)
+    # term2[m,a,b] = 2A sum_q w_q (f'(u_q) . g_b) phi_a
+    t2 = jnp.einsum("mqd,mbd->mqb", fp_q, mesh.grads)
+    term2 = jnp.einsum("q,qa,mqb->mab", w, phi, t2)
+    vals = 2.0 * mesh.area[:, None, None] * (term1 + term2)
+    return scatter_matrix(mesh, vals)
+
+
 def mass_apply_cellwise(mesh: MeshArrays, u):
     """y = M u without assembling M (consistent mass action)."""
     u_cell = u[mesh.cells]                       # (M,3)

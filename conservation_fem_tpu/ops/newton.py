@@ -44,21 +44,38 @@ def newton_solve(
     linear_rtol=1e-12,
     linear_maxiter=2000,
     precond_fn: Callable | None = None,
+    jacobian_fn: Callable | None = None,
+    freeze_jacobian: bool = False,
     dot: Callable = jnp.vdot,
 ) -> NewtonResult:
     """Solve residual_fn(u) = 0.
 
     precond_fn: optional u -> (r -> z) preconditioner factory for the inner
     BiCGStab (e.g. inverse Jacobian diagonal).
+    jacobian_fn: optional u -> (matvec, precond). When given, the Jacobian
+    action uses this (e.g. an ELL matrix assembled once per Newton
+    iteration — far cheaper per Krylov iteration than jvp re-quadrature);
+    otherwise jax.jvp of the residual is used.
+    freeze_jacobian: modified Newton — assemble the Jacobian once at u0 and
+    reuse it every iteration. The residual-based stopping criterion is
+    unchanged, so the converged solution satisfies the same tolerance;
+    only the iterate path (and possibly the iteration count) differs.
     """
     norm = lambda v: jnp.sqrt(dot(v, v))
 
     F0 = residual_fn(u0)
     r0_norm = norm(F0)
 
+    frozen = jacobian_fn(u0) if (jacobian_fn is not None and freeze_jacobian) else None
+
     def linear_solve(u, F):
-        matvec = lambda v: jax.jvp(residual_fn, (u,), (v,))[1]
-        precond = precond_fn(u) if precond_fn is not None else (lambda r: r)
+        if frozen is not None:
+            matvec, precond = frozen
+        elif jacobian_fn is not None:
+            matvec, precond = jacobian_fn(u)
+        else:
+            matvec = lambda v: jax.jvp(residual_fn, (u,), (v,))[1]
+            precond = precond_fn(u) if precond_fn is not None else (lambda r: r)
         res = bicgstab(
             matvec, -F, precond=precond, rtol=linear_rtol, maxiter=linear_maxiter,
             dot=dot,
