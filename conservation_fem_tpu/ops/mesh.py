@@ -230,21 +230,61 @@ def _scatter_orderings(cells: Array, cell_slots: Array, K: int):
     return mat_perm, mat_segs, vec_perm, vec_segs
 
 
-def mesh_from_arrays(points: Array, cells: Array) -> Mesh:
-    """Build a full Mesh (with sparse structure) from raw geometry/topology."""
+def _patches_from_csr(n_nodes, rowptr, cols):
+    """Convert the native preprocessor's CSR adjacency to the ELL layout
+    (identical ordering to _build_patches: sorted cols per row)."""
+    deg = np.diff(rowptr)
+    K = int(deg.max())
+    patch_cols = np.tile(np.arange(n_nodes, dtype=np.int64)[:, None], (1, K))
+    patch_mask = np.zeros((n_nodes, K), dtype=bool)
+    rows = np.repeat(np.arange(n_nodes), deg)
+    slot = np.arange(len(cols)) - rowptr[:-1][rows]
+    patch_cols[rows, slot] = cols
+    patch_mask[rows, slot] = True
+    diag_slot = np.argmax(
+        (patch_cols == np.arange(n_nodes)[:, None]) & patch_mask, axis=1
+    )
+    return patch_cols, patch_mask, diag_slot.astype(np.int64), K
+
+
+def mesh_from_arrays(points: Array, cells: Array, use_native: bool | None = None) -> Mesh:
+    """Build a full Mesh (with sparse structure) from raw geometry/topology.
+
+    use_native: route the irregular graph work (adjacency, boundary) through
+    the C++ preprocessor (native/mesh_preprocess.cpp). Default: on when the
+    library builds, unless CFT_NATIVE=0. The NumPy path computes identical
+    structures (covered by tests/test_native.py).
+    """
+    import os as _os
+
     points = np.ascontiguousarray(np.asarray(points, dtype=np.float64)[:, :2])
     cells = np.ascontiguousarray(np.asarray(cells, dtype=np.int64))
     n = points.shape[0]
     area, grads, h_cell = _cell_geometry(points, cells)
     if (area <= 0).any():
         raise ValueError("degenerate cell with non-positive area")
-    patch_cols, patch_mask, diag_slot, K = _build_patches(n, cells)
+
+    if use_native is None:
+        use_native = _os.environ.get("CFT_NATIVE", "1") != "0"
+    native_result = None
+    if use_native:
+        from conservation_fem_tpu import native_ext
+
+        native_result = native_ext.preprocess_mesh(n, cells)
+    if native_result is not None:
+        bnd_mask, rowptr, csr_cols, _rcm = native_result
+        patch_cols, patch_mask, diag_slot, K = _patches_from_csr(
+            n, rowptr, csr_cols
+        )
+    else:
+        patch_cols, patch_mask, diag_slot, K = _build_patches(n, cells)
+        bnd_mask = _boundary_mask(n, cells)
     cell_slots = _build_cell_slots(cells, patch_cols, patch_mask)
     mat_perm, mat_segs, vec_perm, vec_segs = _scatter_orderings(cells, cell_slots, K)
     return Mesh(
         points=points,
         cells=cells.astype(np.int32),
-        boundary_mask=_boundary_mask(n, cells),
+        boundary_mask=bnd_mask,
         patch_cols=patch_cols,
         patch_mask=patch_mask,
         diag_slot=diag_slot,
@@ -362,6 +402,38 @@ def disk_mesh(hmax: float, radius: float = 1.0, center=(0.0, 0.0)) -> Mesh:
                     i1 = s_in + (sec * k + j + 1) % n_in
                     tris.append([i0, o1, i1])
     return mesh_from_arrays(points, np.asarray(tris))
+
+
+def rcm_permutation(mesh: Mesh) -> Array:
+    """Reverse Cuthill-McKee node ordering (old -> new) for gather locality
+    in the ELL SpMV hot loop. Uses the native C++ preprocessor when
+    available, else scipy."""
+    from conservation_fem_tpu import native_ext
+
+    res = native_ext.preprocess_mesh(mesh.n_nodes, mesh.cells)
+    if res is not None:
+        return res[3].astype(np.int64)
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    rows = np.repeat(mesh.cells, 3, axis=1).reshape(-1)
+    cols = np.tile(mesh.cells, (1, 3)).reshape(-1)
+    A = sp.coo_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(mesh.n_nodes, mesh.n_nodes)
+    ).tocsr()
+    order = reverse_cuthill_mckee(A, symmetric_mode=True)
+    perm = np.empty(mesh.n_nodes, dtype=np.int64)
+    perm[order] = np.arange(mesh.n_nodes)
+    return perm
+
+
+def reorder_mesh(mesh: Mesh, perm: Array) -> Mesh:
+    """Renumber nodes by perm (old -> new); rebuilds all derived structure."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    points = mesh.points[inv]
+    cells = perm[mesh.cells.astype(np.int64)]
+    return mesh_from_arrays(points, cells)
 
 
 def load_h5_mesh(path: str, geometry="Mesh/mesh/geometry", topology="Mesh/mesh/topology") -> Mesh:
