@@ -48,6 +48,9 @@ class KPPConfig:
     modified_newton: bool = False
     dtype: str = "float64"
     record_metrics: bool = False
+    # "auto": stencil backend on structured meshes (gather-free, ~10x step
+    # speed on TPU), ELL otherwise. "ell" forces the generic path.
+    backend: str = "auto"
 
 
 def initial_condition(x, y):
@@ -83,7 +86,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
     )
     bc_val = float(np.pi / 4.0)
-    return HyperbolicProblem(
+    prob = HyperbolicProblem(
         hcfg, host_mesh,
         flux_prime=flux_prime,
         flux_prime_norm=flux_prime_norm,
@@ -92,6 +95,19 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         dt=cfg.dt,
         num_steps=int(np.ceil(cfg.T / cfg.dt)),
     )
+    use_stencil = (
+        cfg.backend in ("auto", "stencil")
+        and cfg.mesh_source == "structured"
+        and cfg.stabilization in ("rv", "gfem")
+    )
+    if cfg.backend == "ell":
+        use_stencil = False
+    if use_stencil:
+        from conservation_fem_tpu.models.structured_hyperbolic import structure
+
+        n = 4 * cfg.mesh_size
+        prob = structure(prob, n, n)
+    return prob
 
 
 def run(cfg: KPPConfig | None = None, **kw):

@@ -1,0 +1,121 @@
+"""Structured (stencil-backend) scalar conservation-law solver.
+
+Same pipeline as models/scalar_hyperbolic.HyperbolicProblem — BDF2 residual
+projection, RV epsilon, stabilized CN Newton (ref Code/KPP/KPP_NodeRV.py:
+127-172) — but every operator is a gather-free 7-plane stencil
+(ops/structured.py), usable whenever the mesh is a structured rectangle
+triangulation (the KPP benchmark mesh, Burgers' unit square). Public API
+(solve(), step(carry, t) over flat vectors) is identical, so it is a
+drop-in for kpp.build(backend="stencil").
+
+Numerical identity with the unstructured path is tested to f64 roundoff
+(tests/test_structured.py); on the v5e chip the stencil backend is ~an
+order of magnitude faster per step (gather SpMV 893us -> stencil 32us).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from conservation_fem_tpu.models.scalar_hyperbolic import (
+    HyperbolicProblem,
+    SolveResult,
+)
+from conservation_fem_tpu.ops import structured as st
+from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.newton import newton_solve
+
+
+class StructuredHyperbolicProblem(HyperbolicProblem):
+    """Construct via structure(); only stabilization='rv' and 'gfem' have
+    stencil kernels so far (SI needs the bc-applied stiffness gather)."""
+
+    def init_structured(self, nx: int, ny: int):
+        if self.cfg.stabilization not in ("rv", "gfem"):
+            raise NotImplementedError(
+                "stencil backend supports rv/gfem stabilization"
+            )
+        dtype = self.u0.dtype
+        self.sd = st.build_structured(self.host_mesh, nx, ny, dtype)
+        self._shape2 = (nx + 1, ny + 1)
+        return self
+
+    # -- 2D pipeline ---------------------------------------------------------
+
+    def _residual_bdf2_2d(self, u2, uo2, uoo2):
+        sd, dt = self.sd, self.dt
+        rhs = (
+            st.mass_matvec(sd, (3.0 * u2 - 4.0 * uo2 + uoo2) / (2.0 * dt))
+            + st.nonlinear_rhs(sd, u2, self.flux_prime)
+        )
+        rhs = jnp.where(sd.bc2, 0.0, rhs)
+        diag = jnp.where(sd.bc2, 1.0, sd.diagM2)
+        op = lambda x2: st.constrained_matvec(sd, sd.M_coef, x2)
+        return cg(op, rhs, precond=jacobi_preconditioner(diag),
+                  rtol=self.cfg.krylov_rtol).x
+
+    def _newton_cn_2d(self, u2, eps2, g2):
+        sd, dt, cfg = self.sd, self.dt, self.cfg
+        Kc = st.keps_coef(sd, eps2)
+        N_un = st.nonlinear_rhs(sd, u2, self.flux_prime)
+        Kc_un = st.matvec(sd, Kc, u2)
+        base = sd.M_coef + 0.5 * dt * Kc
+
+        def residual(v2):
+            F = (
+                st.mass_matvec(sd, v2 - u2)
+                + 0.5 * dt * (st.nonlinear_rhs(sd, v2, self.flux_prime) + N_un)
+                + 0.5 * dt * (st.matvec(sd, Kc, v2) + Kc_un)
+            )
+            return jnp.where(sd.bc2, v2 - g2, F)
+
+        def jacobian(v2):
+            J = base + 0.5 * dt * st.flux_jacobian_coef(sd, v2, self.flux_prime)
+            mv = lambda x2: st.constrained_matvec(sd, J, x2)
+            pre = jacobi_preconditioner(jnp.where(sd.bc2, 1.0, J[0]))
+            return mv, pre
+
+        u_init = jnp.where(sd.bc2, g2, u2)
+        return newton_solve(
+            residual, u_init,
+            rtol=cfg.newton_rtol, atol=cfg.newton_atol,
+            max_it=cfg.newton_max_it, criterion="residual",
+            linear_rtol=cfg.newton_linear_rtol or cfg.krylov_rtol,
+            jacobian_fn=jacobian, freeze_jacobian=cfg.modified_newton,
+        )
+
+    # -- public step (flat-vector API, same as the base class) ----------------
+
+    def step(self, carry, t):
+        u_n, u_old, u_old_old = carry
+        sh = self._shape2
+        u2, uo2, uoo2 = (v.reshape(sh) for v in (u_n, u_old, u_old_old))
+        RH2 = self._residual_bdf2_2d(u2, uo2, uoo2)
+        if self.cfg.stabilization == "rv":
+            eps2 = st.rv_epsilon(
+                self.sd, self.cfg.Cvel, self.cfg.CRV, u2, RH2,
+                self.flux_prime_norm,
+            )
+        else:
+            eps2 = jnp.zeros_like(u2)
+        g2 = self.bc_value(self.mesh.points, t).reshape(sh)
+        res = self._newton_cn_2d(u2, eps2, g2)
+        uh = res.u.reshape(-1)
+        metrics = None
+        if self.cfg.record_metrics:
+            metrics = {
+                "eps_max": eps2.max(),
+                "newton_iters": res.iters,
+                "newton_converged": res.converged,
+                "residual_norm": res.residual_norm,
+                "u_min": uh.min(),
+                "u_max": uh.max(),
+            }
+        return (uh, u_n, u_old), metrics
+
+
+def structure(problem: HyperbolicProblem, nx: int, ny: int):
+    """Upgrade a built HyperbolicProblem to the stencil backend in place."""
+    problem.__class__ = StructuredHyperbolicProblem
+    return problem.init_structured(nx, ny)
