@@ -6,4 +6,5 @@ from conservation_fem_tpu.models import (  # noqa: F401
     euler,
     scalar_hyperbolic,
     stokes,
+    structured_hyperbolic,
 )

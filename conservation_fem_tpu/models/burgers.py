@@ -44,8 +44,11 @@ class BurgersConfig:
     smooth_l: float = 0.0          # SI runs use 4.0 (ref Exact_Burger_SI.py:193)
     newton_rtol: float = 1e-4
     krylov_rtol: float = 1e-12
+    newton_linear_rtol: float | None = None
+    modified_newton: bool = False
     dtype: str = "float64"
     record_metrics: bool = False
+    backend: str = "auto"          # auto | stencil | ell
 
 
 def initial_condition(x, y):
@@ -107,6 +110,7 @@ def flux_prime_norm(u):
 def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw):
     if cfg is None:
         cfg = BurgersConfig(**kw)
+    built_structured = host_mesh is None
     if host_mesh is None:
         host_mesh = rectangle_mesh((0, 0), (1, 1), nx=cfg.mesh_size)
     # dt = CFL * min(h_CG) where h_CG is the projected nodal h (ref :105-108)
@@ -118,9 +122,11 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
         stabilization=cfg.stabilization,
         Cvel=cfg.Cvel, CRV=cfg.CRV, Cm=cfg.Cm, smooth_l=cfg.smooth_l,
         newton_rtol=cfg.newton_rtol, krylov_rtol=cfg.krylov_rtol,
+        newton_linear_rtol=cfg.newton_linear_rtol,
+        modified_newton=cfg.modified_newton,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
     )
-    return HyperbolicProblem(
+    prob = HyperbolicProblem(
         hcfg, host_mesh,
         flux_prime=flux_prime,
         flux_prime_norm=flux_prime_norm,
@@ -129,6 +135,17 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
         dt=dt,
         num_steps=num_steps,
     )
+    use_stencil = (
+        cfg.backend in ("auto", "stencil") and built_structured
+        and cfg.stabilization in ("rv", "gfem") and cfg.smooth_l == 0
+    )
+    if cfg.backend == "ell":
+        use_stencil = False
+    if use_stencil:
+        from conservation_fem_tpu.models.structured_hyperbolic import structure
+
+        prob = structure(prob, cfg.mesh_size, cfg.mesh_size)
+    return prob
 
 
 def l2_error_vs_exact(problem: HyperbolicProblem, u, t):

@@ -112,3 +112,32 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
 
 def run(cfg: KPPConfig | None = None, **kw):
     return build(cfg, **kw).solve()
+
+
+def generate_reference(path: str, mesh_size: int = 64, **kw):
+    """Generate a fine-mesh reference field, parity with
+    Code/KPP/KPP_exact.py (hmax=1/64, dt=0.01, T=1, :38,75-78): runs the
+    node-RV solver and writes the mesh + final field as XDMF/HDF5."""
+    from conservation_fem_tpu.utils.io import XDMFWriter
+
+    p = build(KPPConfig(mesh_size=mesh_size, **kw))
+    res = p.solve()
+    with XDMFWriter(path, p.host_mesh) as w:
+        w.write_function(res.u, p.num_steps * p.dt, name="uh")
+    return res
+
+
+def compare_to_reference(path: str, u, host_mesh, name="uh"):
+    """L2 distance to a stored reference field on the same mesh — the
+    comparison KPP_conv.py:30-33 stubs out."""
+    import jax.numpy as jnp
+
+    from conservation_fem_tpu.ops import assembly
+    from conservation_fem_tpu.ops.spmv import ell_matvec
+    from conservation_fem_tpu.utils.io import read_h5_series
+
+    _, vals = read_h5_series(path.replace(".xdmf", ".h5"), name)
+    m = host_mesh.device_arrays(jnp.asarray(u).dtype)
+    M = assembly.assemble_mass(m)
+    d = jnp.asarray(u) - jnp.asarray(vals[-1])
+    return float(jnp.sqrt(d @ ell_matvec(m, M, d)))

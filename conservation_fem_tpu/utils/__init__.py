@@ -1,1 +1,11 @@
-from conservation_fem_tpu.utils import convergence  # noqa: F401
+from conservation_fem_tpu.utils import (  # noqa: F401
+    baseline_proxy,
+    checkpoint,
+    convergence,
+    guards,
+    io,
+    metrics,
+    plotting,
+    riemann_exact,
+    sweeps,
+)
