@@ -49,6 +49,18 @@ class BurgersConfig:
     dtype: str = "float64"
     record_metrics: bool = False
     backend: str = "auto"          # auto | stencil | ell
+    ic: str = "riemann"            # riemann | bump (ref Burger_RV.py)
+    residual_scheme: str = "bdf2"  # Burger_RV.py used bdf1 (:144)
+
+
+def initial_condition_bump(x, y):
+    """Circular-bump IC of the Burger_RV.py variant (ref Burger_RV.py:31-53):
+    smooth cosine bump centred in the square."""
+    import jax.numpy as jnp
+
+    r2 = (x - 0.3) ** 2 + (y - 0.3) ** 2
+    r0 = 0.2
+    return jnp.where(r2 <= r0**2, 0.5 * (1 + jnp.cos(jnp.pi * jnp.sqrt(r2) / r0)), 0.0)
 
 
 def initial_condition(x, y):
@@ -124,14 +136,19 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
         newton_rtol=cfg.newton_rtol, krylov_rtol=cfg.krylov_rtol,
         newton_linear_rtol=cfg.newton_linear_rtol,
         modified_newton=cfg.modified_newton,
+        residual_scheme=cfg.residual_scheme,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
     )
     prob = HyperbolicProblem(
         hcfg, host_mesh,
         flux_prime=flux_prime,
         flux_prime_norm=flux_prime_norm,
-        bc_value=lambda pts, t: exact_solution(pts[:, 0], pts[:, 1], t),
-        u0_fn=initial_condition,
+        bc_value=(
+            (lambda pts, t: exact_solution(pts[:, 0], pts[:, 1], t))
+            if cfg.ic == "riemann"
+            else (lambda pts, t: jnp.zeros(pts.shape[0], pts.dtype))
+        ),
+        u0_fn=initial_condition if cfg.ic == "riemann" else initial_condition_bump,
         dt=dt,
         num_steps=num_steps,
     )

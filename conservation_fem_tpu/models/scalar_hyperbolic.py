@@ -46,6 +46,8 @@ from conservation_fem_tpu.ops import stabilization as stab
 @dataclasses.dataclass(frozen=True)
 class HyperbolicConfig:
     stabilization: str = "rv"      # rv | si | gfem
+    residual_scheme: str = "bdf2"  # bdf2 (ref KPP_NodeRV.py:131) | bdf1
+                                   # (ref Burger_RV.py:144, RV_cell.py:169)
     Cvel: float = 0.5
     CRV: float = 4.0
     Cm: float = 1.0
@@ -117,13 +119,15 @@ class HyperbolicProblem:
         return assembly.assemble_eps_stiffness(self.mesh, eps)
 
     def _residual_bdf2(self, u_n, u_old, u_old_old):
-        """BDF2 residual projection with RH|bc = 0 (ref KPP_NodeRV.py:131-145)."""
+        """BDF1/BDF2 residual projection with RH|bc = 0
+        (ref KPP_NodeRV.py:131-145 bdf2; Burger_RV.py:144 bdf1)."""
         m, dt = self.mesh, self.dt
         bc = m.boundary_mask
-        rhs = (
-            ell_matvec(m, self.M, (3.0 * u_n - 4.0 * u_old + u_old_old) / (2.0 * dt))
-            + self._nonlinear_rhs(u_n)
-        )
+        if self.cfg.residual_scheme == "bdf1":
+            du = (u_n - u_old) / dt
+        else:
+            du = (3.0 * u_n - 4.0 * u_old + u_old_old) / (2.0 * dt)
+        rhs = ell_matvec(m, self.M, du) + self._nonlinear_rhs(u_n)
         rhs = jnp.where(bc, 0.0, rhs)
         diag = jnp.where(bc, 1.0, ell_diag(m, self.M))
         op = lambda x: constrained_matvec(m, self.M, x, bc)

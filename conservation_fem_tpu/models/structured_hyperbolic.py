@@ -45,10 +45,11 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
 
     def _residual_bdf2_2d(self, u2, uo2, uoo2):
         sd, dt = self.sd, self.dt
-        rhs = (
-            st.mass_matvec(sd, (3.0 * u2 - 4.0 * uo2 + uoo2) / (2.0 * dt))
-            + st.nonlinear_rhs(sd, u2, self.flux_prime)
-        )
+        if self.cfg.residual_scheme == "bdf1":
+            du = (u2 - uo2) / dt
+        else:
+            du = (3.0 * u2 - 4.0 * uo2 + uoo2) / (2.0 * dt)
+        rhs = st.mass_matvec(sd, du) + st.nonlinear_rhs(sd, u2, self.flux_prime)
         rhs = jnp.where(sd.bc2, 0.0, rhs)
         diag = jnp.where(sd.bc2, 1.0, sd.diagM2)
         op = lambda x2: st.constrained_matvec(sd, sd.M_coef, x2)

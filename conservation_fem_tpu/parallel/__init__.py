@@ -1,1 +1,1 @@
-from conservation_fem_tpu.parallel import sharded  # noqa: F401
+from conservation_fem_tpu.parallel import sharded, structured_sharded  # noqa: F401

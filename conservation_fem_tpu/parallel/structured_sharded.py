@@ -1,0 +1,327 @@
+"""Domain-decomposed stencil solver: grid rows sharded over a device mesh
+with one-row halo exchange — the TPU equivalent of the reference's MPI
+mesh partitioning (SURVEY.md section 2.8: DOLFINx ghost nodes +
+``b.ghostUpdate(ADD, REVERSE)``, ref Code/Linear_advection/
+linear_advection.py:165).
+
+Decomposition: the (n1x, n1y) node grid of the structured backend
+(ops/structured.py) is split into contiguous row blocks, one per device on
+a 1D jax Mesh axis "i" (rows padded to a multiple of the device count;
+padding rows are inert Dirichlet rows). Everything runs inside one
+``shard_map``:
+
+  * stencil matvec: one-row halo exchange via ``jax.lax.ppermute`` (the
+    ghost update), then shifted-slice MACs on the extended block;
+  * cell kernels (flux residual, Keps/Jacobian assembly): each device owns
+    the quad rows starting at its node rows; boundary-row contributions are
+    shipped to the next device with ppermute and accumulated — exactly the
+    ADD/REVERSE ghost pattern;
+  * Krylov dot products and the RV normalization reductions use
+    ``psum``/``pmax`` over the axis;
+  * the whole stabilized time step (residual CG -> RV epsilon -> Newton CN
+    with assembled stencil Jacobians) runs SPMD, so the lax.scan time loop
+    is a single jitted multi-device program.
+
+Correctness contract (tested on a virtual 8-device CPU mesh): bit-level
+agreement with the single-device stencil backend up to f64 roundoff.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
+
+from conservation_fem_tpu.ops import structured as st
+from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.newton import newton_solve
+
+OFFSETS = st.OFFSETS
+CORNERS = st.CORNERS
+
+
+class ShardedStructuredKPP:
+    """Sharded KPP-style RV solver over a structured grid.
+
+    Built from an existing StructuredHyperbolicProblem; public solve()
+    matches the single-device API (flat global vectors in/out).
+    """
+
+    def __init__(self, problem, device_mesh: DeviceMesh, axis: str = "i"):
+        self.p = problem
+        self.dmesh = device_mesh
+        self.axis = axis
+        sd = problem.sd
+        self.nx, self.ny = sd.nx, sd.ny
+        n1x, n1y = self.nx + 1, self.ny + 1
+        n_dev = device_mesh.shape[axis]
+        self.n_dev = n_dev
+        L = -(-n1x // n_dev)          # rows per device
+        self.L = L
+        self.pad_rows = L * n_dev - n1x
+        self.n1y = n1y
+        dtype = problem.u0.dtype
+        self.dtype = dtype
+
+        def pad_global(x2, fill=0.0):
+            return jnp.pad(x2, ((0, self.pad_rows), (0, 0)),
+                           constant_values=fill)
+
+        self._pad_global = pad_global
+        shard = NamedSharding(device_mesh, P(axis, None))
+        # static per-device data
+        bc2 = pad_global(sd.bc2, True)         # padded rows pinned
+        self.bc2_s = jax.device_put(bc2, shard)
+        Mc = jnp.stack([pad_global(sd.M_coef[k]) for k in range(len(OFFSETS))],
+                       axis=1)                  # (7, rows, n1y) -> put rows axis 1
+        # store coefs as (rows, 7, n1y) so the row axis is shardable first
+        self.Mc_s = jax.device_put(jnp.moveaxis(jnp.stack(
+            [pad_global(sd.M_coef[k]) for k in range(len(OFFSETS))]), 0, 1), shard)
+        self.h_s = jax.device_put(pad_global(sd.h_cg2), shard)
+        # valid-node mask (excludes padding rows)
+        valid = pad_global(jnp.ones((n1x, n1y), dtype), 0.0)
+        self.valid_s = jax.device_put(valid, shard)
+        self.g_const = jnp.asarray(np.pi / 4.0, dtype)
+        self.shard = shard
+
+    # -- halo primitives (inside shard_map) ----------------------------------
+
+    def _halo(self, x, fill=0.0):
+        """(L, n1y) -> (L+2, n1y) with halo rows from neighbors; grid ends
+        get `fill`."""
+        ax, n = self.axis, self.n_dev
+        up = jax.lax.ppermute(x[-1:], ax, [(d, d + 1) for d in range(n - 1)])
+        down = jax.lax.ppermute(x[:1], ax, [(d, d - 1) for d in range(1, n)])
+        idx = jax.lax.axis_index(ax)
+        up = jnp.where(idx == 0, fill, up)
+        down = jnp.where(idx == n - 1, fill, down)
+        return jnp.concatenate([up, x, down], axis=0)
+
+    def _matvec(self, coef, x):
+        """coef (L, 7, n1y), x (L, n1y) -> (L, n1y)."""
+        L, n1y = x.shape
+        xe = jnp.pad(self._halo(x), ((0, 0), (1, 1)))
+        out = jnp.zeros_like(x)
+        for k, (di, dj) in enumerate(OFFSETS):
+            out = out + coef[:, k, :] * jax.lax.dynamic_slice(
+                xe, (1 + di, 1 + dj), (L, n1y)
+            )
+        return out
+
+    def _quad_row_mask(self):
+        """(L,) True where the local quad row exists globally (< nx)."""
+        idx = jax.lax.axis_index(self.axis)
+        g = idx * self.L + jnp.arange(self.L)
+        return g < self.nx
+
+    def _cell_gather(self, x):
+        """x (L, n1y) -> (2, L, ny, 3) at triangle corners (local quad rows)."""
+        xe = self._halo(x)                     # rows offset +1
+        L, ny = self.L, self.ny
+        out = []
+        for t in range(2):
+            cs = [
+                jax.lax.dynamic_slice(xe, (1 + di, dj), (L, ny))
+                for (di, dj) in CORNERS[t]
+            ]
+            out.append(jnp.stack(cs, axis=-1))
+        return jnp.stack(out)
+
+    def _node_scatter(self, vals):
+        """(2, L, ny, 3) -> (L, n1y) nodal sums with boundary-row shipping."""
+        L, ny, n1y = self.L, self.ny, self.n1y
+        qm = self._quad_row_mask()[None, :, None, None]
+        vals = jnp.where(qm, vals, 0.0)
+        out = jnp.zeros((L + 1, n1y), vals.dtype)
+        for t in range(2):
+            for a, (di, dj) in enumerate(CORNERS[t]):
+                out = out.at[di:di + L, dj:dj + ny].add(vals[t, :, :, a])
+        ship = jax.lax.ppermute(
+            out[-1:], self.axis, [(d, d + 1) for d in range(self.n_dev - 1)]
+        )
+        idx = jax.lax.axis_index(self.axis)
+        ship = jnp.where(idx == 0, 0.0, ship)
+        return out[:L].at[:1].add(ship)
+
+    def _local_to_stencil(self, loc):
+        """(2, L, ny, 3, 3) -> (L, 7, n1y) stencil planes with row shipping."""
+        L, ny, n1y = self.L, self.ny, self.n1y
+        qm = self._quad_row_mask()[None, :, None, None, None]
+        loc = jnp.where(qm, loc, 0.0)
+        coef = jnp.zeros((L + 1, len(OFFSETS), n1y), loc.dtype)
+        for t in range(2):
+            cs = CORNERS[t]
+            for a in range(3):
+                dai, daj = cs[a]
+                for b in range(3):
+                    off = (cs[b][0] - dai, cs[b][1] - daj)
+                    pidx = st._PLANE[off]
+                    coef = coef.at[dai:dai + L, pidx, daj:daj + ny].add(
+                        loc[t, :, :, a, b]
+                    )
+        ship = jax.lax.ppermute(
+            coef[-1:], self.axis, [(d, d + 1) for d in range(self.n_dev - 1)]
+        )
+        idx = jax.lax.axis_index(self.axis)
+        ship = jnp.where(idx == 0, 0.0, ship)
+        return coef[:L].at[:1].add(ship)
+
+    # -- FEM pieces -----------------------------------------------------------
+
+    def _pdot(self, a, b):
+        return jax.lax.psum(jnp.vdot(a, b), self.axis)
+
+    def _nonlinear_rhs(self, x, sd_phi, sd_qw, grads, area):
+        u_cell = self._cell_gather(x)                 # (2,L,ny,3)
+        u_q = jnp.einsum("qa,txya->txyq", sd_phi, u_cell)
+        fp = self.p.flux_prime(u_q)
+        gu = jnp.einsum("txya,tad->txyd", u_cell, grads)
+        conv = jnp.einsum("txyqd,txyd->txyq", fp, gu)
+        vals = 2.0 * area * jnp.einsum("q,txyq,qa->txya", sd_qw, conv, sd_phi)
+        return self._node_scatter(vals)
+
+    def _keps(self, eps, grads, area):
+        e_cell = self._cell_gather(eps).mean(axis=-1)
+        gg = jnp.einsum("tad,tbd->tab", grads, grads)
+        loc = area * e_cell[..., None, None] * gg[:, None, None, :, :]
+        return self._local_to_stencil(loc)
+
+    def _flux_jac(self, x, sd_phi, sd_qw, grads, area):
+        u_cell = self._cell_gather(x)
+        u_q = jnp.einsum("qa,txya->txyq", sd_phi, u_cell)
+        fp, fpp = jax.jvp(self.p.flux_prime, (u_q,), (jnp.ones_like(u_q),))
+        gu = jnp.einsum("txya,tad->txyd", u_cell, grads)
+        t1 = jnp.einsum("txyqd,txyd->txyq", fpp, gu)
+        term1 = jnp.einsum("q,txyq,qa,qb->txyab", sd_qw, t1, sd_phi, sd_phi)
+        t2 = jnp.einsum("txyqd,tbd->txyqb", fp, grads)
+        term2 = jnp.einsum("q,qa,txyqb->txyab", sd_qw, sd_phi, t2)
+        return self._local_to_stencil(2.0 * area * (term1 + term2))
+
+    def _patch_reduce(self, x, reducer, pad_val, valid):
+        x_masked = jnp.where(valid > 0, x, pad_val)
+        xe = jnp.pad(self._halo(x_masked, fill=pad_val), ((0, 0), (1, 1)),
+                     constant_values=pad_val)
+        L, n1y = x.shape
+        acc = x_masked
+        for (di, dj) in OFFSETS[1:]:
+            acc = reducer(acc, jax.lax.dynamic_slice(xe, (1 + di, 1 + dj), (L, n1y)))
+        return acc
+
+    # -- step -----------------------------------------------------------------
+
+    def make_step(self):
+        p, cfg = self.p, self.p.cfg
+        sd = p.sd
+        dt = p.dt
+        phi, qw = sd.phi, sd.qw
+        grads, area = sd.grads, sd.area
+        axis = self.axis
+
+        def step_local(bc2, Mc, h2, valid, u, uo, uoo):
+            pdot = self._pdot
+            # residual projection
+            if cfg.residual_scheme == "bdf1":
+                du = (u - uo) / dt
+            else:
+                du = (3.0 * u - 4.0 * uo + uoo) / (2.0 * dt)
+            rhs = self._matvec(Mc, du) + self._nonlinear_rhs(u, phi, qw, grads, area)
+            rhs = jnp.where(bc2, 0.0, rhs)
+            diagM = jnp.where(bc2, 1.0, Mc[:, 0, :])
+
+            def c_mv(coef):
+                def mv(x):
+                    x_in = jnp.where(bc2, 0.0, x)
+                    return jnp.where(bc2, x, self._matvec(coef, x_in))
+                return mv
+
+            RH = cg(c_mv(Mc), rhs, precond=jacobi_preconditioner(diagM),
+                    rtol=cfg.krylov_rtol, dot=pdot).x
+            # RV epsilon with psum'd global normalization
+            nvalid = jax.lax.psum(valid.sum(), axis)
+            mean_u = jax.lax.psum((u * valid).sum(), axis) / nvalid
+            abs_term = jax.lax.pmax(
+                jnp.abs(jnp.where(valid > 0, u - mean_u, 0.0)).max(), axis
+            )
+            u_max = self._patch_reduce(u, jnp.maximum, -jnp.inf, valid)
+            u_min = self._patch_reduce(u, jnp.minimum, jnp.inf, valid)
+            n_i = jnp.abs((u_max - u_min) - abs_term)
+            Rh_i = self._patch_reduce(jnp.abs(RH), jnp.maximum, -jnp.inf, valid)
+            tiny = jnp.asarray(
+                1e-300 if u.dtype == jnp.float64 else 1e-30, u.dtype
+            )
+            beta = self._patch_reduce(
+                p.flux_prime_norm(u), jnp.maximum, -jnp.inf, valid
+            )
+            eps = jnp.minimum(
+                cfg.Cvel * h2 * beta,
+                cfg.CRV * h2**2 * jnp.abs(Rh_i / jnp.maximum(n_i, tiny)),
+            )
+            eps = jnp.where(valid > 0, eps, 0.0)
+            # Newton CN
+            Kc = self._keps(eps, grads, area)
+            N_un = self._nonlinear_rhs(u, phi, qw, grads, area)
+            Kc_un = self._matvec(Kc, u)
+            base = Mc + 0.5 * dt * Kc
+            g2 = self.g_const
+
+            def residual(v):
+                F = (
+                    self._matvec(Mc, v - u)
+                    + 0.5 * dt * (self._nonlinear_rhs(v, phi, qw, grads, area) + N_un)
+                    + 0.5 * dt * (self._matvec(Kc, v) + Kc_un)
+                )
+                return jnp.where(bc2, v - g2, F)
+
+            def jacobian(v):
+                J = base + 0.5 * dt * self._flux_jac(v, phi, qw, grads, area)
+                pre = jacobi_preconditioner(jnp.where(bc2, 1.0, J[:, 0, :]))
+                return c_mv(J), pre
+
+            u_init = jnp.where(bc2, g2, u)
+            res = newton_solve(
+                residual, u_init,
+                rtol=cfg.newton_rtol, atol=cfg.newton_atol,
+                max_it=cfg.newton_max_it, criterion="residual",
+                linear_rtol=cfg.newton_linear_rtol or cfg.krylov_rtol,
+                jacobian_fn=jacobian, freeze_jacobian=cfg.modified_newton,
+                dot=pdot,
+            )
+            return res.u, u, uo
+
+        smapped = shard_map(
+            step_local,
+            mesh=self.dmesh,
+            in_specs=(P(self.axis, None),) * 7,
+            out_specs=(P(self.axis, None),) * 3,
+        )
+        return smapped
+
+    def solve(self):
+        p = self.p
+        step = self.make_step()
+        u0 = self._pad_global(p.u0.reshape(self.nx + 1, self.n1y))
+        u0 = jax.device_put(u0, self.shard)
+
+        @jax.jit
+        def _run(u0):
+            def body(carry, _):
+                u, uo, uoo = carry
+                return step(self.bc2_s, self.Mc_s, self.h_s, self.valid_s,
+                            u, uo, uoo), None
+
+            (u, _, _), _ = jax.lax.scan(body, (u0, u0, u0), None,
+                                        length=p.num_steps)
+            return u
+
+        u = _run(u0)
+        u = u[: self.nx + 1].reshape(-1)
+        return u
+
+
+def shard_structured(problem, device_mesh: DeviceMesh, axis="i"):
+    return ShardedStructuredKPP(problem, device_mesh, axis)

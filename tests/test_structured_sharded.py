@@ -1,0 +1,43 @@
+"""Domain-decomposed stencil solver vs single-device: exact agreement on a
+virtual 8-device mesh (the reference has no distributed tests — this is
+the halo-exchange correctness gate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conservation_fem_tpu.models import kpp
+from conservation_fem_tpu.parallel.structured_sharded import shard_structured
+
+
+@pytest.fixture(scope="module")
+def device_mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8
+    return jax.sharding.Mesh(np.array(devs[:8]), ("i",))
+
+
+def test_sharded_structured_matches_single(device_mesh):
+    cfg = kpp.KPPConfig(mesh_size=4, T=0.05, backend="stencil")
+    p_single = kpp.build(cfg)
+    res_single = p_single.solve()
+
+    p = kpp.build(cfg)
+    sh = shard_structured(p, device_mesh)
+    u_sh = sh.solve()
+    np.testing.assert_allclose(
+        np.asarray(u_sh), np.asarray(res_single.u), atol=1e-10
+    )
+
+
+def test_sharded_structured_uneven_rows(device_mesh):
+    """Row count not divisible by device count exercises the padding path
+    (mesh_size=3 -> 13 node rows over 8 devices)."""
+    cfg = kpp.KPPConfig(mesh_size=3, T=0.03, backend="stencil")
+    res_single = kpp.build(cfg).solve()
+    sh = shard_structured(kpp.build(cfg), device_mesh)
+    u_sh = sh.solve()
+    np.testing.assert_allclose(
+        np.asarray(u_sh), np.asarray(res_single.u), atol=1e-10
+    )
