@@ -64,6 +64,7 @@ class HyperbolicConfig:
     # iteration (same residual tolerance; used by the TPU bench path)
     modified_newton: bool = False
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
+    use_pallas: bool = False       # fused Pallas CG on the stencil backend
     dtype: str = "float64"
     record_metrics: bool = False
 

@@ -51,6 +51,11 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             du = (3.0 * u2 - 4.0 * uo2 + uoo2) / (2.0 * dt)
         rhs = st.mass_matvec(sd, du) + st.nonlinear_rhs(sd, u2, self.flux_prime)
         rhs = jnp.where(sd.bc2, 0.0, rhs)
+        if self.cfg.use_pallas:
+            from conservation_fem_tpu.ops import pallas_stencil as pk
+
+            return pk.cg_solve(sd.M_coef, rhs, sd.bc2, sd.diagM2,
+                               rtol=self.cfg.krylov_rtol)
         diag = jnp.where(sd.bc2, 1.0, sd.diagM2)
         op = lambda x2: st.constrained_matvec(sd, sd.M_coef, x2)
         return cg(op, rhs, precond=jacobi_preconditioner(diag),
