@@ -51,6 +51,7 @@ class EulerConfig:
     rho_floor: float = 1e-10
     dtype: str = "float64"
     record_metrics: bool = False
+    backend: str = "auto"         # auto (stencil on structured) | ell
 
 
 _PROBLEMS = {
@@ -100,6 +101,10 @@ class EulerProblem(NamedTuple):
     dt: float
     num_steps: int
     U0: object            # (N,4)
+    sd: object = None     # StructuredData (stencil backend) or None
+    Cx_c: object = None   # (7,n1x,n1y) stencil Cx
+    Cy_c: object = None
+    ml2: object = None    # lumped mass on the grid
 
 
 def primitives(U, gamma, rho_floor):
@@ -147,7 +152,15 @@ def build(cfg: EulerConfig | None = None, host_mesh: Mesh | None = None, **kw):
     beta0 = wavespeed(U0, cfg.gamma, cfg.rho_floor)
     dt = cfg.CFL * float(host_mesh.hmin) / float(beta0.max())
     num_steps = int(np.ceil(T / dt))
-    return EulerProblem(cfg, host_mesh, m, Cx, Cy, ml, h_cg, dt, num_steps, U0)
+    sd = Cx_c = Cy_c = ml2 = None
+    if cfg.backend == "auto":
+        from conservation_fem_tpu.ops import structured as stn
+
+        sd = stn.build_structured(host_mesh, cfg.nx, ny, dtype)
+        Cx_c, Cy_c = stn.directional_convection_coefs(sd)
+        ml2 = stn.lumped_mass_grid(sd)
+    return EulerProblem(cfg, host_mesh, m, Cx, Cy, ml, h_cg, dt, num_steps, U0,
+                        sd, Cx_c, Cy_c, ml2)
 
 
 def _div_flux(p: EulerProblem, U):
@@ -192,6 +205,46 @@ def step(p: EulerProblem, carry, _):
     return (U2, U), None
 
 
+# ---------------------------------------------------------------------------
+# stencil (gather-free) step — identical math on (4, n1x, n1y) grids
+# ---------------------------------------------------------------------------
+
+
+def _step_structured(p: EulerProblem, carry, _):
+    from conservation_fem_tpu.ops import structured as stn
+
+    cfg = p.cfg
+    sd = p.sd
+    U, U_old = carry                                  # (4, n1x, n1y)
+    flat = lambda G: jnp.moveaxis(G, 0, -1).reshape(-1, 4)
+    grid = lambda V: jnp.moveaxis(V.reshape(sd.nx + 1, sd.ny + 1, 4), -1, 0)
+
+    def div_flux(Ug):
+        Fx, Fy = flux(flat(Ug), cfg.gamma, cfg.rho_floor)
+        Fxg, Fyg = grid(Fx), grid(Fy)
+        return jnp.stack([
+            stn.matvec(sd, p.Cx_c, Fxg[k]) + stn.matvec(sd, p.Cy_c, Fyg[k])
+            for k in range(4)
+        ])
+
+    def rhs(Ug, Kc):
+        visc = jnp.stack([stn.matvec(sd, Kc, Ug[k]) for k in range(4)])
+        dU = -(div_flux(Ug) + visc) / p.ml2[None]
+        return jnp.where(sd.bc2[None], 0.0, dU)
+
+    rho_dot = (U[0] - U_old[0]) / p.dt
+    div_m = (stn.matvec(sd, p.Cx_c, U[1]) + stn.matvec(sd, p.Cy_c, U[2])) / p.ml2
+    R = rho_dot + div_m
+    beta2 = wavespeed(flat(U), cfg.gamma, cfg.rho_floor).reshape(
+        sd.nx + 1, sd.ny + 1
+    )
+    eps = stn.rv_epsilon_system_grid(sd, cfg.Cvel, cfg.CRV, U[0], R, beta2)
+    Kc = stn.keps_coef(sd, eps)
+    U1 = U + p.dt * rhs(U, Kc)
+    U2 = 0.5 * U + 0.5 * (U1 + p.dt * rhs(U1, Kc))
+    return (U2, U), None
+
+
 class EulerResult(NamedTuple):
     U: object
     dt: float
@@ -199,6 +252,22 @@ class EulerResult(NamedTuple):
 
 
 def solve(p: EulerProblem) -> EulerResult:
+    if p.sd is not None:
+        sd = p.sd
+
+        @jax.jit
+        def _run_st(U0):
+            U0g = jnp.moveaxis(
+                U0.reshape(sd.nx + 1, sd.ny + 1, 4), -1, 0
+            )
+            (U, _), _ = jax.lax.scan(
+                lambda c, x: _step_structured(p, c, x), (U0g, U0g), None,
+                length=p.num_steps,
+            )
+            return jnp.moveaxis(U, 0, -1).reshape(-1, 4)
+
+        return EulerResult(_run_st(p.U0), p.dt, p.num_steps)
+
     @jax.jit
     def _run(U0):
         (U, _), _ = jax.lax.scan(

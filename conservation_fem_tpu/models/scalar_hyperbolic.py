@@ -215,7 +215,17 @@ class HyperbolicProblem:
 
     # -- driver -------------------------------------------------------------
 
-    def solve(self):
+    def solve(self, checkpoint_path: str | None = None,
+              checkpoint_every: int = 0, resume: bool = False):
+        """Run the time loop. With checkpoint_path + checkpoint_every the
+        scan runs in chunks and the solver carry (u_n, u_old, u_old_old)
+        plus the step index are snapshotted between chunks; resume=True
+        restarts from the stored snapshot (the reference has no resume —
+        SURVEY.md section 5)."""
+        if checkpoint_path and checkpoint_every > 0:
+            return self._solve_checkpointed(
+                checkpoint_path, checkpoint_every, resume
+            )
         if self._solve_jit is None:
 
             @jax.jit
@@ -228,6 +238,41 @@ class HyperbolicProblem:
             self._solve_jit = _run
         u, metrics = self._solve_jit(self.u0)
         return SolveResult(u=u, metrics=metrics, dt=self.dt, num_steps=self.num_steps)
+
+    def _solve_checkpointed(self, path, every, resume):
+        import os
+
+        from conservation_fem_tpu.utils.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        @partial(jax.jit, static_argnums=2)
+        def _chunk(carry, start_step, n):
+            ts = (start_step + jnp.arange(n, dtype=carry[0].dtype) + 1.0) * self.dt
+            carry, _ = jax.lax.scan(
+                lambda c, t: (self.step(c, t)[0], None), carry, ts
+            )
+            return carry
+
+        step0 = 0
+        carry = (self.u0, self.u0, self.u0)
+        if resume and os.path.exists(path):
+            ck = load_checkpoint(path)
+            step0 = ck.step
+            carry = tuple(
+                jnp.asarray(ck.arrays[k], self.u0.dtype)
+                for k in ("u_n", "u_old", "u_old_old")
+            )
+        s = step0
+        while s < self.num_steps:
+            n = min(every, self.num_steps - s)
+            carry = _chunk(carry, jnp.asarray(s, self.u0.dtype), n)
+            s += n
+            save_checkpoint(path, step=s, t=s * self.dt,
+                            u_n=carry[0], u_old=carry[1], u_old_old=carry[2])
+        return SolveResult(u=carry[0], metrics=None, dt=self.dt,
+                           num_steps=self.num_steps)
 
 
 class SolveResult(NamedTuple):

@@ -208,6 +208,42 @@ def _patch_reduce(x2, reducer, pad_val):
     return acc
 
 
+def directional_convection_coefs(sd: StructuredData):
+    """Stencil forms of Cx, Cy with (Cd)_ab = (A/3) g_b[d] per cell
+    (cf. assembly.assemble_directional_convection; group-FEM Euler)."""
+    nx, ny = sd.nx, sd.ny
+    coefs = []
+    for d in range(2):
+        loc_t = sd.area / 3.0 * sd.grads[:, :, d]          # (2,3): per type, b
+        loc = jnp.broadcast_to(
+            loc_t[:, None, None, None, :], (2, nx, ny, 3, 3)
+        )
+        coefs.append(local_to_stencil(sd, loc))
+    return coefs[0], coefs[1]
+
+
+def lumped_mass_grid(sd: StructuredData):
+    """Row-sum lumped mass on the grid: M_coef applied to ones."""
+    ones = jnp.ones((sd.nx + 1, sd.ny + 1), sd.M_coef.dtype)
+    return matvec(sd, sd.M_coef, ones)
+
+
+def rv_epsilon_system_grid(sd: StructuredData, Cvel, Crv, rho2, Rh2, beta2):
+    """Grid version of stabilization.rv_epsilon_system (Euler: density
+    normalization, precomputed wavespeed field)."""
+    abs_term = jnp.abs(rho2 - rho2.mean()).max()
+    r_max = _patch_reduce(rho2, jnp.maximum, -jnp.inf)
+    r_min = _patch_reduce(rho2, jnp.minimum, jnp.inf)
+    n_i = jnp.abs((r_max - r_min) - abs_term)
+    Rh_i = _patch_reduce(jnp.abs(Rh2), jnp.maximum, -jnp.inf)
+    tiny = jnp.asarray(1e-300 if rho2.dtype == jnp.float64 else 1e-30, rho2.dtype)
+    beta_i = _patch_reduce(beta2, jnp.maximum, -jnp.inf)
+    return jnp.minimum(
+        Cvel * sd.h_cg2 * beta_i,
+        Crv * sd.h_cg2**2 * jnp.abs(Rh_i / jnp.maximum(n_i, tiny)),
+    )
+
+
 def rv_epsilon(sd: StructuredData, Cvel, Crv, u2, Rh2, fprime_norm):
     """Grid version of stabilization.rv_epsilon_nonlinear (ref RV.py:56-90)."""
     abs_term = jnp.abs(u2 - u2.mean()).max()

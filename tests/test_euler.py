@@ -53,3 +53,12 @@ def test_riemann2d_stable_positive():
     assert float(pr.min()) >= 1e-10
     # overshoot bounded: config-3 max density ~1.75 behind the four shocks
     assert rho.max() < 2.5
+
+
+def test_stencil_backend_matches_ell():
+    p1 = euler.build(problem="sod", nx=40, backend="auto")
+    p2 = euler.build(problem="sod", nx=40, backend="ell")
+    r1, r2 = euler.solve(p1), euler.solve(p2)
+    np.testing.assert_allclose(
+        np.asarray(r1.U), np.asarray(r2.U), atol=1e-12
+    )

@@ -92,3 +92,23 @@ def test_cli_advection():
     from conservation_fem_tpu.__main__ import main
 
     assert main(["advection", "--mesh_size", "8", "--T", "0.05"]) == 0
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    """Chunked + resumed KPP runs equal the single-scan run exactly."""
+    import jax.numpy as jnp
+
+    from conservation_fem_tpu.models import kpp
+
+    ck = str(tmp_path / "kpp.npz")
+    cfg = kpp.KPPConfig(mesh_size=4, T=0.1)
+    r_plain = kpp.build(cfg).solve()
+    r_ck = kpp.build(cfg).solve(checkpoint_path=ck, checkpoint_every=3)
+    np.testing.assert_array_equal(np.asarray(r_plain.u), np.asarray(r_ck.u))
+    # interrupt after 6 steps, then resume to the end
+    p = kpp.build(cfg)
+    p.num_steps = 6
+    p.solve(checkpoint_path=ck + "2", checkpoint_every=3)
+    r_res = kpp.build(cfg).solve(checkpoint_path=ck + "2",
+                                 checkpoint_every=3, resume=True)
+    np.testing.assert_array_equal(np.asarray(r_plain.u), np.asarray(r_res.u))
