@@ -99,14 +99,25 @@ class HyperbolicProblem:
         self.dt = float(dt)
         self.num_steps = int(num_steps)
         self.M = assembly.assemble_mass(m)
-        self.h_cg = get_nodal_h(m, mass_ell=self.M)
         self.u0 = u0_fn(m.points[:, 0], m.points[:, 1]).astype(dtype)
-        if cfg.stabilization == "si":
-            K = assembly.assemble_stiffness(m)
-            self.K_bc = ell_with_bc(m, K, m.boundary_mask)
-        else:
-            self.K_bc = None
+        self._h_cg = None
+        self._K_bc = None
         self._solve_jit = None
+
+    @property
+    def h_cg(self):
+        """Nodal h (mass-solve projection), computed lazily — the stencil
+        backend never touches the ELL version (uniform-mesh h is exact)."""
+        if self._h_cg is None:
+            self._h_cg = get_nodal_h(self.mesh, mass_ell=self.M)
+        return self._h_cg
+
+    @property
+    def K_bc(self):
+        if self._K_bc is None and self.cfg.stabilization == "si":
+            K = assembly.assemble_stiffness(self.mesh)
+            self._K_bc = ell_with_bc(self.mesh, K, self.mesh.boundary_mask)
+        return self._K_bc
 
     # -- step pieces --------------------------------------------------------
 
