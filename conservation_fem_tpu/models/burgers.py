@@ -154,7 +154,7 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
     )
     use_stencil = (
         cfg.backend in ("auto", "stencil") and built_structured
-        and cfg.stabilization in ("rv", "gfem") and cfg.smooth_l == 0
+        and cfg.stabilization in ("rv", "si", "gfem")
     )
     if cfg.backend == "ell":
         use_stencil = False

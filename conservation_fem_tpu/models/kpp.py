@@ -98,7 +98,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
     use_stencil = (
         cfg.backend in ("auto", "stencil")
         and cfg.mesh_source == "structured"
-        and cfg.stabilization in ("rv", "gfem")
+        and cfg.stabilization in ("rv", "si", "gfem")
     )
     if cfg.backend == "ell":
         use_stencil = False

@@ -32,13 +32,15 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
     stencil kernels so far (SI needs the bc-applied stiffness gather)."""
 
     def init_structured(self, nx: int, ny: int):
-        if self.cfg.stabilization not in ("rv", "gfem"):
+        if self.cfg.stabilization not in ("rv", "si", "gfem"):
             raise NotImplementedError(
-                "stencil backend supports rv/gfem stabilization"
+                "stencil backend supports rv/si/gfem stabilization"
             )
         dtype = self.u0.dtype
         self.sd = st.build_structured(self.host_mesh, nx, ny, dtype)
         self._shape2 = (nx + 1, ny + 1)
+        if self.cfg.stabilization == "si":
+            self._K_bc_coef = st.stiffness_bc_coef(self.sd)
         return self
 
     # -- 2D pipeline ---------------------------------------------------------
@@ -97,17 +99,26 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         u_n, u_old, u_old_old = carry
         sh = self._shape2
         u2, uo2, uoo2 = (v.reshape(sh) for v in (u_n, u_old, u_old_old))
-        RH2 = self._residual_bdf2_2d(u2, uo2, uoo2)
         if self.cfg.stabilization == "rv":
+            RH2 = self._residual_bdf2_2d(u2, uo2, uoo2)
             eps2 = st.rv_epsilon(
                 self.sd, self.cfg.Cvel, self.cfg.CRV, u2, RH2,
                 self.flux_prime_norm,
+            )
+        elif self.cfg.stabilization == "si":
+            beta2 = self.flux_prime_norm(u2)
+            eps2 = st.si_epsilon_grid(
+                self.sd, self.cfg.Cm, self._K_bc_coef, u2, beta2,
+                eps_floor=self.cfg.si_eps,
             )
         else:
             eps2 = jnp.zeros_like(u2)
         g2 = self.bc_value(self.mesh.points, t).reshape(sh)
         res = self._newton_cn_2d(u2, eps2, g2)
-        uh = res.u.reshape(-1)
+        uh = res.u
+        if self.cfg.smooth_l > 0:
+            uh = st.smooth_vector_grid(self.sd, uh, self.cfg.smooth_l)
+        uh = uh.reshape(-1)
         metrics = None
         if self.cfg.record_metrics:
             metrics = {

@@ -228,6 +228,48 @@ def lumped_mass_grid(sd: StructuredData):
     return matvec(sd, sd.M_coef, ones)
 
 
+def stiffness_bc_coef(sd: StructuredData):
+    """bc-applied stiffness as stencil planes: rows/cols at Dirichlet nodes
+    zeroed, unit diagonal (cf. bc.ell_with_bc; the SI kernel reads these
+    entries, ref Code/Linear_advection/smoothness.py:147-149)."""
+    nx, ny = sd.nx, sd.ny
+    gg = jnp.einsum("tad,tbd->tab", sd.grads, sd.grads)
+    loc = jnp.broadcast_to(
+        (sd.area * gg)[:, None, None, :, :], (2, nx, ny, 3, 3)
+    )
+    K = local_to_stencil(sd, loc)
+    bc = sd.bc2
+    bcp = jnp.pad(bc, 1)
+    n1x, n1y = nx + 1, ny + 1
+    planes = []
+    for k, (di, dj) in enumerate(OFFSETS):
+        nbr_bc = jax.lax.dynamic_slice(bcp, (1 + di, 1 + dj), (n1x, n1y))
+        v = jnp.where(bc | nbr_bc, 0.0, K[k])
+        if k == 0:
+            v = jnp.where(bc, 1.0, v)
+        planes.append(v)
+    return jnp.stack(planes)
+
+
+def si_epsilon_grid(sd: StructuredData, Cm, K_bc_coef, u2, beta2,
+                    eps_floor=1e-8):
+    """Grid SI (cf. stabilization.si_epsilon, ref SI.py:38-67):
+    alpha_i = |sum_k b_ik du_ik| / max(sum_k |b_ik||du_ik|, eps),
+    eps_i = psi(alpha_i) Cm h_i beta_i."""
+    n1x, n1y = u2.shape
+    up = jnp.pad(u2, 1)
+    num = jnp.zeros_like(u2)
+    den = jnp.zeros_like(u2)
+    for k, (di, dj) in enumerate(OFFSETS[1:], start=1):
+        du = jax.lax.dynamic_slice(up, (1 + di, 1 + dj), (n1x, n1y)) - u2
+        b = K_bc_coef[k]
+        num = num + b * du
+        den = den + jnp.abs(b) * jnp.abs(du)
+    alpha = jnp.abs(num) / jnp.maximum(den, eps_floor)
+    psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
+    return psi * Cm * sd.h_cg2 * beta2
+
+
 def rv_epsilon_system_grid(sd: StructuredData, Cvel, Crv, rho2, Rh2, beta2):
     """Grid version of stabilization.rv_epsilon_system (Euler: density
     normalization, precomputed wavespeed field)."""
@@ -242,6 +284,21 @@ def rv_epsilon_system_grid(sd: StructuredData, Cvel, Crv, rho2, Rh2, beta2):
         Cvel * sd.h_cg2 * beta_i,
         Crv * sd.h_cg2**2 * jnp.abs(Rh_i / jnp.maximum(n_i, tiny)),
     )
+
+
+def smooth_vector_grid(sd: StructuredData, u2, l):
+    """Grid version of stabilization.smooth_vector (ref helpers.py:40-50,
+    Jacobi variant): u_i <- (sum_{j!=i} u_j + (l-1) d u_i) / (l d)."""
+    n1x, n1y = u2.shape
+    up = jnp.pad(u2, 1)
+    onesp = jnp.pad(jnp.ones_like(u2), 1)
+    nbr_sum = jnp.zeros_like(u2)
+    d = jnp.zeros_like(u2)
+    for (di, dj) in OFFSETS[1:]:
+        nbr_sum = nbr_sum + jax.lax.dynamic_slice(up, (1 + di, 1 + dj), (n1x, n1y))
+        d = d + jax.lax.dynamic_slice(onesp, (1 + di, 1 + dj), (n1x, n1y))
+    d = jnp.maximum(d, 1.0)
+    return (nbr_sum + (l - 1.0) * d * u2) / (l * d)
 
 
 def rv_epsilon(sd: StructuredData, Cvel, Crv, u2, Rh2, fprime_norm):

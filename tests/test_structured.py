@@ -79,3 +79,22 @@ def test_full_kpp_solve_matches_ell_backend():
     np.testing.assert_allclose(
         np.asarray(r_st.u), np.asarray(r_ell.u), atol=1e-10
     )
+
+
+def test_si_stencil_matches_ell():
+    r1 = kpp.build(kpp.KPPConfig(mesh_size=4, T=0.05, stabilization="si",
+                                 backend="stencil")).solve()
+    r2 = kpp.build(kpp.KPPConfig(mesh_size=4, T=0.05, stabilization="si",
+                                 backend="ell")).solve()
+    np.testing.assert_allclose(np.asarray(r1.u), np.asarray(r2.u), atol=1e-12)
+
+
+def test_smoothing_stencil_matches_ell():
+    from conservation_fem_tpu.models import burgers
+
+    p1 = burgers.build(burgers.BurgersConfig(
+        mesh_size=20, stabilization="si", smooth_l=4.0, backend="stencil", T=0.1))
+    p2 = burgers.build(burgers.BurgersConfig(
+        mesh_size=20, stabilization="si", smooth_l=4.0, backend="ell", T=0.1))
+    np.testing.assert_allclose(
+        np.asarray(p1.solve().u), np.asarray(p2.solve().u), atol=1e-10)
