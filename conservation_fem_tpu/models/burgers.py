@@ -51,6 +51,7 @@ class BurgersConfig:
     backend: str = "auto"          # auto | stencil | ell
     ic: str = "riemann"            # riemann | bump (ref Burger_RV.py)
     residual_scheme: str = "bdf2"  # Burger_RV.py used bdf1 (:144)
+    degree: int = 1                # 2 = higher_order_SI.py parity (P2)
 
 
 def initial_condition_bump(x, y):
@@ -129,6 +130,9 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
     m = host_mesh.device_arrays(jnp.dtype(cfg.dtype))
     h_cg = get_nodal_h(m)
     dt = cfg.CFL * float(h_cg.min())
+    if cfg.degree > 1:
+        # ref higher_order_SI.py:104 — dt scaled by 1/degree^2
+        dt = dt / cfg.degree**2
     num_steps = int(np.ceil(cfg.T / dt))
     hcfg = HyperbolicConfig(
         stabilization=cfg.stabilization,
@@ -139,16 +143,26 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
         residual_scheme=cfg.residual_scheme,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
     )
+    bc_fn = (
+        (lambda pts, t: exact_solution(pts[:, 0], pts[:, 1], t))
+        if cfg.ic == "riemann"
+        else (lambda pts, t: jnp.zeros(pts.shape[0], pts.dtype))
+    )
+    ic_fn = initial_condition if cfg.ic == "riemann" else initial_condition_bump
+    if cfg.degree > 1:
+        from conservation_fem_tpu.models.pk_hyperbolic import PkHyperbolicProblem
+
+        return PkHyperbolicProblem(
+            hcfg, host_mesh, cfg.degree,
+            flux_prime=flux_prime, flux_prime_norm=flux_prime_norm,
+            bc_value=bc_fn, u0_fn=ic_fn, dt=dt, num_steps=num_steps,
+        )
     prob = HyperbolicProblem(
         hcfg, host_mesh,
         flux_prime=flux_prime,
         flux_prime_norm=flux_prime_norm,
-        bc_value=(
-            (lambda pts, t: exact_solution(pts[:, 0], pts[:, 1], t))
-            if cfg.ic == "riemann"
-            else (lambda pts, t: jnp.zeros(pts.shape[0], pts.dtype))
-        ),
-        u0_fn=initial_condition if cfg.ic == "riemann" else initial_condition_bump,
+        bc_value=bc_fn,
+        u0_fn=ic_fn,
         dt=dt,
         num_steps=num_steps,
     )
@@ -166,14 +180,17 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
 
 
 def l2_error_vs_exact(problem: HyperbolicProblem, u, t):
-    """L2 error against the exact solution interpolated into P1 — matching
-    assemble_scalar((uh - u_exact)**2 dx) with u_exact a P1 interpolant
-    (ref Exact_Burger_RV_conv.py:223)."""
-    m = problem.mesh
-    u_ex = exact_solution(m.points[:, 0], m.points[:, 1], t)
-    d = u - u_ex
+    """L2 error against the exact solution interpolated into the trial
+    space — matching assemble_scalar((uh - u_exact)**2 dx) with u_exact an
+    interpolant (ref Exact_Burger_RV_conv.py:223). Works for P1 and Pk."""
     from conservation_fem_tpu.ops.spmv import ell_matvec
 
+    m = problem.mesh
+    pts = getattr(m, "points", None)
+    if pts is None:           # Pk space: dofs at lattice coords
+        pts = m.dof_coords
+    u_ex = exact_solution(pts[:, 0], pts[:, 1], t)
+    d = u - u_ex
     return jnp.sqrt(d @ ell_matvec(m, problem.M, d))
 
 

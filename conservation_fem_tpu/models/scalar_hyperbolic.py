@@ -99,6 +99,7 @@ class HyperbolicProblem:
         self.dt = float(dt)
         self.num_steps = int(num_steps)
         self.M = assembly.assemble_mass(m)
+        self._bc_points = m.points
         self.u0 = u0_fn(m.points[:, 0], m.points[:, 1]).astype(dtype)
         self._h_cg = None
         self._K_bc = None
@@ -129,6 +130,9 @@ class HyperbolicProblem:
     def _assemble_keps(self, eps):
         """eps-weighted stiffness in ELL form; overridable (sharded path)."""
         return assembly.assemble_eps_stiffness(self.mesh, eps)
+
+    def _assemble_flux_jacobian(self, u):
+        return assembly.assemble_flux_jacobian(self.mesh, u, self.flux_prime)
 
     def _residual_bdf2(self, u_n, u_old, u_old_old):
         """BDF1/BDF2 residual projection with RH|bc = 0
@@ -184,7 +188,7 @@ class HyperbolicProblem:
             """Assembled exact Jacobian J = M + dt/2 (C'(u) + Keps) as an
             ELL matrix: inner Krylov iterations become single SpMVs
             (the jvp path would re-quadrature the flux every iteration)."""
-            Cu = assembly.assemble_flux_jacobian(m, u, self.flux_prime)
+            Cu = self._assemble_flux_jacobian(u)
             J = base + 0.5 * dt * Cu
             matvec = lambda v: constrained_matvec(m, J, v, bc)
             pre = jacobi_preconditioner(jnp.where(bc, 1.0, ell_diag(m, J)))
@@ -207,7 +211,7 @@ class HyperbolicProblem:
         u_n, u_old, u_old_old = carry
         RH = self._residual_bdf2(u_n, u_old, u_old_old)
         eps = self._epsilon(u_n, RH)
-        g = self.bc_value(self.mesh.points, t)
+        g = self.bc_value(self._bc_points, t)
         res = self._newton_cn(u_n, eps, g)
         uh = res.u
         if self.cfg.smooth_l > 0:

@@ -87,6 +87,22 @@ def convection_rhs_flux(sp: SpaceArrays, u, fprime):
     return scatter_vector(sp, vals)
 
 
+def assemble_flux_jacobian(sp: SpaceArrays, u, fprime):
+    """ELL assembly of d/du N(u) in the Pk space
+    (cf. assembly.assemble_flux_jacobian for the closed-form P1 version)."""
+    g = _phys_grads(sp)                                   # (M,Q,n,2)
+    u_cell = u[sp.cell_dofs]
+    u_q = jnp.einsum("qc,mc->mq", sp.phi, u_cell)
+    fp, fpp = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
+    grad_u = jnp.einsum("mc,mqcd->mqd", u_cell, g)
+    t1 = jnp.einsum("mqd,mqd->mq", fpp, grad_u)
+    term1 = jnp.einsum("q,mq,qa,qb->mab", sp.quad_w, t1, sp.phi, sp.phi)
+    t2 = jnp.einsum("mqd,mqbd->mqb", fp, g)
+    term2 = jnp.einsum("q,qa,mqb->mab", sp.quad_w, sp.phi, t2)
+    vals = 2.0 * sp.area[:, None, None] * (term1 + term2)
+    return scatter_matrix(sp, vals)
+
+
 def mass_apply(sp: SpaceArrays, u):
     loc = jnp.einsum("q,qa,qb->ab", sp.quad_w, sp.phi, sp.phi)
     u_cell = u[sp.cell_dofs]

@@ -57,3 +57,24 @@ def test_dt_formula():
     assert p.num_steps == int(np.ceil(0.5 / p.dt))
     # structured unit square N=50: h = min edge = 1/50, h_CG ~ 1/50
     assert 0.009 < p.dt < 0.011
+
+
+def test_p2_si_burgers_runs():
+    """P2 SI Burgers — higher_order_SI.py parity (dt scaled by 1/degree^2)."""
+    p = burgers.build(burgers.BurgersConfig(
+        mesh_size=25, degree=2, stabilization="si", T=0.25,
+        record_metrics=True))
+    res = p.solve()
+    assert bool(res.metrics["newton_converged"].all())
+    err = float(burgers.l2_error_vs_exact(p, res.u, 0.25))
+    assert np.isfinite(err) and err < 0.3, err
+    # dt scaling vs the P1 problem
+    p1 = burgers.build(burgers.BurgersConfig(mesh_size=25, T=0.25))
+    assert abs(p.dt - p1.dt / 4) < 1e-12
+
+
+def test_p2_rv_burgers_runs():
+    p = burgers.build(burgers.BurgersConfig(
+        mesh_size=25, degree=2, stabilization="rv", T=0.25))
+    res = p.solve()
+    assert np.isfinite(np.asarray(res.u)).all()
