@@ -101,10 +101,14 @@ class EulerProblem(NamedTuple):
     dt: float
     num_steps: int
     U0: object            # (N,4)
+    bc_mask: object = None  # Dirichlet (frozen far-field) nodes
     sd: object = None     # StructuredData (stencil backend) or None
     Cx_c: object = None   # (7,n1x,n1y) stencil Cx
     Cy_c: object = None
     ml2: object = None    # lumped mass on the grid
+    bc2: object = None    # grid form of bc_mask
+    slip_mask: object = None   # y-wall nodes where m_y is zeroed (slip wall)
+    slip2: object = None
 
 
 def primitives(U, gamma, rho_floor):
@@ -152,15 +156,36 @@ def build(cfg: EulerConfig | None = None, host_mesh: Mesh | None = None, **kw):
     beta0 = wavespeed(U0, cfg.gamma, cfg.rho_floor)
     dt = cfg.CFL * float(host_mesh.hmin) / float(beta0.max())
     num_steps = int(np.ceil(T / dt))
-    sd = Cx_c = Cy_c = ml2 = None
+    # Dirichlet far-field: for the quasi-1D Sod tube only the x-ends are
+    # frozen (waves run in x; the y-walls carry v = 0 flow and stay free —
+    # the strong-form div discretization has no wall flux term). The 2D
+    # problems freeze the whole far-field boundary.
+    slip_np = np.zeros(host_mesh.n_nodes, dtype=bool)
+    if cfg.problem == "sod":
+        x = np.asarray(host_mesh.points[:, 0])
+        bc_np = host_mesh.boundary_mask & (
+            np.isclose(x, p0[0]) | np.isclose(x, p1[0])
+        )
+        # slip walls: zero normal momentum on the y-walls (standard for the
+        # quasi-1D tube; without it flow leaks through the free walls)
+        slip_np = host_mesh.boundary_mask & ~bc_np
+    else:
+        bc_np = host_mesh.boundary_mask
+    bc_mask = jnp.asarray(bc_np)
+    slip_mask = jnp.asarray(slip_np)
+    sd = Cx_c = Cy_c = ml2 = bc2 = None
     if cfg.backend == "auto":
         from conservation_fem_tpu.ops import structured as stn
 
         sd = stn.build_structured(host_mesh, cfg.nx, ny, dtype)
         Cx_c, Cy_c = stn.directional_convection_coefs(sd)
         ml2 = stn.lumped_mass_grid(sd)
+        bc2 = jnp.asarray(bc_np.reshape(cfg.nx + 1, ny + 1))
+        slip2 = jnp.asarray(slip_np.reshape(cfg.nx + 1, ny + 1))
+    else:
+        slip2 = None
     return EulerProblem(cfg, host_mesh, m, Cx, Cy, ml, h_cg, dt, num_steps, U0,
-                        sd, Cx_c, Cy_c, ml2)
+                        bc_mask, sd, Cx_c, Cy_c, ml2, bc2, slip_mask, slip2)
 
 
 def _div_flux(p: EulerProblem, U):
@@ -182,7 +207,7 @@ def _rhs(p: EulerProblem, U, Keps):
         [ell_matvec(p.mesh, Keps, U[:, k]) for k in range(4)], axis=1
     )
     dU = -(_div_flux(p, U) + visc) / p.ml[:, None]
-    return jnp.where(p.mesh.boundary_mask[:, None], 0.0, dU)
+    return jnp.where(p.bc_mask[:, None], 0.0, dU)
 
 
 def step(p: EulerProblem, carry, _):
@@ -199,9 +224,13 @@ def step(p: EulerProblem, carry, _):
         p.mesh, cfg.Cvel, cfg.CRV, U[:, 0], beta, R, p.h_cg
     )
     Keps = assembly.assemble_eps_stiffness(p.mesh, eps)
-    # SSP-RK2 (Heun)
-    U1 = U + p.dt * _rhs(p, U, Keps)
-    U2 = 0.5 * U + 0.5 * (U1 + p.dt * _rhs(p, U1, Keps))
+
+    def slip(Uv):
+        return Uv.at[:, 2].set(jnp.where(p.slip_mask, 0.0, Uv[:, 2]))
+
+    # SSP-RK2 (Heun) with slip-wall projection after each stage
+    U1 = slip(U + p.dt * _rhs(p, U, Keps))
+    U2 = slip(0.5 * U + 0.5 * (U1 + p.dt * _rhs(p, U1, Keps)))
     return (U2, U), None
 
 
@@ -230,7 +259,7 @@ def _step_structured(p: EulerProblem, carry, _):
     def rhs(Ug, Kc):
         visc = jnp.stack([stn.matvec(sd, Kc, Ug[k]) for k in range(4)])
         dU = -(div_flux(Ug) + visc) / p.ml2[None]
-        return jnp.where(sd.bc2[None], 0.0, dU)
+        return jnp.where(p.bc2[None], 0.0, dU)
 
     rho_dot = (U[0] - U_old[0]) / p.dt
     div_m = (stn.matvec(sd, p.Cx_c, U[1]) + stn.matvec(sd, p.Cy_c, U[2])) / p.ml2
@@ -240,8 +269,12 @@ def _step_structured(p: EulerProblem, carry, _):
     )
     eps = stn.rv_epsilon_system_grid(sd, cfg.Cvel, cfg.CRV, U[0], R, beta2)
     Kc = stn.keps_coef(sd, eps)
-    U1 = U + p.dt * rhs(U, Kc)
-    U2 = 0.5 * U + 0.5 * (U1 + p.dt * rhs(U1, Kc))
+
+    def slip(Ug):
+        return Ug.at[2].set(jnp.where(p.slip2, 0.0, Ug[2]))
+
+    U1 = slip(U + p.dt * rhs(U, Kc))
+    U2 = slip(0.5 * U + 0.5 * (U1 + p.dt * rhs(U1, Kc)))
     return (U2, U), None
 
 
