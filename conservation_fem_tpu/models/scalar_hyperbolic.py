@@ -37,7 +37,7 @@ from conservation_fem_tpu.ops import assembly
 from conservation_fem_tpu.ops.bc import constrained_matvec, constrain_residual, ell_with_bc
 from conservation_fem_tpu.ops.helpers import get_nodal_h
 from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
-from conservation_fem_tpu.ops.mesh import Mesh, MeshArrays
+from conservation_fem_tpu.ops.mesh import Mesh
 from conservation_fem_tpu.ops.newton import newton_solve
 from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
 from conservation_fem_tpu.ops import stabilization as stab

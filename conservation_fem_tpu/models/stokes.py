@@ -23,7 +23,6 @@ quadrature RHS terms, jitted in one lax.scan.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import NamedTuple
 
 import jax

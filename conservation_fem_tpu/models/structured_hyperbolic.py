@@ -18,12 +18,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from conservation_fem_tpu.models.scalar_hyperbolic import (
-    HyperbolicProblem,
-    SolveResult,
-)
+from conservation_fem_tpu.models.scalar_hyperbolic import HyperbolicProblem
 from conservation_fem_tpu.ops import structured as st
-from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
 from conservation_fem_tpu.ops.newton import newton_solve
 
 

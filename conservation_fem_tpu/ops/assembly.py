@@ -22,8 +22,6 @@ that stabilization kernels (SI) can read matrix entries per patch directly
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,6 @@ with psum-reductions in the sharded path, see parallel/dist_krylov.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

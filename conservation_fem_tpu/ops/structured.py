@@ -22,7 +22,6 @@ Neighbor offsets (self + 6): (0,0),(1,0),(-1,0),(0,1),(0,-1),(1,1),(-1,-1).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

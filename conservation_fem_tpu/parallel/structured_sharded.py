@@ -28,8 +28,6 @@ agreement with the single-device stencil backend up to f64 roundoff.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +36,7 @@ from jax import shard_map
 from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 from conservation_fem_tpu.ops import structured as st
-from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
 from conservation_fem_tpu.ops.newton import newton_solve
 
 OFFSETS = st.OFFSETS

@@ -11,7 +11,6 @@ are ParaView-compatible and cross-readable with FEniCSx tooling.
 from __future__ import annotations
 
 import os
-from typing import Iterable
 
 import numpy as np
 

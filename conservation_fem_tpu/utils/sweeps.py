@@ -10,7 +10,6 @@ Parity with the reference's sweep scripts:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 
