@@ -208,10 +208,14 @@ def l1_error_vs_exact(problem: HyperbolicProblem, u, t):
 
 
 def run(cfg: BurgersConfig | None = None, **kw):
-    p = build(cfg, **kw)
+    if cfg is None:
+        cfg = BurgersConfig(**kw)
+    p = build(cfg)
     res = p.solve()
-    # error measured at t = num_steps * dt (the reference compares against
-    # the exact field at T=0.5 even though the loop overshoots slightly;
-    # ref Exact_Burger_RV_conv.py:223 uses u_exact at t=0.5)
-    err = l2_error_vs_exact(p, res.u, 0.5)
+    # For the standard T=0.5 run the reference compares against the exact
+    # field at exactly t=0.5 even though the loop overshoots slightly
+    # (ref Exact_Burger_RV_conv.py:223); for truncated runs compare at the
+    # actual end time.
+    t_cmp = 0.5 if cfg.T == 0.5 else res.num_steps * res.dt
+    err = l2_error_vs_exact(p, res.u, t_cmp)
     return res, float(err)
