@@ -115,12 +115,6 @@ def _assemble_edge_blocks(space, sp, fd):
     return jnp.asarray(out.reshape(2, 2, n2, K), dtype=dtype)
 
 
-def _edge_pressure_vec_data(space, sp, fd):
-    """Precompute for int p n . v ds: per edge, P1 pressure vertex dofs and
-    the tested P2 dof coefficients. Returns host closure applied per step."""
-    return fd
-
-
 def build(cfg: StokesConfig | None = None, host_mesh: Mesh | None = None, **kw):
     if cfg is None:
         cfg = StokesConfig(**kw)

@@ -75,8 +75,6 @@ class ShardedStructuredKPP:
         # static per-device data
         bc2 = pad_global(sd.bc2, True)         # padded rows pinned
         self.bc2_s = jax.device_put(bc2, shard)
-        Mc = jnp.stack([pad_global(sd.M_coef[k]) for k in range(len(OFFSETS))],
-                       axis=1)                  # (7, rows, n1y) -> put rows axis 1
         # store coefs as (rows, 7, n1y) so the row axis is shardable first
         self.Mc_s = jax.device_put(jnp.moveaxis(jnp.stack(
             [pad_global(sd.M_coef[k]) for k in range(len(OFFSETS))]), 0, 1), shard)

@@ -3,6 +3,7 @@ from conservation_fem_tpu.utils import (  # noqa: F401
     checkpoint,
     convergence,
     guards,
+    interpolate,
     io,
     metrics,
     plotting,
