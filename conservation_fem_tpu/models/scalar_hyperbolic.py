@@ -65,6 +65,10 @@ class HyperbolicConfig:
     modified_newton: bool = False
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
     use_pallas: bool = False       # fused Pallas CG on the stencil backend
+    # unstructured operator application: "gather" (XLA gather ELL SpMV) or
+    # "banded" (RCM diagonals, gather-free; 3.2x faster on TPU — requires an
+    # RCM-ordered mesh for a small bandwidth)
+    ell_matvec_backend: str = "gather"
     dtype: str = "float64"
     record_metrics: bool = False
 
@@ -99,6 +103,11 @@ class HyperbolicProblem:
         self.dt = float(dt)
         self.num_steps = int(num_steps)
         self.M = assembly.assemble_mass(m)
+        self._bplan = None
+        if cfg.ell_matvec_backend == "banded":
+            from conservation_fem_tpu.ops.banded import make_banded_plan
+
+            self._bplan = make_banded_plan(host_mesh)
         self._bc_points = m.points
         self.u0 = u0_fn(m.points[:, 0], m.points[:, 1]).astype(dtype)
         self._h_cg = None
@@ -119,6 +128,16 @@ class HyperbolicProblem:
             K = assembly.assemble_stiffness(self.mesh)
             self._K_bc = ell_with_bc(self.mesh, K, self.mesh.boundary_mask)
         return self._K_bc
+
+    def _linear_op(self, A_ell):
+        """(matvec, diag) for an assembled ELL operator, honoring the
+        configured application backend (gather vs banded diagonals)."""
+        if self._bplan is not None:
+            from conservation_fem_tpu.ops.banded import banded_matvec, ell_to_banded
+
+            band = ell_to_banded(self._bplan, A_ell)
+            return (lambda x: banded_matvec(band, x)), band[self._bplan.bandwidth]
+        return (lambda x: ell_matvec(self.mesh, A_ell, x)), ell_diag(self.mesh, A_ell)
 
     # -- step pieces --------------------------------------------------------
 
@@ -143,10 +162,11 @@ class HyperbolicProblem:
             du = (u_n - u_old) / dt
         else:
             du = (3.0 * u_n - 4.0 * u_old + u_old_old) / (2.0 * dt)
-        rhs = ell_matvec(m, self.M, du) + self._nonlinear_rhs(u_n)
+        M_mv, M_diag = self._linear_op(self.M)
+        rhs = M_mv(du) + self._nonlinear_rhs(u_n)
         rhs = jnp.where(bc, 0.0, rhs)
-        diag = jnp.where(bc, 1.0, ell_diag(m, self.M))
-        op = lambda x: constrained_matvec(m, self.M, x, bc)
+        diag = jnp.where(bc, 1.0, M_diag)
+        op = lambda x: jnp.where(bc, x, M_mv(jnp.where(bc, 0.0, x)))
         return cg(op, rhs, precond=jacobi_preconditioner(diag),
                   rtol=self.cfg.krylov_rtol).x
 
@@ -172,13 +192,15 @@ class HyperbolicProblem:
         bc = m.boundary_mask
         Keps = self._assemble_keps(eps)
         N_un = self._nonlinear_rhs(u_n)
-        Keps_un = ell_matvec(m, Keps, u_n)
+        M_mv, _ = self._linear_op(self.M)
+        K_mv, _ = self._linear_op(Keps)
+        Keps_un = K_mv(u_n)
 
         def residual(v):
             F = (
-                ell_matvec(m, self.M, v - u_n)
+                M_mv(v - u_n)
                 + 0.5 * dt * (self._nonlinear_rhs(v) + N_un)
-                + 0.5 * dt * (ell_matvec(m, Keps, v) + Keps_un)
+                + 0.5 * dt * (K_mv(v) + Keps_un)
             )
             return constrain_residual(F, v, g, bc)
 
@@ -190,8 +212,9 @@ class HyperbolicProblem:
             (the jvp path would re-quadrature the flux every iteration)."""
             Cu = self._assemble_flux_jacobian(u)
             J = base + 0.5 * dt * Cu
-            matvec = lambda v: constrained_matvec(m, J, v, bc)
-            pre = jacobi_preconditioner(jnp.where(bc, 1.0, ell_diag(m, J)))
+            J_mv, J_diag = self._linear_op(J)
+            matvec = lambda v: jnp.where(bc, v, J_mv(jnp.where(bc, 0.0, v)))
+            pre = jacobi_preconditioner(jnp.where(bc, 1.0, J_diag))
             return matvec, pre
 
         u_init = jnp.where(bc, g, u_n)

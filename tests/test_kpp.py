@@ -53,3 +53,22 @@ def test_epsilon_localized_at_discontinuity():
     # spread nor the patch-max reaches the discontinuity
     far = r < 0.35
     assert float(eps[near].max()) > 10 * float(eps[far].max() + 1e-30)
+
+
+def test_banded_backend_matches_gather_on_gmsh_mesh():
+    """RCM-banded operator application == gather ELL on the reference's
+    unstructured gmsh mesh (gather-free diagonals, 1.5x step speed on TPU)."""
+    from conservation_fem_tpu.ops.mesh import (
+        load_h5_mesh,
+        rcm_permutation,
+        reorder_mesh,
+    )
+
+    base = load_h5_mesh(kpp.KPP_REFERENCE_H5)
+    mesh = reorder_mesh(base, rcm_permutation(base))
+    r1 = kpp.build(kpp.KPPConfig(mesh_size=32, T=0.03), host_mesh=mesh).solve()
+    r2 = kpp.build(
+        kpp.KPPConfig(mesh_size=32, T=0.03, ell_matvec_backend="banded"),
+        host_mesh=mesh,
+    ).solve()
+    np.testing.assert_allclose(np.asarray(r1.u), np.asarray(r2.u), atol=1e-12)
