@@ -45,6 +45,7 @@ class PkHyperbolicProblem(HyperbolicProblem):
         self.u0 = u0_fn(sp.dof_coords[:, 0], sp.dof_coords[:, 1]).astype(dtype)
         self._h_cg = None
         self._K_bc = None
+        self._bplan = None        # banded backend is P1-only for now
         self._solve_jit = None
 
     @property
