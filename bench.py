@@ -65,6 +65,13 @@ def main():
     jax.block_until_ready(res.u)
     elapsed = time.perf_counter() - t0
     log(f"timed solve: {elapsed:.1f}s")
+    u = np.asarray(res.u)
+    if not np.isfinite(u).all() or u.min() < 0.5 or u.max() > 12.0:
+        print(json.dumps({"metric": "KPP-RV DOF-steps/sec/chip",
+                          "value": 0, "unit": "DOF-steps/s",
+                          "vs_baseline": 0,
+                          "error": "solution sanity check failed"}))
+        sys.exit(1)
     value = n_dofs * res.num_steps / elapsed
 
     # measured proxy baseline (same mesh, scipy sparse LU + python RV loop)

@@ -99,3 +99,35 @@ def test_rv_cell_full_trajectory_tracks(golden):
     d = jnp.asarray(final - ref)
     l2 = float(jnp.sqrt(d @ (p.M * d[p.mesh.patch_cols]).sum(1)))
     assert l2 < 2e-3, l2
+
+
+def test_own_golden_regression():
+    """Regression gate against this framework's own stored golden field
+    (golden/kpp_rv8.h5, f64 mesh-8 KPP RV at T=1): future refactors must
+    reproduce it to solver tolerance. A finer mesh-64 field
+    (golden/kpp_rv64.h5) is stored for convergence studies."""
+    from conservation_fem_tpu.models import kpp
+
+    res = kpp.run(kpp.KPPConfig(mesh_size=8))
+    err = kpp.compare_to_reference(
+        "golden/kpp_rv8.xdmf", res.u,
+        kpp.build(kpp.KPPConfig(mesh_size=8)).host_mesh,
+    )
+    assert err < 1e-8, err
+
+
+def test_coarse_converges_to_fine_golden():
+    """Cross-mesh: coarse runs approach the stored mesh-64 field."""
+    from conservation_fem_tpu.models import kpp
+    from conservation_fem_tpu.utils.interpolate import cross_mesh_l2
+    from conservation_fem_tpu.utils.io import read_h5_mesh, read_h5_series
+
+    fine_mesh = read_h5_mesh("golden/kpp_rv64.h5")
+    _, vals = read_h5_series("golden/kpp_rv64.h5", "uh")
+    u_fine = vals[-1]
+    errs = []
+    for ms in (8, 16):
+        p = kpp.build(kpp.KPPConfig(mesh_size=ms))
+        u = np.asarray(p.solve().u)
+        errs.append(cross_mesh_l2(fine_mesh, u_fine, p.host_mesh, u))
+    assert errs[1] < errs[0], errs
