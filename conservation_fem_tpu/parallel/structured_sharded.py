@@ -82,7 +82,12 @@ class ShardedStructuredKPP:
         # valid-node mask (excludes padding rows)
         valid = pad_global(jnp.ones((n1x, n1y), dtype), 0.0)
         self.valid_s = jax.device_put(valid, shard)
-        self.g_const = jnp.asarray(np.pi / 4.0, dtype)
+        # dof coordinates (padded, row-sharded) so bc_value callables can be
+        # evaluated per device block (time-dependent Dirichlet data)
+        pts2 = problem.mesh.points.reshape(n1x, n1y, 2)
+        pts_pad = jnp.pad(pts2, ((0, self.pad_rows), (0, 0), (0, 0)))
+        self.pts_s = jax.device_put(
+            pts_pad, NamedSharding(device_mesh, P(axis, None, None)))
         self.shard = shard
 
     # -- halo primitives (inside shard_map) ----------------------------------
@@ -218,7 +223,7 @@ class ShardedStructuredKPP:
         grads, area = sd.grads, sd.area
         axis = self.axis
 
-        def step_local(bc2, Mc, h2, valid, u, uo, uoo):
+        def step_local(bc2, Mc, h2, valid, pts, u, uo, uoo, t):
             pdot = self._pdot
             # residual projection
             if cfg.residual_scheme == "bdf1":
@@ -263,7 +268,7 @@ class ShardedStructuredKPP:
             N_un = self._nonlinear_rhs(u, phi, qw, grads, area)
             Kc_un = self._matvec(Kc, u)
             base = Mc + 0.5 * dt * Kc
-            g2 = self.g_const
+            g2 = p.bc_value(pts.reshape(-1, 2), t).reshape(u.shape)
 
             def residual(v):
                 F = (
@@ -292,7 +297,9 @@ class ShardedStructuredKPP:
         smapped = shard_map(
             step_local,
             mesh=self.dmesh,
-            in_specs=(P(self.axis, None),) * 7,
+            in_specs=(P(self.axis, None),) * 4
+            + (P(self.axis, None, None),)
+            + (P(self.axis, None),) * 3 + (P(),),
             out_specs=(P(self.axis, None),) * 3,
         )
         return smapped
@@ -305,12 +312,14 @@ class ShardedStructuredKPP:
 
         @jax.jit
         def _run(u0):
-            def body(carry, _):
+            ts = (jnp.arange(p.num_steps, dtype=u0.dtype) + 1.0) * p.dt
+
+            def body(carry, t):
                 u, uo, uoo = carry
                 return step(self.bc2_s, self.Mc_s, self.h_s, self.valid_s,
-                            u, uo, uoo), None
+                            self.pts_s, u, uo, uoo, t), None
 
-            (u, _, _), _ = jax.lax.scan(body, (u0, u0, u0), None,
+            (u, _, _), _ = jax.lax.scan(body, (u0, u0, u0), ts,
                                         length=p.num_steps)
             return u
 

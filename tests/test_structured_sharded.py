@@ -41,3 +41,17 @@ def test_sharded_structured_uneven_rows(device_mesh):
     np.testing.assert_allclose(
         np.asarray(u_sh), np.asarray(res_single.u), atol=1e-10
     )
+
+
+def test_sharded_burgers_time_dependent_bc(device_mesh):
+    """Sharded solver with time-dependent Dirichlet data (Burgers exact-bc)
+    matches the single-device stencil backend."""
+    from conservation_fem_tpu.models import burgers
+
+    cfg = burgers.BurgersConfig(mesh_size=12, T=0.05, backend="stencil")
+    res_single = burgers.build(cfg).solve()
+    sh = shard_structured(burgers.build(cfg), device_mesh)
+    u_sh = sh.solve()
+    np.testing.assert_allclose(
+        np.asarray(u_sh), np.asarray(res_single.u), atol=1e-10
+    )
