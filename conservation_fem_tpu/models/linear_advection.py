@@ -65,6 +65,9 @@ class AdvectionConfig:
     si_eps: float = 1e-8           # denominator floor (ref SI.py:186)
     discontinuous_ic: bool = False  # indicator-disk IC (ref RV_cell.py:44-45)
     krylov_rtol: float = 1e-12
+    # "banded": RCM-diagonal operator application (gather-free; requires an
+    # RCM-ordered mesh — build with reorder_mesh(rcm_permutation(m)))
+    ell_matvec_backend: str = "gather"
     dtype: str = "float64"
 
 
@@ -85,11 +88,12 @@ def velocity(points):
 
 @dataclasses.dataclass(frozen=True)
 class AdvectionProblem:
-    # static metadata (hashable; Mesh hashes by identity)
+    # static metadata (hashable; Mesh/BandedPlan hash by identity)
     cfg: AdvectionConfig
     host_mesh: Mesh
     dt: float
     num_steps: int
+    bplan: object        # BandedPlan or None
     # dynamic arrays
     mesh: MeshArrays
     w: object            # (N,2)
@@ -103,8 +107,18 @@ class AdvectionProblem:
 jax.tree_util.register_dataclass(
     AdvectionProblem,
     data_fields=["mesh", "w", "M", "C", "h_cg", "K_bc", "u0"],
-    meta_fields=["cfg", "host_mesh", "dt", "num_steps"],
+    meta_fields=["cfg", "host_mesh", "dt", "num_steps", "bplan"],
 )
+
+
+def _linear_op(p, A_ell):
+    """(matvec, diag) honoring the configured application backend."""
+    if p.bplan is not None:
+        from conservation_fem_tpu.ops.banded import banded_matvec, ell_to_banded
+
+        band = ell_to_banded(p.bplan, A_ell)
+        return (lambda x: banded_matvec(band, x)), band[p.bplan.bandwidth]
+    return (lambda x: ell_matvec(p.mesh, A_ell, x)), ell_diag(p.mesh, A_ell)
 
 
 def build(cfg: AdvectionConfig, host_mesh: Mesh | None = None) -> AdvectionProblem:
@@ -133,8 +147,13 @@ def build(cfg: AdvectionConfig, host_mesh: Mesh | None = None) -> AdvectionProbl
         K_bc = ell_with_bc(m, K, m.boundary_mask)
     icfn = initial_condition_discont if cfg.discontinuous_ic else initial_condition
     u0 = icfn(m.points[:, 0], m.points[:, 1]).astype(dtype)
+    bplan = None
+    if cfg.ell_matvec_backend == "banded":
+        from conservation_fem_tpu.ops.banded import make_banded_plan
+
+        bplan = make_banded_plan(host_mesh)
     return AdvectionProblem(
-        cfg=cfg, host_mesh=host_mesh, dt=dt, num_steps=num_steps,
+        cfg=cfg, host_mesh=host_mesh, dt=dt, num_steps=num_steps, bplan=bplan,
         mesh=m, w=w, M=M, C=C, h_cg=h_cg, K_bc=K_bc, u0=u0,
     )
 
@@ -155,11 +174,12 @@ def _cn_solve(p: AdvectionProblem, Keps, u_n, rtol):
     else:
         A = p.M + 0.5 * dt * p.C + 0.5 * dt * Keps
         B = p.M - 0.5 * dt * p.C - 0.5 * dt * Keps
-    b = ell_matvec(m, B, u_n)
-    b = jnp.where(bc, 0.0, b)
-    diag = jnp.where(bc, 1.0, ell_diag(m, A))
+    A_mv, A_diag = _linear_op(p, A)
+    B_mv, _ = _linear_op(p, B)
+    b = jnp.where(bc, 0.0, B_mv(u_n))
+    diag = jnp.where(bc, 1.0, A_diag)
     pre = jacobi_preconditioner(diag)
-    op = lambda x: constrained_matvec(m, A, x, bc)
+    op = lambda x: jnp.where(bc, x, A_mv(jnp.where(bc, 0.0, x)))
     res = bicgstab(op, b, x0=u_n, precond=pre, rtol=rtol)
     return res.x, res
 
@@ -169,10 +189,12 @@ def _residual_bdf1(p: AdvectionProblem, u_n, u_old, rtol):
     (ref RV_cell.py:169-174: LinearProblem(u v dx, ..., bcs=[bc]))."""
     m = p.mesh
     bc = m.boundary_mask
-    rhs = ell_matvec(m, p.M, (u_n - u_old) / p.dt) + ell_matvec(m, p.C, u_n)
+    M_mv, M_diag = _linear_op(p, p.M)
+    C_mv, _ = _linear_op(p, p.C)
+    rhs = M_mv((u_n - u_old) / p.dt) + C_mv(u_n)
     rhs = jnp.where(bc, 0.0, rhs)
-    diag = jnp.where(bc, 1.0, ell_diag(m, p.M))
-    op = lambda x: constrained_matvec(m, p.M, x, bc)
+    diag = jnp.where(bc, 1.0, M_diag)
+    op = lambda x: jnp.where(bc, x, M_mv(jnp.where(bc, 0.0, x)))
     res = cg(op, rhs, precond=jacobi_preconditioner(diag), rtol=rtol)
     return res.x
 

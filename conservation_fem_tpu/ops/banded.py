@@ -14,7 +14,7 @@ Newton iteration for state-dependent operators.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -23,8 +23,12 @@ import numpy as np
 from conservation_fem_tpu.ops.mesh import Mesh
 
 
-class BandedPlan(NamedTuple):
-    """Host-precomputed conversion plan ELL -> banded for one mesh."""
+@dataclasses.dataclass(frozen=True, eq=False)
+class BandedPlan:
+    """Host-precomputed conversion plan ELL -> banded for one mesh.
+
+    eq=False: identity hashing so the plan can ride through jit as static
+    metadata (its arrays become baked constants)."""
     bandwidth: int          # B
     flat_idx: object        # (N*K,) targets into the (2B+1)*N banded buffer
     mask: object            # (N*K,) validity

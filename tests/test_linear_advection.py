@@ -57,3 +57,21 @@ def test_boundary_stays_zero():
 def test_square_domain_runs():
     r = la.run(mesh_size=8, domain="square", T=0.1)
     assert np.isfinite(float(r.error_l2))
+
+
+def test_banded_backend_matches_gather():
+    """RCM-banded operators == gather ELL on the disk advection."""
+    from conservation_fem_tpu.ops.mesh import (
+        disk_mesh,
+        rcm_permutation,
+        reorder_mesh,
+    )
+
+    base = disk_mesh(1 / 8)
+    mesh = reorder_mesh(base, rcm_permutation(base))
+    cfg1 = la.AdvectionConfig(mesh_size=8, stabilization="rv_node", T=0.1)
+    cfg2 = la.AdvectionConfig(mesh_size=8, stabilization="rv_node", T=0.1,
+                              ell_matvec_backend="banded")
+    u1 = la.solve(la.build(cfg1, host_mesh=mesh)).u
+    u2 = la.solve(la.build(cfg2, host_mesh=mesh)).u
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-12)
