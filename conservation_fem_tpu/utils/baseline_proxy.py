@@ -45,6 +45,7 @@ class ScipyHyperbolicSolver:
 
     def __init__(self, host_mesh: Mesh, dt, Cvel, CRV, fprime, fprime_norm,
                  bc_value=np.pi / 4, newton_rtol=1e-4, newton_atol=1e-10):
+        # bc_value: scalar, or callable (points (N,2), t) -> (N,)
         self.m = host_mesh
         self.dt = dt
         self.Cvel, self.CRV = Cvel, CRV
@@ -160,7 +161,7 @@ class ScipyHyperbolicSolver:
 
     # -- step ---------------------------------------------------------------
 
-    def step(self, u_n, u_old, u_old_old):
+    def step(self, u_n, u_old, u_old_old, t=None):
         dt, bmask = self.dt, self.bmask
         rhs = self.M @ ((3 * u_n - 4 * u_old + u_old_old) / (2 * dt)) \
             + self.nonlinear_rhs(u_n)
@@ -170,7 +171,10 @@ class ScipyHyperbolicSolver:
         Keps = self._keps(eps)
         N_un = self.nonlinear_rhs(u_n)
         Keps_un = Keps @ u_n
-        g = np.full(self.n, self.bc_value)
+        if callable(self.bc_value):
+            g = np.asarray(self.bc_value(self.m.points, t))
+        else:
+            g = np.full(self.n, self.bc_value)
         u = u_n.copy()
         u[bmask] = g[bmask]
 
@@ -195,8 +199,8 @@ class ScipyHyperbolicSolver:
 
     def solve(self, u0, num_steps):
         u_n = u_old = u_old_old = u0.copy()
-        for _ in range(num_steps):
-            u, _ = self.step(u_n, u_old, u_old_old)
+        for i in range(num_steps):
+            u, _ = self.step(u_n, u_old, u_old_old, t=(i + 1) * self.dt)
             u_old_old, u_old, u_n = u_old, u_n, u
         return u_n
 
@@ -208,4 +212,28 @@ def make_kpp_proxy(host_mesh: Mesh, dt=0.01):
     return ScipyHyperbolicSolver(
         host_mesh, dt, Cvel=0.5, CRV=4.0,
         fprime=fprime, fprime_norm=fprime_norm, bc_value=np.pi / 4,
+    )
+
+
+def make_burgers_proxy(host_mesh: Mesh, dt):
+    """Burgers flux instantiation with the exact-solution time-dependent bc
+    (ref Exact_Burger_RV.py:33-35,110-111,171-176)."""
+    import numpy as _np
+
+    from conservation_fem_tpu.models.burgers import exact_solution
+
+    fprime = lambda u: _np.stack([u, u], axis=-1)
+    fprime_norm = lambda u: _np.sqrt(2.0) * _np.abs(u)
+
+    def bc(points, t):
+        import jax.numpy as jnp
+
+        return _np.asarray(
+            exact_solution(jnp.asarray(points[:, 0]), jnp.asarray(points[:, 1]),
+                           float(t))
+        )
+
+    return ScipyHyperbolicSolver(
+        host_mesh, dt, Cvel=0.5, CRV=10.0,
+        fprime=fprime, fprime_norm=fprime_norm, bc_value=bc,
     )

@@ -131,3 +131,24 @@ def test_coarse_converges_to_fine_golden():
         u = np.asarray(p.solve().u)
         errs.append(cross_mesh_l2(fine_mesh, u_fine, p.host_mesh, u))
     assert errs[1] < errs[0], errs
+
+
+def test_burgers_golden_regression():
+    from conservation_fem_tpu.models import burgers
+    from conservation_fem_tpu.utils.io import read_h5_series
+
+    p = burgers.build(burgers.BurgersConfig(mesh_size=50))
+    res = p.solve()
+    _, vals = read_h5_series("golden/burgers_rv50.h5", "uh")
+    assert np.abs(np.asarray(res.u) - vals[-1]).max() < 1e-9
+
+
+def test_euler_golden_regression():
+    from conservation_fem_tpu.models import euler
+    from conservation_fem_tpu.utils.io import read_h5_series
+
+    p = euler.build(problem="sod", nx=100)
+    res = euler.solve(p)
+    for k in range(4):
+        _, vals = read_h5_series("golden/euler_sod100.h5", f"U{k}")
+        assert np.abs(np.asarray(res.U[:, k]) - vals[-1]).max() < 1e-10, k
