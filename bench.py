@@ -44,7 +44,10 @@ def main():
         mesh_size=mesh_size, dtype=dtype,
         krylov_rtol=1e-5 if dtype == "float32" else 1e-12,
         newton_linear_rtol=1e-3 if dtype == "float32" else None,
-        modified_newton=(dtype == "float32"),
+        # modified (frozen-Jacobian) Newton is safe at the reference CFL
+        # (dt=0.01, h=1/32 -> CFL 0.32) but diverges once dt/h grows past
+        # ~1 (mesh 128); keep exact Newton there
+        modified_newton=(dtype == "float32" and mesh_size <= 64),
     )
     p = kpp.build(cfg)
     if dtype == "float32":

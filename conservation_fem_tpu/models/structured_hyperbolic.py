@@ -50,7 +50,13 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             du = (3.0 * u2 - 4.0 * uo2 + uoo2) / (2.0 * dt)
         rhs = st.mass_matvec(sd, du) + st.nonlinear_rhs(sd, u2, self.flux_prime)
         rhs = jnp.where(sd.bc2, 0.0, rhs)
-        if self.cfg.use_pallas:
+        # the fused Pallas CG keeps the whole grid + CG state in VMEM
+        # (~15 field-sized buffers); above ~12 MB it cannot fit the 16 MB
+        # scoped VMEM and Mosaic fails to compile — fall back to the
+        # composed XLA CG there (measured OOM at 513x513 f32).
+        n_elems = (sd.nx + 1) * (sd.ny + 1)
+        fits_vmem = 15 * n_elems * u2.dtype.itemsize < 12 * 2**20
+        if self.cfg.use_pallas and fits_vmem:
             from conservation_fem_tpu.ops import pallas_stencil as pk
 
             return pk.cg_solve(sd.M_coef, rhs, sd.bc2, sd.diagM2,

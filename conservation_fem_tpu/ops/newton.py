@@ -101,8 +101,15 @@ def newton_solve(
 
     # stagnation guard: in low precision (f32 on TPU) the residual floors
     # above rtol*||F0||; once an iteration fails to shrink the metric by
-    # 10%, further iterations are pure roundoff churn — stop and count the
-    # solve as converged-at-machine-floor.
+    # 10%, further iterations are pure roundoff churn — stop. A stalled
+    # solve only counts as converged if the metric actually reached the
+    # machine-floor neighborhood (sqrt(rtol) relative) — a *growing*
+    # metric (e.g. modified Newton diverging at large dt/h) must report
+    # converged=False so callers/guards can catch it.
+    stall_tol = jnp.sqrt(jnp.asarray(rtol, u0.dtype)) * (
+        r0_norm if criterion == "residual" else du0_norm
+    ) + atol
+
     def cond(state):
         u, F, metric, prev, k = state
         stalled = metric > 0.9 * prev
@@ -120,5 +127,5 @@ def newton_solve(
     u, F, metric, prev, k = jax.lax.while_loop(
         cond, body, (u1, F1, metric1, big, jnp.int32(1))
     )
-    stalled = metric > 0.9 * prev
-    return NewtonResult(u, k, (metric <= tol) | stalled, norm(F))
+    stalled_ok = (metric > 0.9 * prev) & (metric <= stall_tol)
+    return NewtonResult(u, k, (metric <= tol) | stalled_ok, norm(F))
