@@ -1,1 +1,7 @@
-from conservation_fem_tpu.parallel import sharded, structured_sharded  # noqa: F401
+from conservation_fem_tpu.parallel import (  # noqa: F401
+    euler_sharded,
+    partition,
+    sharded,
+    structured_sharded,
+    unstructured_sharded,
+)
