@@ -31,6 +31,23 @@ import numpy as np
 from conservation_fem_tpu.ops.mesh import Mesh, rcm_permutation, reorder_mesh
 
 
+class CellPartition(NamedTuple):
+    """Per-device cell blocks + extended-row scatter structure for fully
+    distributed assembly (ghostUpdate ADD/REVERSE for vectors and ELL
+    rows). Extended row index space per device: [0, n_own) owned rows,
+    [n_own, n_own + H) halo rows (same order as Partition.halo_src)."""
+    n_cell_max: int            # padded cells per device
+    cells_ext: np.ndarray      # (n_dev, C, 3) extended-row ids of cell nodes
+    cell_valid: np.ndarray     # (n_dev, C) real-cell mask
+    area: np.ndarray           # (n_dev, C)
+    grads: np.ndarray          # (n_dev, C, 3, 2)
+    cell_slots: np.ndarray     # (n_dev, C, 3, 3) K-slot of each (a,b) pair
+    # reverse exchange: owners pick contributions destined to their shared
+    # rows out of the all_gathered (n_dev*H,) halo-accumulation table
+    rev_src: np.ndarray        # (n_dev, S, R) flat indices into (n_dev*H,)
+    rev_mask: np.ndarray       # (n_dev, S, R)
+
+
 class Partition(NamedTuple):
     mesh: Mesh                 # RCM-reordered mesh
     n_dev: int
@@ -124,4 +141,87 @@ def build_partition(mesh: Mesh, n_dev: int, reorder: bool = True) -> Partition:
         halo_size=H, halo_src=halo_src,
         local_cols=local_cols, local_mask=local_mask,
         global_rows=global_rows,
+    )
+
+
+def build_cell_partition(part: Partition) -> CellPartition:
+    """Assign each cell to the device owning its first node; precompute
+    extended-row scatter targets and the reverse (ADD) exchange map."""
+    mesh, n_dev, n_own = part.mesh, part.n_dev, part.n_own
+    cells = mesh.cells.astype(np.int64)
+    owner_of = np.minimum(cells[:, 0] // n_own, n_dev - 1)
+    H, S = part.halo_size, part.shared_size
+
+    # per-device halo position lookup: global id -> halo slot
+    halo_pos = []
+    K = mesh.max_patch
+    cols, mask = mesh.patch_cols, mesh.patch_mask
+    n = mesh.n_nodes
+    halo_sets = []
+    for d in range(n_dev):
+        lo, hi = d * n_own, min((d + 1) * n_own, n)
+        c = cols[lo:hi][mask[lo:hi]]
+        halo_sets.append(np.unique(c[(c < lo) | (c >= hi)]))
+        halo_pos.append({int(g): j for j, g in enumerate(halo_sets[-1])})
+
+    C = max(int((owner_of == d).sum()) for d in range(n_dev))
+    cells_ext = np.zeros((n_dev, C, 3), dtype=np.int64)
+    cell_valid = np.zeros((n_dev, C), dtype=bool)
+    area = np.zeros((n_dev, C))
+    grads = np.zeros((n_dev, C, 3, 2))
+    cslots = np.zeros((n_dev, C, 3, 3), dtype=np.int64)
+
+    # global ELL slot of (row, col): exact masked match (rows are sorted on
+    # their real entries but padded with the row index, so no searchsorted)
+    def slot_of(row, col):
+        hit = np.nonzero((cols[row] == col) & mask[row])[0]
+        return int(hit[0])
+
+    for d in range(n_dev):
+        ids = np.nonzero(owner_of == d)[0]
+        lo = d * n_own
+        for k, cidx in enumerate(ids):
+            vs = cells[cidx]
+            ext = []
+            for g in vs:
+                if lo <= g < lo + n_own:
+                    ext.append(g - lo)
+                else:
+                    ext.append(n_own + halo_pos[d][int(g)])
+            cells_ext[d, k] = ext
+            cell_valid[d, k] = True
+            area[d, k] = mesh.area[cidx]
+            grads[d, k] = mesh.grads[cidx]
+            for a in range(3):
+                for b in range(3):
+                    cslots[d, k, a, b] = slot_of(int(vs[a]), int(vs[b]))
+
+    # reverse map: contributions accumulated at (src_dev, halo_slot j) with
+    # halo global id g belong to owner(g)'s shared slot for g
+    shared_lookup = {}
+    for d in range(n_dev):
+        lo, hi = d * n_own, min((d + 1) * n_own, n)
+        for j in range(S):
+            g = part.shared_idx[d, j] + lo
+            # padded duplicate slots map to the same g; first wins
+            if (d, int(g)) not in shared_lookup:
+                shared_lookup[(d, int(g))] = j
+    contribs = [[[] for _ in range(S)] for _ in range(n_dev)]
+    for src in range(n_dev):
+        for j, g in enumerate(halo_sets[src]):
+            own = min(int(g) // n_own, n_dev - 1)
+            sj = shared_lookup[(own, int(g))]
+            contribs[own][sj].append(src * H + j)
+    R = max((len(c) for dev in contribs for c in dev), default=1) or 1
+    rev_src = np.zeros((n_dev, S, R), dtype=np.int64)
+    rev_mask = np.zeros((n_dev, S, R), dtype=bool)
+    for d in range(n_dev):
+        for sj in range(S):
+            for r, f in enumerate(contribs[d][sj]):
+                rev_src[d, sj, r] = f
+                rev_mask[d, sj, r] = True
+    return CellPartition(
+        n_cell_max=C, cells_ext=cells_ext, cell_valid=cell_valid,
+        area=area, grads=grads, cell_slots=cslots,
+        rev_src=rev_src, rev_mask=rev_mask,
     )

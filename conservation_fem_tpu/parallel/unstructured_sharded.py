@@ -27,6 +27,7 @@ from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 from conservation_fem_tpu.parallel.partition import Partition, build_partition
 from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.newton import newton_solve
 
 
 class DistributedELL:
@@ -162,3 +163,299 @@ def distributed_poisson_demo(mesh, device_mesh, axis="i", rtol=1e-12):
         dist.pad_rows(diag), rtol=rtol,
     )
     return part.mesh, dist.unpad_rows(x), np.asarray(g)
+
+
+class DistributedKPP:
+    """Fully distributed unstructured KPP RV solver: node-partitioned rows,
+    cell-partitioned assembly with reverse halo accumulation
+    (ghostUpdate ADD/REVERSE), psum Krylov dots — the complete SPMD step on
+    an arbitrary (RCM-ordered) triangle mesh.
+
+    Built from a kpp HyperbolicProblem whose host_mesh is RCM-ordered (the
+    partitioner reorders internally when constructed via from_problem).
+    """
+
+    def __init__(self, problem, device_mesh: DeviceMesh, axis="i"):
+        from conservation_fem_tpu.parallel.partition import (
+            build_cell_partition,
+            build_partition,
+        )
+
+        self.p = problem
+        self.dmesh = device_mesh
+        self.axis = axis
+        n_dev = device_mesh.shape[axis]
+        self.n_dev = n_dev
+        # partition WITHOUT reordering: the problem was built on this mesh
+        self.part = build_partition(problem.host_mesh, n_dev, reorder=False)
+        self.cpart = build_cell_partition(self.part)
+        part, cpart = self.part, self.cpart
+        dtype = problem.u0.dtype
+        self.dtype = dtype
+        self.n_own = part.n_own
+        self.H = part.halo_size
+        self.S = part.shared_size
+        self.K = part.mesh.max_patch
+
+        sh2 = NamedSharding(device_mesh, P(axis, None))
+        sh3 = NamedSharding(device_mesh, P(axis, None, None))
+        sh4 = NamedSharding(device_mesh, P(axis, None, None, None))
+        i32 = lambda x, s: jax.device_put(jnp.asarray(x, jnp.int32), s)
+        f = lambda x, s: jax.device_put(jnp.asarray(x, dtype), s)
+        self.local_cols = i32(part.local_cols, sh3)
+        self.local_mask = jax.device_put(jnp.asarray(part.local_mask), sh3)
+        self.shared_idx = i32(part.shared_idx, sh2)
+        self.halo_src = i32(part.halo_src, sh2)
+        self.row_valid = jax.device_put(jnp.asarray(part.global_rows >= 0), sh2)
+        self.cells_ext = i32(cpart.cells_ext, sh3)
+        self.cell_valid = jax.device_put(jnp.asarray(cpart.cell_valid), sh2)
+        self.careas = f(cpart.area, sh2)
+        self.cgrads = f(cpart.grads, sh4)
+        self.cslots = i32(cpart.cell_slots, sh4)
+        self.rev_src = i32(cpart.rev_src, sh3)
+        self.rev_mask = jax.device_put(jnp.asarray(cpart.rev_mask), sh3)
+        # row-sharded static fields
+        n = part.mesh.n_nodes
+        pad = part.n_total - n
+        padv = lambda v, fill: jnp.concatenate(
+            [jnp.asarray(v), jnp.full(pad, fill, jnp.asarray(v).dtype)]
+        )
+        sh1 = NamedSharding(device_mesh, P(axis))
+        self.bc_rows = jax.device_put(
+            padv(part.mesh.boundary_mask, True), sh1)
+        m = part.mesh.device_arrays(dtype)
+        from conservation_fem_tpu.ops import assembly as _asm
+        from conservation_fem_tpu.ops.helpers import get_nodal_h
+
+        M_ell = _asm.assemble_mass(m)
+        self.M_rows = jax.device_put(
+            jnp.concatenate([M_ell, jnp.zeros((pad, self.K), dtype)]), sh2)
+        h = get_nodal_h(m, mass_ell=M_ell)
+        self.h_rows = jax.device_put(padv(h, 0.0), sh1)
+        self.u0_rows = jax.device_put(padv(problem.u0, 0.0), sh1)
+        self.g_const = jnp.asarray(np.pi / 4.0, dtype)
+        # quadrature tables
+        from conservation_fem_tpu.ops.assembly import _DUN4_W, _quad_basis
+
+        self.phi = _quad_basis().astype(dtype)
+        self.qw = (_DUN4_W * 0.5).astype(dtype)
+
+    # -- local primitives (inside shard_map; all args device-local) ----------
+
+    def _halo(self, x_own, sidx, hsrc):
+        published = x_own[sidx]
+        table = jax.lax.all_gather(published, self.axis).reshape(-1)
+        return jnp.concatenate([x_own, table[hsrc]])
+
+    def _reverse_add_vec(self, ext, sidx, rev_src, rev_mask):
+        """(n_own+H,) extended accumulation -> (n_own,) with foreign-row
+        contributions shipped back to owners (ghostUpdate ADD/REVERSE)."""
+        halo_part = ext[self.n_own:]
+        table = jax.lax.all_gather(halo_part, self.axis).reshape(-1)
+        picked = jnp.where(rev_mask, table[rev_src], 0.0)
+        incoming = picked.sum(axis=-1)                       # (S,)
+        return ext[: self.n_own].at[sidx].add(incoming)
+
+    def _reverse_add_mat(self, ext, sidx, rev_src, rev_mask):
+        halo_part = ext[self.n_own:]                        # (H, K)
+        table = jax.lax.all_gather(halo_part, self.axis).reshape(-1, self.K)
+        picked = jnp.where(rev_mask[..., None], table[rev_src], 0.0)
+        incoming = picked.sum(axis=-2)                       # (S, K)
+        return ext[: self.n_own].at[sidx].add(incoming)
+
+    def _assemble_vec(self, cell_vals, cells_l, valid_l, sidx, rev_src, rev_mask):
+        vals = jnp.where(valid_l[:, None], cell_vals, 0.0)
+        ext = jnp.zeros(self.n_own + self.H, self.dtype).at[
+            cells_l.reshape(-1)
+        ].add(vals.reshape(-1))
+        return self._reverse_add_vec(ext, sidx, rev_src, rev_mask)
+
+    def _assemble_mat(self, cell_vals, cells_l, slots_l, valid_l, sidx,
+                      rev_src, rev_mask):
+        vals = jnp.where(valid_l[:, None, None], cell_vals, 0.0)
+        rows = jnp.repeat(cells_l, 3, axis=1).reshape(-1, 3, 3)
+        tgt = (rows * self.K + slots_l).reshape(-1)
+        flat = jnp.zeros((self.n_own + self.H) * self.K, self.dtype).at[
+            tgt
+        ].add(vals.reshape(-1))
+        return self._reverse_add_mat(flat.reshape(-1, self.K), sidx,
+                                     rev_src, rev_mask)
+
+    # -- step -----------------------------------------------------------------
+
+    def make_step(self):
+        p = self.p
+        cfg = p.cfg
+        dt = p.dt
+        phi, qw = self.phi, self.qw
+        axis = self.axis
+        fprime = p.flux_prime
+        fprime_norm = p.flux_prime_norm
+
+        def step_local(M, cols, maskc, sidx, hsrc, valid, bc, h,
+                       cells_l, cvalid, careas, cgrads, cslots,
+                       rev_src, rev_mask, u, uo, uoo):
+            rev_src_l, rev_mask_l = rev_src[0], rev_mask[0]
+            cols_, maskc_ = cols[0], maskc[0]
+            sidx_, hsrc_ = sidx[0], hsrc[0]
+            cellsl, cvalidl = cells_l[0], cvalid[0]
+            careasl, cgradsl = careas[0], cgrads[0]
+            cslotsl = cslots[0]
+            validl = valid[0]
+            pin = bc | ~validl
+            pdot = lambda a, b: jax.lax.psum(jnp.vdot(a, b), axis)
+
+            def spmv(A, x):
+                x_ext = self._halo(x, sidx_, hsrc_)
+                g = x_ext[cols_]
+                return jnp.where(maskc_, A * g, 0.0).sum(axis=1)
+
+            def c_mv(A):
+                def mv(x):
+                    x_in = jnp.where(pin, 0.0, x)
+                    return jnp.where(pin, x, spmv(A, x_in))
+                return mv
+
+            def diag_of(A):
+                # diagonal: col == own row index
+                own_idx = jnp.arange(self.n_own)
+                hit = (cols_ == own_idx[:, None]) & maskc_
+                return jnp.where(hit, A, 0.0).sum(axis=1)
+
+            def nl_rhs(x):
+                x_ext = self._halo(x, sidx_, hsrc_)
+                u_cell = x_ext[cellsl]                        # (C,3)
+                u_q = u_cell @ phi.T
+                fp = fprime(u_q)
+                gu = jnp.einsum("ca,cad->cd", u_cell, cgradsl)
+                conv = jnp.einsum("cqd,cd->cq", fp, gu)
+                r = 2.0 * careasl[:, None] * jnp.einsum(
+                    "q,cq,qa->ca", qw, conv, phi)
+                return self._assemble_vec(r, cellsl, cvalidl, sidx_,
+                                           rev_src_l, rev_mask_l)
+
+            def keps_mat(eps):
+                e_ext = self._halo(eps, sidx_, hsrc_)
+                e_cell = e_ext[cellsl].mean(axis=1)
+                gg = jnp.einsum("cad,cbd->cab", cgradsl, cgradsl)
+                vals = (careasl * e_cell)[:, None, None] * gg
+                return self._assemble_mat(vals, cellsl, cslotsl, cvalidl,
+                                           sidx_, rev_src_l, rev_mask_l)
+
+            def jac_mat(x):
+                x_ext = self._halo(x, sidx_, hsrc_)
+                u_cell = x_ext[cellsl]
+                u_q = u_cell @ phi.T
+                fp, fpp = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
+                gu = jnp.einsum("ca,cad->cd", u_cell, cgradsl)
+                t1 = jnp.einsum("cqd,cd->cq", fpp, gu)
+                term1 = jnp.einsum("q,cq,qa,qb->cab", qw, t1, phi, phi)
+                t2 = jnp.einsum("cqd,cbd->cqb", fp, cgradsl)
+                term2 = jnp.einsum("q,qa,cqb->cab", qw, phi, t2)
+                vals = 2.0 * careasl[:, None, None] * (term1 + term2)
+                return self._assemble_mat(vals, cellsl, cslotsl, cvalidl,
+                                           sidx_, rev_src_l, rev_mask_l)
+
+            def patch_reduce(x, reducer, pad_val):
+                x_ext = self._halo(jnp.where(validl, x, pad_val), sidx_, hsrc_)
+                g = x_ext[cols_]
+                return reducer(
+                    jnp.where(maskc_, g, pad_val), axis=1
+                )
+
+            Mb = M  # (n_own, K) row block
+            # 1. BDF2 residual projection
+            du = (3.0 * u - 4.0 * uo + uoo) / (2.0 * dt)
+            rhs = spmv(Mb, du) + nl_rhs(u)
+            rhs = jnp.where(pin, 0.0, rhs)
+            diagM = jnp.where(pin, 1.0, diag_of(Mb))
+            RH = cg(c_mv(Mb), rhs, precond=jacobi_preconditioner(diagM),
+                    rtol=cfg.krylov_rtol, dot=pdot).x
+            # 2. RV epsilon
+            nvalid = jax.lax.psum(validl.sum(), axis)
+            mean_u = jax.lax.psum(jnp.where(validl, u, 0.0).sum(), axis) / nvalid
+            abs_term = jax.lax.pmax(
+                jnp.abs(jnp.where(validl, u - mean_u, 0.0)).max(), axis)
+            u_max = patch_reduce(u, jnp.max, -jnp.inf)
+            u_min = patch_reduce(u, jnp.min, jnp.inf)
+            n_i = jnp.abs((u_max - u_min) - abs_term)
+            Rh_i = patch_reduce(jnp.abs(RH), jnp.max, -jnp.inf)
+            beta = patch_reduce(fprime_norm(u), jnp.max, -jnp.inf)
+            tiny = jnp.asarray(
+                1e-300 if u.dtype == jnp.float64 else 1e-30, u.dtype)
+            eps = jnp.minimum(
+                cfg.Cvel * h * beta,
+                cfg.CRV * h**2 * jnp.abs(Rh_i / jnp.maximum(n_i, tiny)))
+            eps = jnp.where(validl, eps, 0.0)
+            # 3. Newton CN
+            Kc = keps_mat(eps)
+            N_un = nl_rhs(u)
+            Kc_un = spmv(Kc, u)
+            base = Mb + 0.5 * dt * Kc
+            g2 = self.g_const
+
+            def residual(v):
+                F = (spmv(Mb, v - u)
+                     + 0.5 * dt * (nl_rhs(v) + N_un)
+                     + 0.5 * dt * (spmv(Kc, v) + Kc_un))
+                return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
+
+            def jacobian(v):
+                J = base + 0.5 * dt * jac_mat(v)
+                pre = jacobi_preconditioner(jnp.where(pin, 1.0, diag_of(J)))
+                return c_mv(J), pre
+
+            u_init = jnp.where(pin, jnp.where(bc, g2, 0.0), u)
+            res = newton_solve(
+                residual, u_init,
+                rtol=cfg.newton_rtol, atol=cfg.newton_atol,
+                max_it=cfg.newton_max_it, criterion="residual",
+                linear_rtol=cfg.newton_linear_rtol or cfg.krylov_rtol,
+                jacobian_fn=jacobian, freeze_jacobian=cfg.modified_newton,
+                dot=pdot)
+            return res.u, u, uo
+
+        ax = self.axis
+        smapped = shard_map(
+            step_local,
+            mesh=self.dmesh,
+            in_specs=(
+                P(ax, None),                 # M rows
+                P(ax, None, None), P(ax, None, None),   # cols, mask
+                P(ax, None), P(ax, None), P(ax, None),  # sidx, hsrc, valid(2d)
+                P(ax), P(ax),                # bc, h
+                P(ax, None, None), P(ax, None),          # cells, cvalid
+                P(ax, None), P(ax, None, None, None),    # careas, cgrads
+                P(ax, None, None, None),                 # cslots
+                P(ax, None, None), P(ax, None, None),    # rev_src, rev_mask
+                P(ax), P(ax), P(ax),         # u, uo, uoo
+            ),
+            out_specs=(P(ax),) * 3,
+        )
+        return smapped
+
+    def solve(self):
+        p = self.p
+        step = self.make_step()
+        valid2 = jax.device_put(
+            jnp.asarray(self.part.global_rows >= 0),
+            NamedSharding(self.dmesh, P(self.axis, None)),
+        )
+
+        @jax.jit
+        def _run(u0):
+            def body(carry, _):
+                u, uo, uoo = carry
+                return step(self.M_rows, self.local_cols, self.local_mask,
+                            self.shared_idx, self.halo_src, valid2,
+                            self.bc_rows, self.h_rows,
+                            self.cells_ext, self.cell_valid, self.careas,
+                            self.cgrads, self.cslots, self.rev_src,
+                            self.rev_mask, u, uo, uoo), None
+
+            (u, _, _), _ = jax.lax.scan(body, (u0, u0, u0), None,
+                                        length=p.num_steps)
+            return u
+
+        u = _run(self.u0_rows)
+        return np.asarray(u)[: self.part.mesh.n_nodes]

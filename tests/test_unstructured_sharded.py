@@ -77,3 +77,39 @@ def test_distributed_poisson_reference_gmsh_mesh(device_mesh):
     mesh = load_h5_mesh("/root/reference/Data/KPP_RV.h5")
     rmesh, x, g = distributed_poisson_demo(mesh, device_mesh)
     np.testing.assert_allclose(x, _single_device_solution(rmesh), atol=1e-9)
+
+
+def test_distributed_full_kpp_step_matches_single(device_mesh):
+    """The complete unstructured KPP RV step SPMD (cell-partitioned
+    assembly + reverse halo accumulation + psum Krylov) == single device.
+
+    Note: the mesh must be a [-2,2]-type domain where the KPP IC is
+    non-constant — on the unit disk the IC circle covers the whole domain,
+    making the RV normalization n_i identically zero and eps a pure
+    roundoff hair-trigger (any two correct executions then legitimately
+    differ at the first-order-viscosity scale)."""
+    from conservation_fem_tpu.models import kpp
+    from conservation_fem_tpu.ops.mesh import rectangle_mesh
+    from conservation_fem_tpu.parallel.unstructured_sharded import DistributedKPP
+
+    mesh = rectangle_mesh((-2, -2), (2, 2), nx=11)   # unstructured-path mesh
+    cfg = kpp.KPPConfig(mesh_size=11, T=0.03)
+    p_single = kpp.build(cfg, host_mesh=mesh)
+    res_single = p_single.solve()
+
+    dist = DistributedKPP(kpp.build(cfg, host_mesh=mesh), device_mesh)
+    u_dist = dist.solve()
+    np.testing.assert_allclose(u_dist, np.asarray(res_single.u), atol=1e-10)
+
+
+def test_distributed_full_kpp_on_reference_gmsh_mesh(device_mesh):
+    """Same, on the reference's real gmsh mesh (4886 nodes)."""
+    from conservation_fem_tpu.models import kpp
+    from conservation_fem_tpu.parallel.unstructured_sharded import DistributedKPP
+
+    mesh = load_h5_mesh("/root/reference/Data/KPP_RV.h5")
+    cfg = kpp.KPPConfig(mesh_size=32, T=0.02)
+    res_single = kpp.build(cfg, host_mesh=mesh).solve()
+    dist = DistributedKPP(kpp.build(cfg, host_mesh=mesh), device_mesh)
+    u_dist = dist.solve()
+    np.testing.assert_allclose(u_dist, np.asarray(res_single.u), atol=1e-9)
