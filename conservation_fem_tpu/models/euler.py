@@ -49,6 +49,7 @@ class EulerConfig:
     CRV: float = 1.0
     gamma: float = 1.4
     rho_floor: float = 1e-10
+    rk_order: int = 2             # SSP-RK2 (default) or SSP-RK3
     dtype: str = "float64"
     record_metrics: bool = False
     backend: str = "auto"         # auto (stencil on structured) | ell
@@ -228,10 +229,14 @@ def step(p: EulerProblem, carry, _):
     def slip(Uv):
         return Uv.at[:, 2].set(jnp.where(p.slip_mask, 0.0, Uv[:, 2]))
 
-    # SSP-RK2 (Heun) with slip-wall projection after each stage
+    # SSP-RK with slip-wall projection after each stage
     U1 = slip(U + p.dt * _rhs(p, U, Keps))
-    U2 = slip(0.5 * U + 0.5 * (U1 + p.dt * _rhs(p, U1, Keps)))
-    return (U2, U), None
+    if cfg.rk_order == 3:
+        U2 = slip(0.75 * U + 0.25 * (U1 + p.dt * _rhs(p, U1, Keps)))
+        Un = slip(U / 3.0 + 2.0 / 3.0 * (U2 + p.dt * _rhs(p, U2, Keps)))
+    else:
+        Un = slip(0.5 * U + 0.5 * (U1 + p.dt * _rhs(p, U1, Keps)))
+    return (Un, U), None
 
 
 # ---------------------------------------------------------------------------
@@ -274,8 +279,12 @@ def _step_structured(p: EulerProblem, carry, _):
         return Ug.at[2].set(jnp.where(p.slip2, 0.0, Ug[2]))
 
     U1 = slip(U + p.dt * rhs(U, Kc))
-    U2 = slip(0.5 * U + 0.5 * (U1 + p.dt * rhs(U1, Kc)))
-    return (U2, U), None
+    if cfg.rk_order == 3:
+        U2 = slip(0.75 * U + 0.25 * (U1 + p.dt * rhs(U1, Kc)))
+        Un = slip(U / 3.0 + 2.0 / 3.0 * (U2 + p.dt * rhs(U2, Kc)))
+    else:
+        Un = slip(0.5 * U + 0.5 * (U1 + p.dt * rhs(U1, Kc)))
+    return (Un, U), None
 
 
 class EulerResult(NamedTuple):

@@ -78,3 +78,12 @@ def test_stencil_backend_matches_ell():
     np.testing.assert_allclose(
         np.asarray(r1.U), np.asarray(r2.U), atol=1e-12
     )
+
+
+def test_ssp_rk3_option():
+    """SSP-RK3 runs and lands in the same accuracy regime as RK2 (spatial
+    error dominates at this resolution)."""
+    p = euler.build(problem="sod", nx=60, rk_order=3)
+    res = euler.solve(p)
+    err = euler.sod_density_error(p, res.U, res.num_steps * res.dt)
+    assert err < 0.035, err
