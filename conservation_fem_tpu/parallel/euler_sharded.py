@@ -137,8 +137,12 @@ class ShardedStructuredEuler(ShardedStructuredKPP):
                 return Ug.at[2].set(jnp.where(slip, 0.0, Ug[2]))
 
             U1 = slip_proj(U + dt * rhs(U, Kc))
-            U2 = slip_proj(0.5 * U + 0.5 * (U1 + dt * rhs(U1, Kc)))
-            return U2, U
+            if cfg.rk_order == 3:
+                U2 = slip_proj(0.75 * U + 0.25 * (U1 + dt * rhs(U1, Kc)))
+                Un = slip_proj(U / 3.0 + 2.0 / 3.0 * (U2 + dt * rhs(U2, Kc)))
+            else:
+                Un = slip_proj(0.5 * U + 0.5 * (U1 + dt * rhs(U1, Kc)))
+            return Un, U
 
         smapped = shard_map(
             step_local,
