@@ -1,0 +1,129 @@
+"""Blocked-window instantiation of the scalar hyperbolic solver.
+
+Same math as HyperbolicProblem (identical to summation-order roundoff —
+tests/test_blocked_model.py), different data layout: after RCM reordering
+every sparse op (SpMV, cell gather/scatter, assembly, patch reductions)
+runs as batched dense MXU work via ops/blocked.py, with zero XLA
+gathers/scatters in the hot path. Combined with fixed-iteration unrolled
+solvers (cfg.cg_iters / newton_iters) this is the fast path for the
+reference's unstructured gmsh meshes (ref Code/KPP/KPP_NodeRV.py setting),
+where the gather-ELL step costs ~21 ms and this path ~1-3 ms on a v5e chip.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from conservation_fem_tpu.models.scalar_hyperbolic import HyperbolicProblem
+from conservation_fem_tpu.ops import assembly, blocked
+from conservation_fem_tpu.ops import stabilization as stab
+from conservation_fem_tpu.ops.helpers import get_nodal_h
+
+
+class BlockedHyperbolicProblem(HyperbolicProblem):
+    """HyperbolicProblem with all unstructured kernels in blocked form.
+
+    The mesh must be RCM-ordered (ops/mesh.reorder_mesh(rcm_permutation))
+    for a small bandwidth; the plan builder asserts window consistency.
+    """
+
+    def __init__(self, *args, nb: int = 128, **kwargs):
+        super().__init__(*args, **kwargs)
+        dtype = jnp.dtype(self.cfg.dtype)
+        self.plan = blocked.make_blocked_plan(self.host_mesh, nb=nb,
+                                              dtype=dtype)
+        self._area_flat = self.plan.area_b.reshape(-1)
+        self._grads_flat = self.plan.grads_b.reshape(-1, 3, 2)
+        self.M_ell = self.M          # kept for the h_cg mass projection
+        self.M = self._assemble(assembly.local_mass(self._area_flat))
+
+    # -- layout plumbing -----------------------------------------------------
+
+    def _assemble(self, local_mats):
+        """(blocks*C, 3, 3) local matrices -> blocked operator."""
+        p = self.plan
+        return blocked.assemble_matrix(
+            p, local_mats.reshape(p.blocks, p.C, 3, 3))
+
+    def _linear_op(self, D):
+        return (lambda x: blocked.spmv(self.plan, D, x),
+                blocked.diag_of(self.plan, D))
+
+    @property
+    def h_cg(self):
+        if self._h_cg is None:
+            self._h_cg = get_nodal_h(self.mesh, mass_ell=self.M_ell)
+        return self._h_cg
+
+    @property
+    def K_bc(self):
+        """SI stiffness with bc semantics, blocked (cf. base K_bc)."""
+        if self._K_bc is None and self.cfg.stabilization == "si":
+            K = self._assemble(
+                assembly.local_stiffness(self._area_flat, self._grads_flat))
+            self._K_bc = blocked.apply_bc_matrix(self.plan, K)
+        return self._K_bc
+
+    # -- step pieces in blocked form ------------------------------------------
+
+    def _nonlinear_rhs(self, u):
+        p = self.plan
+        uc = blocked.gather_cells(p, u)
+        r = assembly.local_convection_rhs(
+            self._area_flat, self._grads_flat, uc.reshape(-1, 3),
+            self.flux_prime).reshape(p.blocks, p.C, 3)
+        return blocked.scatter_cell_vectors(p, r)
+
+    def _assemble_keps(self, eps):
+        p = self.plan
+        ec = blocked.gather_cells(p, eps)
+        return self._assemble(assembly.local_eps_stiffness(
+            self._area_flat, self._grads_flat, ec.reshape(-1, 3)))
+
+    def _assemble_flux_jacobian(self, u):
+        p = self.plan
+        uc = blocked.gather_cells(p, u)
+        return self._assemble(assembly.local_flux_jacobian(
+            self._area_flat, self._grads_flat, uc.reshape(-1, 3),
+            self.flux_prime))
+
+    def _epsilon(self, u_n, RH):
+        cfg = self.cfg
+        if cfg.stabilization == "rv":
+            return blocked.rv_epsilon_nonlinear(
+                self.plan, cfg.Cvel, cfg.CRV, u_n, u_n,
+                self.flux_prime_norm, RH, self.h_cg)
+        elif cfg.stabilization == "si":
+            beta = self.flux_prime_norm(u_n)
+            alpha = blocked.si_alpha(self.plan, self.K_bc, u_n,
+                                     eps_floor=cfg.si_eps)
+            psi = stab.sigmoid_activation(alpha)
+            return psi * cfg.Cm * self.h_cg * beta
+        else:
+            return jnp.zeros_like(u_n)
+
+    def _smooth(self, u):
+        return blocked.smooth_vector(self.plan, u, self.cfg.smooth_l)
+
+    # -- jit-state plumbing (see base class): the plan's one-hot operators
+    # are ~O(N*(nb+2B)) floats — far past the remote-compile payload cap if
+    # closure-captured, so they ride through jit as arguments.
+
+    def _jit_state(self):
+        # force lazy members that the traced step will read
+        _ = self.h_cg
+        if self.cfg.stabilization == "si":
+            _ = self.K_bc
+        return {"plan": self.plan, "M": self.M, "K_bc": self._K_bc,
+                "h_cg": self._h_cg}
+
+    def _bind_jit_state(self, state):
+        token = (self.plan, self.M, self._K_bc, self._h_cg)
+        self.plan = state["plan"]
+        self.M = state["M"]
+        self._K_bc = state["K_bc"]
+        self._h_cg = state["h_cg"]
+        return token
+
+    def _restore_jit_state(self, token):
+        self.plan, self.M, self._K_bc, self._h_cg = token

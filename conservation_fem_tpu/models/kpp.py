@@ -41,13 +41,22 @@ class KPPConfig:
     Cvel: float = 0.5              # ref KPP_NodeRV.py:75
     CRV: float = 4.0               # ref KPP_NodeRV.py:76
     Cm: float = 0.5                # ref KPP_SI.py:72
+    smooth_l: float = 0.0          # >0: post-solve patch smoothing
     newton_rtol: float = 1e-4
     newton_atol: float = 1e-10
     krylov_rtol: float = 1e-12
     newton_linear_rtol: float | None = None
     modified_newton: bool = False
-    # unstructured operator application (h5/gmsh meshes): "banded" needs an
-    # RCM-ordered mesh (reorder_mesh(rcm_permutation(m))); 1.5x step speed
+    # fixed-iteration unrolled solvers (see HyperbolicConfig): throughput
+    # paths set these; accuracy-gated runs keep the adaptive (None) solvers
+    cg_iters: int | None = None
+    newton_iters: int | None = None
+    newton_linear_iters: int = 8
+    # unstructured operator application (h5/gmsh meshes): "gather" (XLA
+    # gather ELL), "banded" (RCM diagonals), or "blocked" (blocked-window
+    # dense MXU ops + RCM, ops/blocked.py — the fast unstructured path).
+    # banded/blocked meshes built here are RCM-reordered automatically;
+    # caller-provided host_mesh must already be RCM-ordered.
     ell_matvec_backend: str = "gather"
     dtype: str = "float64"
     record_metrics: bool = False
@@ -81,17 +90,33 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
             host_mesh = rectangle_mesh((-2, -2), (2, 2), nx=n, ny=n)
         else:
             host_mesh = load_h5_mesh(cfg.mesh_source)
+        if cfg.ell_matvec_backend in ("banded", "blocked"):
+            from conservation_fem_tpu.ops.mesh import (
+                rcm_permutation, reorder_mesh,
+            )
+
+            host_mesh = reorder_mesh(host_mesh, rcm_permutation(host_mesh))
     hcfg = HyperbolicConfig(
         stabilization=cfg.stabilization,
         Cvel=cfg.Cvel, CRV=cfg.CRV, Cm=cfg.Cm,
         newton_rtol=cfg.newton_rtol, newton_atol=cfg.newton_atol,
         krylov_rtol=cfg.krylov_rtol, newton_linear_rtol=cfg.newton_linear_rtol,
-        modified_newton=cfg.modified_newton,
+        modified_newton=cfg.modified_newton, smooth_l=cfg.smooth_l,
+        cg_iters=cfg.cg_iters, newton_iters=cfg.newton_iters,
+        newton_linear_iters=cfg.newton_linear_iters,
         ell_matvec_backend=cfg.ell_matvec_backend,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
     )
+    if cfg.ell_matvec_backend == "blocked":
+        from conservation_fem_tpu.models.blocked_hyperbolic import (
+            BlockedHyperbolicProblem,
+        )
+
+        problem_cls = BlockedHyperbolicProblem
+    else:
+        problem_cls = HyperbolicProblem
     bc_val = float(np.pi / 4.0)
-    prob = HyperbolicProblem(
+    prob = problem_cls(
         hcfg, host_mesh,
         flux_prime=flux_prime,
         flux_prime_norm=flux_prime_norm,

@@ -36,9 +36,9 @@ import numpy as np
 from conservation_fem_tpu.ops import assembly
 from conservation_fem_tpu.ops.bc import constrained_matvec, constrain_residual, ell_with_bc
 from conservation_fem_tpu.ops.helpers import get_nodal_h
-from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import cg, cg_fixed, jacobi_preconditioner
 from conservation_fem_tpu.ops.mesh import Mesh
-from conservation_fem_tpu.ops.newton import newton_solve
+from conservation_fem_tpu.ops.newton import newton_fixed, newton_solve
 from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
 from conservation_fem_tpu.ops import stabilization as stab
 
@@ -63,6 +63,15 @@ class HyperbolicConfig:
     # modified Newton: one Jacobian assembly per step instead of per
     # iteration (same residual tolerance; used by the TPU bench path)
     modified_newton: bool = False
+    # FIXED iteration counts (throughput paths): when set, the adaptive
+    # while-loop solvers are replaced by straight-line unrolled ones
+    # (ops/krylov.cg_fixed: each while iteration costs ~270 us launch
+    # overhead on the target TPU runtime, dwarfing the actual SpMVs).
+    # Counts must be validated per workload against the adaptive solvers;
+    # the Newton residual norm is still checked and surfaced in metrics.
+    cg_iters: int | None = None          # residual-projection mass solve
+    newton_iters: int | None = None      # outer Newton iterations
+    newton_linear_iters: int = 8         # inner BiCGStab iterations
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
     use_pallas: bool = False       # fused Pallas CG on the stencil backend
     # unstructured operator application: "gather" (XLA gather ELL SpMV) or
@@ -167,8 +176,11 @@ class HyperbolicProblem:
         rhs = jnp.where(bc, 0.0, rhs)
         diag = jnp.where(bc, 1.0, M_diag)
         op = lambda x: jnp.where(bc, x, M_mv(jnp.where(bc, 0.0, x)))
-        return cg(op, rhs, precond=jacobi_preconditioner(diag),
-                  rtol=self.cfg.krylov_rtol).x
+        pre = jacobi_preconditioner(diag)
+        if self.cfg.cg_iters is not None:
+            return cg_fixed(op, rhs, precond=pre,
+                            iters=self.cfg.cg_iters).x
+        return cg(op, rhs, precond=pre, rtol=self.cfg.krylov_rtol).x
 
     def _epsilon(self, u_n, RH):
         cfg = self.cfg
@@ -218,6 +230,15 @@ class HyperbolicProblem:
             return matvec, pre
 
         u_init = jnp.where(bc, g, u_n)
+        if self.cfg.newton_iters is not None:
+            return newton_fixed(
+                residual, u_init,
+                iters=self.cfg.newton_iters,
+                linear_iters=self.cfg.newton_linear_iters,
+                jacobian_fn=jacobian,
+                freeze_jacobian=self.cfg.modified_newton,
+                rtol=self.cfg.newton_rtol, atol=self.cfg.newton_atol,
+            )
         res = newton_solve(
             residual, u_init,
             rtol=self.cfg.newton_rtol, atol=self.cfg.newton_atol,
@@ -229,6 +250,44 @@ class HyperbolicProblem:
         )
         return res
 
+    def _smooth(self, u):
+        """Post-solve patch smoothing (ref Exact_Burger_SI.py:193)."""
+        return stab.smooth_vector(self.mesh, u, self.cfg.smooth_l)
+
+    # -- jit-state plumbing ---------------------------------------------------
+    # Large device buffers must cross jit boundaries as ARGUMENTS: closure-
+    # captured buffers get serialized into the compile payload, which the
+    # axon remote-compile service caps (HTTP 413 at a few hundred MB — the
+    # blocked backend's one-hot operators trip it). Subclasses with big
+    # static operators override _jit_state/_bind_jit_state; drivers wrap
+    # traced regions in `with problem.bound_jit_state(state): ...`.
+
+    def _jit_state(self):
+        """Pytree of device buffers to pass through jit (None = nothing)."""
+        return None
+
+    def _bind_jit_state(self, state):
+        """Swap in tracer-valued buffers during tracing; returns a restore
+        token for _restore_jit_state."""
+        return None
+
+    def _restore_jit_state(self, token):
+        pass
+
+    def bound_jit_state(self, state):
+        """Context manager binding `state` (e.g. inside a traced fn)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            tok = self._bind_jit_state(state)
+            try:
+                yield
+            finally:
+                self._restore_jit_state(tok)
+
+        return _cm()
+
     def step(self, carry, t):
         """One full stabilized time step; carry = (u_n, u_old, u_old_old)."""
         u_n, u_old, u_old_old = carry
@@ -238,7 +297,7 @@ class HyperbolicProblem:
         res = self._newton_cn(u_n, eps, g)
         uh = res.u
         if self.cfg.smooth_l > 0:
-            uh = stab.smooth_vector(self.mesh, uh, self.cfg.smooth_l)
+            uh = self._smooth(uh)
         metrics = None
         if self.cfg.record_metrics:
             metrics = {
@@ -267,14 +326,15 @@ class HyperbolicProblem:
         if self._solve_jit is None:
 
             @jax.jit
-            def _run(u0):
-                ts = (jnp.arange(self.num_steps, dtype=u0.dtype) + 1.0) * self.dt
-                carry0 = (u0, u0, u0)
-                (u, u_n, _), metrics = jax.lax.scan(self.step, carry0, ts)
+            def _run(state, u0):
+                with self.bound_jit_state(state):
+                    ts = (jnp.arange(self.num_steps, dtype=u0.dtype) + 1.0) * self.dt
+                    carry0 = (u0, u0, u0)
+                    (u, u_n, _), metrics = jax.lax.scan(self.step, carry0, ts)
                 return u, metrics
 
             self._solve_jit = _run
-        u, metrics = self._solve_jit(self.u0)
+        u, metrics = self._solve_jit(self._jit_state(), self.u0)
         return SolveResult(u=u, metrics=metrics, dt=self.dt, num_steps=self.num_steps)
 
     def _solve_checkpointed(self, path, every, resume):
@@ -285,12 +345,13 @@ class HyperbolicProblem:
             save_checkpoint,
         )
 
-        @partial(jax.jit, static_argnums=2)
-        def _chunk(carry, start_step, n):
-            ts = (start_step + jnp.arange(n, dtype=carry[0].dtype) + 1.0) * self.dt
-            carry, _ = jax.lax.scan(
-                lambda c, t: (self.step(c, t)[0], None), carry, ts
-            )
+        @partial(jax.jit, static_argnums=3)
+        def _chunk(state, carry, start_step, n):
+            with self.bound_jit_state(state):
+                ts = (start_step + jnp.arange(n, dtype=carry[0].dtype) + 1.0) * self.dt
+                carry, _ = jax.lax.scan(
+                    lambda c, t: (self.step(c, t)[0], None), carry, ts
+                )
             return carry
 
         step0 = 0
@@ -305,7 +366,8 @@ class HyperbolicProblem:
         s = step0
         while s < self.num_steps:
             n = min(every, self.num_steps - s)
-            carry = _chunk(carry, jnp.asarray(s, self.u0.dtype), n)
+            carry = _chunk(self._jit_state(), carry,
+                           jnp.asarray(s, self.u0.dtype), n)
             s += n
             save_checkpoint(path, step=s, t=s * self.dt,
                             u_n=carry[0], u_old=carry[1], u_old_old=carry[2])

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from conservation_fem_tpu.models.scalar_hyperbolic import HyperbolicProblem
 from conservation_fem_tpu.ops import structured as st
-from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
-from conservation_fem_tpu.ops.newton import newton_solve
+from conservation_fem_tpu.ops.krylov import cg, cg_fixed, jacobi_preconditioner
+from conservation_fem_tpu.ops.newton import newton_fixed, newton_solve
 
 
 class StructuredHyperbolicProblem(HyperbolicProblem):
@@ -54,6 +54,14 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         # (~15 field-sized buffers); above ~12 MB it cannot fit the 16 MB
         # scoped VMEM and Mosaic fails to compile — fall back to the
         # composed XLA CG there (measured OOM at 513x513 f32).
+        diag = jnp.where(sd.bc2, 1.0, sd.diagM2)
+        op = lambda x2: st.constrained_matvec(sd, sd.M_coef, x2)
+        pre = jacobi_preconditioner(diag)
+        if self.cfg.cg_iters is not None:
+            # fixed-count unrolled CG: straight-line code beats both the
+            # while-loop CG and the fused Pallas CG (each while iteration
+            # costs ~270 us launch overhead on the axon runtime)
+            return cg_fixed(op, rhs, precond=pre, iters=self.cfg.cg_iters).x
         n_elems = (sd.nx + 1) * (sd.ny + 1)
         fits_vmem = 15 * n_elems * u2.dtype.itemsize < 12 * 2**20
         if self.cfg.use_pallas and fits_vmem:
@@ -61,10 +69,7 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
 
             return pk.cg_solve(sd.M_coef, rhs, sd.bc2, sd.diagM2,
                                rtol=self.cfg.krylov_rtol)
-        diag = jnp.where(sd.bc2, 1.0, sd.diagM2)
-        op = lambda x2: st.constrained_matvec(sd, sd.M_coef, x2)
-        return cg(op, rhs, precond=jacobi_preconditioner(diag),
-                  rtol=self.cfg.krylov_rtol).x
+        return cg(op, rhs, precond=pre, rtol=self.cfg.krylov_rtol).x
 
     def _newton_cn_2d(self, u2, eps2, g2):
         sd, dt, cfg = self.sd, self.dt, self.cfg
@@ -88,6 +93,14 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             return mv, pre
 
         u_init = jnp.where(sd.bc2, g2, u2)
+        if cfg.newton_iters is not None:
+            return newton_fixed(
+                residual, u_init,
+                iters=cfg.newton_iters,
+                linear_iters=cfg.newton_linear_iters,
+                jacobian_fn=jacobian, freeze_jacobian=cfg.modified_newton,
+                rtol=cfg.newton_rtol, atol=cfg.newton_atol,
+            )
         return newton_solve(
             residual, u_init,
             rtol=cfg.newton_rtol, atol=cfg.newton_atol,

@@ -160,6 +160,42 @@ def lumped_mass(mesh: MeshArrays):
 # ---------------------------------------------------------------------------
 
 
+def local_convection_rhs(area, grads, u_cell, fprime):
+    """(M,),(M,3,2),(M,3) -> (M,3) local vectors of
+    r_a = int (f'(u_h) . grad u_h) phi_a dx over one cell."""
+    phi = _quad_basis().astype(u_cell.dtype)     # (Q,3)
+    u_q = u_cell @ phi.T                         # (M,Q)
+    fp_q = fprime(u_q)                           # (M,Q,2)
+    grad_u = jnp.einsum("ma,mad->md", u_cell, grads)       # (M,2) const
+    conv_q = jnp.einsum("mqd,md->mq", fp_q, grad_u)        # (M,Q)
+    w = _DUN4_W.astype(u_cell.dtype) * 0.5       # ref triangle area = 1/2
+    # r[m,a] = 2*A_m * sum_q w_q conv_q phi_a(q)   (|J| = 2A)
+    r = jnp.einsum("mq,qa->ma", conv_q * w[None, :], phi)
+    return 2.0 * area[:, None] * r
+
+
+def local_flux_jacobian(area, grads, u_cell, fprime):
+    """(M,),(M,3,2),(M,3) -> (M,3,3) local Jacobian of the convection rhs:
+
+      J_ab = int [ (f''(u) . grad u) phi_b + f'(u) . grad phi_b ] phi_a dx
+
+    f'' is obtained as the elementwise jvp of ``fprime`` — no user-provided
+    second derivative needed.
+    """
+    phi = _quad_basis().astype(u_cell.dtype)     # (Q,3)
+    u_q = u_cell @ phi.T                         # (M,Q)
+    fp_q, fpp_q = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
+    grad_u = jnp.einsum("ma,mad->md", u_cell, grads)               # (M,2)
+    t1 = jnp.einsum("mqd,md->mq", fpp_q, grad_u)                   # (M,Q)
+    w = _DUN4_W.astype(u_cell.dtype) * 0.5
+    # term1[m,a,b] = 2A sum_q w_q t1 phi_a phi_b
+    term1 = jnp.einsum("mq,qa,qb->mab", t1 * w[None], phi, phi)
+    # term2[m,a,b] = 2A sum_q w_q (f'(u_q) . g_b) phi_a
+    t2 = jnp.einsum("mqd,mbd->mqb", fp_q, grads)
+    term2 = jnp.einsum("q,qa,mqb->mab", w, phi, t2)
+    return 2.0 * area[:, None, None] * (term1 + term2)
+
+
 def convection_rhs_flux(mesh: MeshArrays, u, fprime):
     """r_a = int (f'(u_h) . grad u_h) phi_a dx, vectorized over cells.
 
@@ -167,43 +203,17 @@ def convection_rhs_flux(mesh: MeshArrays, u, fprime):
     (ref velocity_field(u) in Code/KPP/KPP_NodeRV.py:53-55 and
     Code/Burgers_equation/Exact_Burger_RV.py:33-35).
     """
-    phi = _quad_basis().astype(u.dtype)          # (Q,3)
-    u_cell = u[mesh.cells]                       # (M,3)
-    u_q = u_cell @ phi.T                         # (M,Q)
-    fp_q = fprime(u_q)                           # (M,Q,2)
-    grad_u = jnp.einsum("ma,mad->md", u_cell, mesh.grads)  # (M,2) const
-    conv_q = jnp.einsum("mqd,md->mq", fp_q, grad_u)        # (M,Q)
-    w = _DUN4_W.astype(u.dtype) * 0.5            # ref triangle area = 1/2
-    # r[m,a] = 2*A_m * sum_q w_q conv_q phi_a(q)   (|J| = 2A)
-    r = jnp.einsum("mq,qa->ma", conv_q * w[None, :], phi)
-    r = 2.0 * mesh.area[:, None] * r
+    r = local_convection_rhs(mesh.area, mesh.grads, u[mesh.cells], fprime)
     return scatter_vector(mesh, r)
 
 
 def assemble_flux_jacobian(mesh: MeshArrays, u, fprime):
-    """ELL assembly of d/du N(u), N(u)_a = int (f'(u).grad u) phi_a dx:
-
-      J_ab = int [ (f''(u) . grad u) phi_b + f'(u) . grad phi_b ] phi_a dx
-
-    f'' is obtained as the elementwise jvp of ``fprime`` — no user-provided
-    second derivative needed. Identical (to roundoff) to the jvp of
-    ``convection_rhs_flux`` since the same quadrature rule is used; the
-    point of materializing it is performance: Newton's inner Krylov
-    iterations become single ELL SpMVs instead of full re-quadratures.
-    """
-    phi = _quad_basis().astype(u.dtype)          # (Q,3)
-    u_cell = u[mesh.cells]                       # (M,3)
-    u_q = u_cell @ phi.T                         # (M,Q)
-    fp_q, fpp_q = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
-    grad_u = jnp.einsum("ma,mad->md", u_cell, mesh.grads)          # (M,2)
-    t1 = jnp.einsum("mqd,md->mq", fpp_q, grad_u)                   # (M,Q)
-    w = _DUN4_W.astype(u.dtype) * 0.5
-    # term1[m,a,b] = 2A sum_q w_q t1 phi_a phi_b
-    term1 = jnp.einsum("mq,qa,qb->mab", t1 * w[None], phi, phi)
-    # term2[m,a,b] = 2A sum_q w_q (f'(u_q) . g_b) phi_a
-    t2 = jnp.einsum("mqd,mbd->mqb", fp_q, mesh.grads)
-    term2 = jnp.einsum("q,qa,mqb->mab", w, phi, t2)
-    vals = 2.0 * mesh.area[:, None, None] * (term1 + term2)
+    """ELL assembly of d/du N(u) (see local_flux_jacobian). Identical (to
+    roundoff) to the jvp of ``convection_rhs_flux`` since the same
+    quadrature rule is used; the point of materializing it is performance:
+    Newton's inner Krylov iterations become single ELL SpMVs instead of
+    full re-quadratures."""
+    vals = local_flux_jacobian(mesh.area, mesh.grads, u[mesh.cells], fprime)
     return scatter_matrix(mesh, vals)
 
 

@@ -1,0 +1,342 @@
+"""Blocked-window unstructured backend: sparse FEM ops as dense MXU work.
+
+Why this exists (measured on the v5e chip, reference gmsh mesh N=4886):
+XLA gathers and scatters are catastrophically slow on TPU — a (N,8) ELL
+gather costs ~275 us for 156 KB of data, segment_sum assembly ~1.6 ms —
+while a batched dense einsum over the same data runs in single-digit us.
+This module removes every gather/scatter from the unstructured hot path:
+
+After RCM reordering (ops/mesh.rcm_permutation) all matrix/patch structure
+lies within bandwidth B of the diagonal. Rows are split into blocks of
+``nb``; each block's entire world is the contiguous x-window
+[b*nb - B, b*nb + nb + B), extracted with *static slices* (no gather):
+
+  * SpMV: operator stored as (blocks, nb, Wpad) dense row-windows;
+    y = einsum('bnw,bw->bn') — a batched GEMV the MXU pipelines in ~5 us.
+  * cell gathers u[cells] and cell->node scatters: precomputed one-hot
+    matrices (exact 0/1 values) applied as einsums.
+  * matrix assembly (cell 3x3 locals -> global): two-sided one-hot
+    contraction out[b,r,w] = sum_s Rrow[b,s,r] * vals[b,s] * Ccol[b,s,w].
+  * patch reductions (RV/SI epsilon, smoothing): masked window max/min/sum.
+
+This is the TPU-native answer to the reference's compiled CSR row loops
+(ref Burger_CPP/main.cpp:196-269 compute_alphaij, :420-466 hot loop) for
+unstructured meshes. HBM cost of the one-hot operators is
+O(N * (nb + 2B)) — sized for the reference's gmsh meshes (N ~ 5-50k);
+larger meshes should use the structured/stencil backend or gather-ELL.
+
+Everything here is exactly equal (to summation-order roundoff) to the ELL
+backend — tests/test_blocked.py asserts identity on f64.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conservation_fem_tpu.ops.mesh import Mesh
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class BlockedPlan:
+    """Host-precomputed blocked-window structure for one RCM-ordered mesh.
+
+    eq=False: identity hashing so a plan rides through jit as static
+    metadata (arrays become baked constants / donated operands).
+    """
+
+    n: int          # true node count
+    nb: int         # rows per block
+    B: int          # matrix bandwidth after RCM
+    blocks: int
+    W: int          # window width nb + 2B
+    Wpad: int       # W padded to the 128-lane multiple of nb
+    C: int          # padded cells per block
+    pad_hi: int     # right padding of x for window extraction
+    # device arrays
+    Gcell: object   # (blocks, 3C, Wpad) one-hot: window -> cell-local u
+    Sv: object      # (blocks, 3C, nb)  one-hot: cell-local vec -> rows
+    Rrow: object    # (blocks, 9C, nb)  one-hot: contribution -> local row
+    Ccol: object    # (blocks, 9C, Wpad) one-hot: contribution -> window col
+    A_bool: object  # (blocks, nb, Wpad) bool patch adjacency (incl self)
+    A_float: object  # same as 0/1 float
+    area_b: object  # (blocks, C)
+    grads_b: object  # (blocks, C, 3, 2)
+    bc_row: object  # (blocks, nb) bool
+    bc_win: object  # (blocks, Wpad) bool (global column is bc)
+    diag_eye: object  # (nb, Wpad) 1 at (r, r+B)
+    patch_deg: object  # (blocks, nb) float: patch size incl self (>=1)
+
+
+_PLAN_ARRAY_FIELDS = (
+    "Gcell", "Sv", "Rrow", "Ccol", "A_bool", "A_float", "area_b", "grads_b",
+    "bc_row", "bc_win", "diag_eye", "patch_deg",
+)
+_PLAN_STATIC_FIELDS = ("n", "nb", "B", "blocks", "W", "Wpad", "C", "pad_hi")
+
+
+def _plan_flatten(p):
+    return (tuple(getattr(p, f) for f in _PLAN_ARRAY_FIELDS),
+            tuple(getattr(p, f) for f in _PLAN_STATIC_FIELDS))
+
+
+def _plan_unflatten(aux, children):
+    return BlockedPlan(**dict(zip(_PLAN_STATIC_FIELDS, aux)),
+                       **dict(zip(_PLAN_ARRAY_FIELDS, children)))
+
+
+# Registered as a pytree so a plan can cross jit boundaries as an ARGUMENT.
+# This matters: closure-captured buffers are serialized into the program
+# (the axon remote-compile service rejects the ~350 MB payload with HTTP
+# 413), while arguments stay on device.
+jax.tree_util.register_pytree_node(BlockedPlan, _plan_flatten, _plan_unflatten)
+
+
+def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPlan:
+    """Build the plan (host NumPy, runs once per mesh).
+
+    The mesh should be RCM-ordered (ops/mesh.reorder_mesh(rcm_permutation))
+    so the bandwidth B — and with it every one-hot operator — stays
+    O(sqrt(N)).
+    """
+    n = mesh.n_nodes
+    cells = np.asarray(mesh.cells, dtype=np.int64)
+    cols = mesh.patch_cols
+    pmask = mesh.patch_mask
+    offs = cols - np.arange(n)[:, None]
+    B = int(np.abs(offs[pmask]).max())
+    blocks = -(-n // nb)
+    W = nb + 2 * B
+    lane = 128
+    Wpad = -(-W // lane) * lane
+    assert Wpad % nb == 0, "nb must divide the 128-lane padded width"
+    k_chunks = Wpad // nb
+    pad_hi = (blocks + k_chunks - 1) * nb - B - n
+    assert pad_hi >= 0
+
+    # --- per-block cell lists (a cell joins every block owning >=1 node) ---
+    cell_blk = cells // nb                       # (M,3)
+    m_idx = np.repeat(np.arange(cells.shape[0]), 3)
+    pairs = np.unique(np.stack([cell_blk.reshape(-1), m_idx], 1), axis=0)
+    blk_of, m_of = pairs[:, 0], pairs[:, 1]
+    counts = np.bincount(blk_of, minlength=blocks)
+    C = int(-(-counts.max() // 8) * 8)           # pad to sublane multiple
+    cell_id = np.full((blocks, C), -1, dtype=np.int64)
+    slot = np.concatenate([np.arange(c) for c in counts]) if len(blk_of) else []
+    # pairs are sorted by (blk, m); per-block slots are consecutive
+    off = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(len(blk_of)) - off[blk_of]
+    cell_id[blk_of, slot] = m_of
+    valid = cell_id >= 0
+    safe_id = np.where(valid, cell_id, 0)
+
+    area_b = np.where(valid, mesh.area[safe_id], 0.0)
+    grads_b = np.where(valid[:, :, None, None], mesh.grads[safe_id], 0.0)
+
+    # --- one-hot operators ---
+    win_start = (np.arange(blocks) * nb - B)[:, None, None]   # (blocks,1,1)
+    nodes = np.where(valid[:, :, None], cells[safe_id], -10**9)  # (blocks,C,3)
+    wpos = nodes - win_start                                  # window coord
+    rpos = nodes - (np.arange(blocks) * nb)[:, None, None]    # local row
+    own = (rpos >= 0) & (rpos < nb) & valid[:, :, None]
+    in_win = (wpos >= 0) & (wpos < W) & valid[:, :, None]
+    assert bool(in_win[valid].all()), "cell node outside its block window"
+
+    def onehot(idx, mask, width):
+        """(blocks, S) index + mask -> (blocks, S, width) one-hot f32/f64."""
+        out = np.zeros((blocks, idx.shape[1], width), dtype=np.float32)
+        bb, ss = np.nonzero(mask)
+        out[bb, ss, idx[bb, ss]] = 1.0
+        return out
+
+    Gcell = onehot(wpos.reshape(blocks, 3 * C), in_win.reshape(blocks, 3 * C),
+                   Wpad)
+    Sv = onehot(np.where(own, rpos, 0).reshape(blocks, 3 * C),
+                own.reshape(blocks, 3 * C), nb)
+    # contributions s = 9c + 3a + a2: row from node a, column from node a2
+    r9 = np.repeat(rpos, 3, axis=2).reshape(blocks, 9 * C)      # (b, c,a,a2->r of a)
+    own9 = np.repeat(own, 3, axis=2).reshape(blocks, 9 * C)
+    w9 = np.tile(wpos, (1, 1, 3)).reshape(blocks, 9 * C)        # col of a2
+    inw9 = np.tile(in_win, (1, 1, 3)).reshape(blocks, 9 * C)
+    both = own9 & inw9
+    Rrow = onehot(np.where(both, r9, 0), both, nb)
+    Ccol = onehot(np.where(both, w9, 0), both, Wpad)
+
+    # --- patch adjacency in window coords ---
+    A = np.zeros((blocks, nb, Wpad), dtype=bool)
+    rows_global = np.arange(blocks * nb).reshape(blocks, nb)
+    row_ok = rows_global < n
+    safe_rows = np.where(row_ok, rows_global, 0)
+    pc = cols[safe_rows]                     # (blocks, nb, K)
+    pm = pmask[safe_rows] & row_ok[:, :, None]
+    wcol = pc - (np.arange(blocks) * nb - B)[:, None, None]
+    bb, rr, kk = np.nonzero(pm)
+    A[bb, rr, wcol[bb, rr, kk]] = True
+    patch_deg = np.maximum(A.sum(axis=2), 1).astype(np.float64)
+
+    bc = mesh.boundary_mask
+    bc_row = np.where(row_ok, bc[safe_rows], False)
+    wg = (np.arange(blocks) * nb - B)[:, None] + np.arange(Wpad)[None, :]
+    in_range = (wg >= 0) & (wg < n)
+    bc_win = np.where(in_range, bc[np.where(in_range, wg, 0)], False)
+
+    diag_eye = np.zeros((nb, Wpad))
+    diag_eye[np.arange(nb), np.arange(nb) + B] = 1.0
+
+    f = lambda x: jnp.asarray(x, dtype)
+    return BlockedPlan(
+        n=n, nb=nb, B=B, blocks=blocks, W=W, Wpad=Wpad, C=C, pad_hi=pad_hi,
+        Gcell=f(Gcell), Sv=f(Sv), Rrow=f(Rrow), Ccol=f(Ccol),
+        A_bool=jnp.asarray(A), A_float=f(A),
+        area_b=f(area_b), grads_b=f(grads_b),
+        bc_row=jnp.asarray(bc_row), bc_win=jnp.asarray(bc_win),
+        diag_eye=f(diag_eye), patch_deg=f(patch_deg),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window extraction (static slices — the gather-free primitive)
+# ---------------------------------------------------------------------------
+
+
+def windows(plan: BlockedPlan, x):
+    """x (n,) -> (blocks, Wpad) with w[b, i] = x[b*nb - B + i] (0 outside)."""
+    xp = jnp.pad(x, (plan.B, plan.pad_hi))
+    k = plan.Wpad // plan.nb
+    span = plan.blocks * plan.nb
+    chunks = [
+        jax.lax.slice(xp, (q * plan.nb,), (q * plan.nb + span,))
+        .reshape(plan.blocks, plan.nb)
+        for q in range(k)
+    ]
+    return jnp.concatenate(chunks, axis=1)
+
+
+def rows_of(plan: BlockedPlan, w):
+    """The (blocks, nb) view of the owned rows inside windows."""
+    return jax.lax.slice(w, (0, plan.B), (plan.blocks, plan.B + plan.nb))
+
+
+def unblock(plan: BlockedPlan, y):
+    """(blocks, nb) -> (n,)."""
+    return y.reshape(-1)[: plan.n]
+
+
+# ---------------------------------------------------------------------------
+# operator application / assembly
+# ---------------------------------------------------------------------------
+
+
+def spmv(plan: BlockedPlan, D, x):
+    """y = A x with A in (blocks, nb, Wpad) dense row-window storage."""
+    w = windows(plan, x)
+    return unblock(plan, jnp.einsum("bnw,bw->bn", D, w))
+
+
+def diag_of(plan: BlockedPlan, D):
+    """Matrix diagonal: window position of col i on row i is r + B."""
+    d = jnp.diagonal(D, offset=plan.B, axis1=1, axis2=2)
+    return unblock(plan, d[:, : plan.nb])
+
+
+def gather_cells(plan: BlockedPlan, x):
+    """u[cells] in blocked layout: (blocks, C, 3); padded cells give 0."""
+    w = windows(plan, x)
+    uc = jnp.einsum("bsw,bw->bs", plan.Gcell, w)
+    return uc.reshape(plan.blocks, plan.C, 3)
+
+
+def scatter_cell_vectors(plan: BlockedPlan, vals):
+    """(blocks, C, 3) local vectors -> (n,) nodal accumulation."""
+    v = vals.reshape(plan.blocks, 3 * plan.C)
+    return unblock(plan, jnp.einsum("bsn,bs->bn", plan.Sv, v))
+
+
+def assemble_matrix(plan: BlockedPlan, cellmats):
+    """(blocks, C, 3, 3) local matrices -> (blocks, nb, Wpad) operator."""
+    v = cellmats.reshape(plan.blocks, 9 * plan.C)
+    return jnp.einsum("bsr,bsw->brw", plan.Rrow * v[:, :, None], plan.Ccol)
+
+
+def apply_bc_matrix(plan: BlockedPlan, D):
+    """DOLFINx assemble_matrix(a, bcs) semantics (cf. ops/bc.ell_with_bc):
+    zero bc rows and bc columns, unit diagonal on bc rows."""
+    D = jnp.where(plan.bc_row[:, :, None], 0.0, D)
+    D = jnp.where(plan.bc_win[:, None, :], 0.0, D)
+    return D + plan.diag_eye[None] * plan.bc_row[:, :, None].astype(D.dtype)
+
+
+def constrained_matvec(plan: BlockedPlan, D, x, bc_mask):
+    """y = A_bc x with bc rows/cols pinned (cf. ops/bc.constrained_matvec)."""
+    x_in = jnp.where(bc_mask, 0.0, x)
+    y = spmv(plan, D, x_in)
+    return jnp.where(bc_mask, x, y)
+
+
+# ---------------------------------------------------------------------------
+# patch reductions (stabilization kernels, window form)
+# ---------------------------------------------------------------------------
+
+
+def patch_max(plan: BlockedPlan, x):
+    w = windows(plan, x)
+    v = jnp.where(plan.A_bool, w[:, None, :], -jnp.inf)
+    return unblock(plan, v.max(axis=2))
+
+
+def patch_min(plan: BlockedPlan, x):
+    w = windows(plan, x)
+    v = jnp.where(plan.A_bool, w[:, None, :], jnp.inf)
+    return unblock(plan, v.min(axis=2))
+
+
+def patch_abs_max(plan: BlockedPlan, x):
+    w = jnp.abs(windows(plan, x))
+    v = jnp.where(plan.A_bool, w[:, None, :], 0.0)
+    return unblock(plan, v.max(axis=2))
+
+
+def patch_sum(plan: BlockedPlan, x):
+    """sum_{j in patch(i)} x_j (incl self) as a 0/1 SpMV."""
+    return spmv(plan, plan.A_float, x)
+
+
+def rv_epsilon_nonlinear(plan: BlockedPlan, Cvel, Crv, uh, u_n,
+                         fprime_norm, Rh, h):
+    """Window-form twin of stabilization.rv_epsilon_nonlinear
+    (ref Code/Utils/RV.py:56-90); same math, same quirks."""
+    abs_term = jnp.abs(uh - uh.mean()).max()
+    u_tilde = patch_max(plan, u_n) - patch_min(plan, u_n)
+    n_i = jnp.abs(u_tilde - abs_term)
+    Rh_i = patch_abs_max(plan, Rh)
+    tiny = jnp.asarray(1e-300 if n_i.dtype == jnp.float64 else 1e-30,
+                       n_i.dtype)
+    R_i = Rh_i / jnp.maximum(n_i, tiny)
+    beta = patch_max(plan, fprime_norm(uh))
+    return jnp.minimum(Cvel * h * beta, Crv * h**2 * jnp.abs(R_i))
+
+
+def si_alpha(plan: BlockedPlan, K_D, u, eps_floor=1e-8):
+    """Window-form twin of stabilization.si_alpha (ref Code/Utils/SI.py:
+    50-61): alpha_i = |sum_j b_ij du_ij| / max(sum_j |b_ij||du_ij|, eps).
+    K_D entries outside the sparsity pattern are exact zeros, so no
+    adjacency mask is needed (du there is multiplied by 0)."""
+    w = windows(plan, u)
+    u_r = rows_of(plan, w)                       # (blocks, nb)
+    du = w[:, None, :] - u_r[:, :, None]         # (blocks, nb, Wpad)
+    num = jnp.abs(jnp.einsum("brw,brw->br", K_D, du))
+    den = jnp.einsum("brw,brw->br", jnp.abs(K_D), jnp.abs(du))
+    den = jnp.maximum(den, eps_floor)
+    return unblock(plan, num / den)
+
+
+def smooth_vector(plan: BlockedPlan, u, l: float):
+    """Window-form twin of stabilization.smooth_vector
+    (ref Code/Utils/helpers.py:40-50, Jacobi variant)."""
+    neighbor_sum = patch_sum(plan, u) - u
+    d = unblock(plan, plan.patch_deg) - 1.0
+    d = jnp.maximum(d, 1.0)
+    return (neighbor_sum + (l - 1.0) * d * u) / (l * d)

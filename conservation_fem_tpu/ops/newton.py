@@ -23,7 +23,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from conservation_fem_tpu.ops.krylov import bicgstab
+from conservation_fem_tpu.ops.krylov import bicgstab, bicgstab_fixed
 
 
 class NewtonResult(NamedTuple):
@@ -129,3 +129,41 @@ def newton_solve(
     )
     stalled_ok = (metric > 0.9 * prev) & (metric <= stall_tol)
     return NewtonResult(u, k, (metric <= tol) | stalled_ok, norm(F))
+
+
+def newton_fixed(
+    residual_fn: Callable,
+    u0,
+    *,
+    iters: int,
+    linear_iters: int,
+    jacobian_fn: Callable,
+    freeze_jacobian: bool = False,
+    rtol=1e-4,
+    atol=1e-10,
+    dot: Callable = jnp.vdot,
+) -> NewtonResult:
+    """Newton with FIXED unrolled outer and inner iteration counts.
+
+    Straight-line counterpart of newton_solve for throughput paths: no
+    lax.while_loop anywhere, so the whole solve compiles to one pipelined
+    region (each while iteration costs ~270 us launch overhead on the
+    target runtime — see krylov.cg_fixed). The returned ``converged`` flag
+    still reports whether the residual criterion was met, so callers'
+    blow-up guards keep working; iteration counts must be validated against
+    the adaptive solver for each workload (tests do this on CPU).
+    """
+    norm = lambda v: jnp.sqrt(dot(v, v))
+    F = residual_fn(u0)
+    r0_norm = norm(F)
+    frozen = jacobian_fn(u0) if freeze_jacobian else None
+    u = u0
+    for _ in range(iters):
+        matvec, precond = frozen if frozen is not None else jacobian_fn(u)
+        du = bicgstab_fixed(matvec, -F, precond=precond,
+                            iters=linear_iters, dot=dot).x
+        u = u + du
+        F = residual_fn(u)
+    rnorm = norm(F)
+    return NewtonResult(u, jnp.int32(iters),
+                        rnorm <= rtol * r0_norm + atol, rnorm)
