@@ -165,14 +165,23 @@ def distributed_poisson_demo(mesh, device_mesh, axis="i", rtol=1e-12):
     return part.mesh, dist.unpad_rows(x), np.asarray(g)
 
 
-class DistributedKPP:
-    """Fully distributed unstructured KPP RV solver: node-partitioned rows,
-    cell-partitioned assembly with reverse halo accumulation
-    (ghostUpdate ADD/REVERSE), psum Krylov dots — the complete SPMD step on
-    an arbitrary (RCM-ordered) triangle mesh.
+class DistributedHyperbolic:
+    """Fully distributed unstructured scalar-conservation-law solver:
+    node-partitioned rows, cell-partitioned assembly with reverse halo
+    accumulation (ghostUpdate ADD/REVERSE), psum Krylov dots — the complete
+    SPMD step on an arbitrary triangle mesh for ANY HyperbolicProblem
+    (KPP, Burgers, ...), mirroring the reference where every script is
+    MPI-distributable for free (ref linear_advection.py:40-42,165,170;
+    SI.py:155,163).
 
-    Built from a kpp HyperbolicProblem whose host_mesh is RCM-ordered (the
-    partitioner reorders internally when constructed via from_problem).
+    Covers the full single-device feature set of
+    models/scalar_hyperbolic.HyperbolicProblem:
+      * stabilization rv | si | gfem (SI reads halo'd bc-applied stiffness
+        rows, ref SI.py:50-61)
+      * residual scheme bdf2 | bdf1
+      * time-dependent Dirichlet data g(x, t) evaluated on each device's
+        own point rows (Burgers exact-solution bc, ref Exact_Burger_RV.py)
+      * post-solve patch smoothing (ref Exact_Burger_SI.py:193)
     """
 
     def __init__(self, problem, device_mesh: DeviceMesh, axis="i"):
@@ -233,7 +242,21 @@ class DistributedKPP:
         h = get_nodal_h(m, mass_ell=M_ell)
         self.h_rows = jax.device_put(padv(h, 0.0), sh1)
         self.u0_rows = jax.device_put(padv(problem.u0, 0.0), sh1)
-        self.g_const = jnp.asarray(np.pi / 4.0, dtype)
+        # per-device point rows for time-dependent Dirichlet data; pad rows
+        # repeat node 0 (they are pinned and never referenced)
+        pts = np.asarray(part.mesh.points)
+        pts_pad = np.concatenate([pts, np.repeat(pts[:1], pad, axis=0)])
+        self.pts_rows = jax.device_put(jnp.asarray(pts_pad, dtype), sh2)
+        # SI stabilization reads the bc-applied stiffness rows
+        # (ref SI.py:50-61; smoothness.py:147-149)
+        self.Kbc_rows = None
+        if problem.cfg.stabilization == "si":
+            from conservation_fem_tpu.ops.bc import ell_with_bc
+
+            K = _asm.assemble_stiffness(m)
+            Kbc = ell_with_bc(m, K, m.boundary_mask)
+            self.Kbc_rows = jax.device_put(
+                jnp.concatenate([Kbc, jnp.zeros((pad, self.K), dtype)]), sh2)
         # quadrature tables
         from conservation_fem_tpu.ops.assembly import _DUN4_W, _quad_basis
 
@@ -291,10 +314,11 @@ class DistributedKPP:
         axis = self.axis
         fprime = p.flux_prime
         fprime_norm = p.flux_prime_norm
+        bc_value = p.bc_value
 
-        def step_local(M, cols, maskc, sidx, hsrc, valid, bc, h,
+        def step_local(M, Kbc, cols, maskc, sidx, hsrc, valid, bc, h, pts,
                        cells_l, cvalid, careas, cgrads, cslots,
-                       rev_src, rev_mask, u, uo, uoo):
+                       rev_src, rev_mask, u, uo, uoo, t):
             rev_src_l, rev_mask_l = rev_src[0], rev_mask[0]
             cols_, maskc_ = cols[0], maskc[0]
             sidx_, hsrc_ = sidx[0], hsrc[0]
@@ -364,35 +388,54 @@ class DistributedKPP:
                 )
 
             Mb = M  # (n_own, K) row block
-            # 1. BDF2 residual projection
-            du = (3.0 * u - 4.0 * uo + uoo) / (2.0 * dt)
+            # 1. residual projection (bdf2: ref KPP_NodeRV.py:131-145;
+            #    bdf1: ref Burger_RV.py:144)
+            if cfg.residual_scheme == "bdf1":
+                du = (u - uo) / dt
+            else:
+                du = (3.0 * u - 4.0 * uo + uoo) / (2.0 * dt)
             rhs = spmv(Mb, du) + nl_rhs(u)
             rhs = jnp.where(pin, 0.0, rhs)
             diagM = jnp.where(pin, 1.0, diag_of(Mb))
             RH = cg(c_mv(Mb), rhs, precond=jacobi_preconditioner(diagM),
                     rtol=cfg.krylov_rtol, dot=pdot).x
-            # 2. RV epsilon
-            nvalid = jax.lax.psum(validl.sum(), axis)
-            mean_u = jax.lax.psum(jnp.where(validl, u, 0.0).sum(), axis) / nvalid
-            abs_term = jax.lax.pmax(
-                jnp.abs(jnp.where(validl, u - mean_u, 0.0)).max(), axis)
-            u_max = patch_reduce(u, jnp.max, -jnp.inf)
-            u_min = patch_reduce(u, jnp.min, jnp.inf)
-            n_i = jnp.abs((u_max - u_min) - abs_term)
-            Rh_i = patch_reduce(jnp.abs(RH), jnp.max, -jnp.inf)
-            beta = patch_reduce(fprime_norm(u), jnp.max, -jnp.inf)
+            # 2. epsilon
             tiny = jnp.asarray(
                 1e-300 if u.dtype == jnp.float64 else 1e-30, u.dtype)
-            eps = jnp.minimum(
-                cfg.Cvel * h * beta,
-                cfg.CRV * h**2 * jnp.abs(Rh_i / jnp.maximum(n_i, tiny)))
+            if cfg.stabilization == "rv":
+                nvalid = jax.lax.psum(validl.sum(), axis)
+                mean_u = jax.lax.psum(
+                    jnp.where(validl, u, 0.0).sum(), axis) / nvalid
+                abs_term = jax.lax.pmax(
+                    jnp.abs(jnp.where(validl, u - mean_u, 0.0)).max(), axis)
+                u_max = patch_reduce(u, jnp.max, -jnp.inf)
+                u_min = patch_reduce(u, jnp.min, jnp.inf)
+                n_i = jnp.abs((u_max - u_min) - abs_term)
+                Rh_i = patch_reduce(jnp.abs(RH), jnp.max, -jnp.inf)
+                beta = patch_reduce(fprime_norm(u), jnp.max, -jnp.inf)
+                eps = jnp.minimum(
+                    cfg.Cvel * h * beta,
+                    cfg.CRV * h**2 * jnp.abs(Rh_i / jnp.maximum(n_i, tiny)))
+            elif cfg.stabilization == "si":
+                # alpha_i = |sum_j b_ij du_ij| / max(sum_j |b_ij du_ij|, eps)
+                # over the halo'd patch (ref SI.py:50-61,170-187)
+                u_ext = self._halo(u, sidx_, hsrc_)
+                dup = u_ext[cols_] - u[:, None]
+                num = jnp.abs(jnp.where(maskc_, Kbc * dup, 0.0).sum(axis=1))
+                den = jnp.where(maskc_, jnp.abs(Kbc) * jnp.abs(dup),
+                                0.0).sum(axis=1)
+                alpha = num / jnp.maximum(den, cfg.si_eps)
+                psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
+                eps = psi * cfg.Cm * h * fprime_norm(u)
+            else:  # gfem
+                eps = jnp.zeros_like(u)
             eps = jnp.where(validl, eps, 0.0)
-            # 3. Newton CN
+            # 3. Newton CN with u|bc = g(x, t)
             Kc = keps_mat(eps)
             N_un = nl_rhs(u)
             Kc_un = spmv(Kc, u)
             base = Mb + 0.5 * dt * Kc
-            g2 = self.g_const
+            g2 = bc_value(pts, t)
 
             def residual(v):
                 F = (spmv(Mb, v - u)
@@ -413,22 +456,34 @@ class DistributedKPP:
                 linear_rtol=cfg.newton_linear_rtol or cfg.krylov_rtol,
                 jacobian_fn=jacobian, freeze_jacobian=cfg.modified_newton,
                 dot=pdot)
-            return res.u, u, uo
+            uh = res.u
+            if cfg.smooth_l > 0:
+                # Jacobi patch smoothing over the halo'd patch
+                # (ref Exact_Burger_SI.py:193, helpers.py:40-50)
+                u_ext = self._halo(uh, sidx_, hsrc_)
+                total = jnp.where(maskc_, u_ext[cols_], 0.0).sum(axis=1)
+                dsz = jnp.maximum(
+                    maskc_.sum(axis=1).astype(uh.dtype) - 1.0, 1.0)
+                l = cfg.smooth_l
+                uh = (total - uh + (l - 1.0) * dsz * uh) / (l * dsz)
+                uh = jnp.where(validl, uh, 0.0)
+            return uh, u, uo
 
         ax = self.axis
         smapped = shard_map(
             step_local,
             mesh=self.dmesh,
             in_specs=(
-                P(ax, None),                 # M rows
+                P(ax, None), P(ax, None),    # M rows, Kbc rows
                 P(ax, None, None), P(ax, None, None),   # cols, mask
                 P(ax, None), P(ax, None), P(ax, None),  # sidx, hsrc, valid(2d)
-                P(ax), P(ax),                # bc, h
+                P(ax), P(ax), P(ax, None),   # bc, h, pts
                 P(ax, None, None), P(ax, None),          # cells, cvalid
                 P(ax, None), P(ax, None, None, None),    # careas, cgrads
                 P(ax, None, None, None),                 # cslots
                 P(ax, None, None), P(ax, None, None),    # rev_src, rev_mask
                 P(ax), P(ax), P(ax),         # u, uo, uoo
+                P(),                         # t (replicated scalar)
             ),
             out_specs=(P(ax),) * 3,
         )
@@ -441,21 +496,27 @@ class DistributedKPP:
             jnp.asarray(self.part.global_rows >= 0),
             NamedSharding(self.dmesh, P(self.axis, None)),
         )
+        Kbc = self.Kbc_rows if self.Kbc_rows is not None else self.M_rows
 
         @jax.jit
         def _run(u0):
-            def body(carry, _):
+            def body(carry, t):
                 u, uo, uoo = carry
-                return step(self.M_rows, self.local_cols, self.local_mask,
+                return step(self.M_rows, Kbc, self.local_cols,
+                            self.local_mask,
                             self.shared_idx, self.halo_src, valid2,
-                            self.bc_rows, self.h_rows,
+                            self.bc_rows, self.h_rows, self.pts_rows,
                             self.cells_ext, self.cell_valid, self.careas,
                             self.cgrads, self.cslots, self.rev_src,
-                            self.rev_mask, u, uo, uoo), None
+                            self.rev_mask, u, uo, uoo, t), None
 
-            (u, _, _), _ = jax.lax.scan(body, (u0, u0, u0), None,
-                                        length=p.num_steps)
+            ts = (jnp.arange(p.num_steps, dtype=u0.dtype) + 1.0) * p.dt
+            (u, _, _), _ = jax.lax.scan(body, (u0, u0, u0), ts)
             return u
 
         u = _run(self.u0_rows)
         return np.asarray(u)[: self.part.mesh.n_nodes]
+
+
+# backward-compatible name (round 1 exposed the KPP-specialized class)
+DistributedKPP = DistributedHyperbolic

@@ -113,3 +113,63 @@ def test_distributed_full_kpp_on_reference_gmsh_mesh(device_mesh):
     dist = DistributedKPP(kpp.build(cfg, host_mesh=mesh), device_mesh)
     u_dist = dist.solve()
     np.testing.assert_allclose(u_dist, np.asarray(res_single.u), atol=1e-9)
+
+
+def _dist_vs_single(build_problem, device_mesh, atol):
+    from conservation_fem_tpu.parallel.unstructured_sharded import (
+        DistributedHyperbolic,
+    )
+
+    res_single = build_problem().solve()
+    u_dist = DistributedHyperbolic(build_problem(), device_mesh).solve()
+    np.testing.assert_allclose(u_dist, np.asarray(res_single.u), atol=atol)
+
+
+def test_distributed_burgers_rv_timedep_bc(device_mesh):
+    """Distributed Burgers RV (BDF2 residual, time-dependent exact-solution
+    Dirichlet data) == single device (ref Exact_Burger_RV.py)."""
+    from conservation_fem_tpu.models import burgers
+    from conservation_fem_tpu.ops.mesh import rectangle_mesh
+
+    mesh = rectangle_mesh((0, 0), (1, 1), nx=12)
+    cfg = burgers.BurgersConfig(mesh_size=12, T=0.03, backend="ell")
+    _dist_vs_single(
+        lambda: burgers.build(cfg, host_mesh=mesh), device_mesh, 1e-9)
+
+
+def test_distributed_burgers_si_smoothing(device_mesh):
+    """Distributed Burgers SI incl. halo'd stiffness rows + post-solve
+    patch smoothing == single device (ref Exact_Burger_SI.py:169-193)."""
+    from conservation_fem_tpu.models import burgers
+    from conservation_fem_tpu.ops.mesh import rectangle_mesh
+
+    mesh = rectangle_mesh((0, 0), (1, 1), nx=12)
+    cfg = burgers.BurgersConfig(mesh_size=12, T=0.03, backend="ell",
+                                stabilization="si", smooth_l=4.0)
+    _dist_vs_single(
+        lambda: burgers.build(cfg, host_mesh=mesh), device_mesh, 1e-9)
+
+
+def test_distributed_burgers_bump_bdf1(device_mesh):
+    """Distributed bump-IC Burgers with the BDF1 residual scheme ==
+    single device (ref Burger_RV.py:144)."""
+    from conservation_fem_tpu.models import burgers
+    from conservation_fem_tpu.ops.mesh import rectangle_mesh
+
+    mesh = rectangle_mesh((0, 0), (1, 1), nx=12)
+    cfg = burgers.BurgersConfig(mesh_size=12, T=0.03, backend="ell",
+                                ic="bump", residual_scheme="bdf1")
+    _dist_vs_single(
+        lambda: burgers.build(cfg, host_mesh=mesh), device_mesh, 1e-9)
+
+
+def test_distributed_kpp_si(device_mesh):
+    """Distributed KPP SI == single device (ref KPP_SI.py)."""
+    from conservation_fem_tpu.models import kpp
+    from conservation_fem_tpu.ops.mesh import rectangle_mesh
+
+    mesh = rectangle_mesh((-2, -2), (2, 2), nx=11)
+    cfg = kpp.KPPConfig(mesh_size=11, T=0.03, stabilization="si",
+                        backend="ell")
+    _dist_vs_single(
+        lambda: kpp.build(cfg, host_mesh=mesh), device_mesh, 1e-9)
