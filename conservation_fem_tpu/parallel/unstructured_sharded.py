@@ -26,7 +26,7 @@ from jax import shard_map
 from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 from conservation_fem_tpu.parallel.partition import Partition, build_partition
-from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
 from conservation_fem_tpu.ops.newton import newton_solve
 
 
@@ -165,50 +165,40 @@ def distributed_poisson_demo(mesh, device_mesh, axis="i", rtol=1e-12):
     return part.mesh, dist.unpad_rows(x), np.asarray(g)
 
 
-class DistributedHyperbolic:
-    """Fully distributed unstructured scalar-conservation-law solver:
-    node-partitioned rows, cell-partitioned assembly with reverse halo
-    accumulation (ghostUpdate ADD/REVERSE), psum Krylov dots — the complete
-    SPMD step on an arbitrary triangle mesh for ANY HyperbolicProblem
-    (KPP, Burgers, ...), mirroring the reference where every script is
-    MPI-distributable for free (ref linear_advection.py:40-42,165,170;
-    SI.py:155,163).
-
-    Covers the full single-device feature set of
-    models/scalar_hyperbolic.HyperbolicProblem:
-      * stabilization rv | si | gfem (SI reads halo'd bc-applied stiffness
-        rows, ref SI.py:50-61)
-      * residual scheme bdf2 | bdf1
-      * time-dependent Dirichlet data g(x, t) evaluated on each device's
-        own point rows (Burgers exact-solution bc, ref Exact_Burger_RV.py)
-      * post-solve patch smoothing (ref Exact_Burger_SI.py:193)
+class DistributedUnstructured:
+    """Shared SPMD infrastructure for fully distributed unstructured
+    solvers: node-partitioned rows, cell-partitioned assembly structures,
+    halo exchange tables, and the row-sharded static FEM fields (mass rows,
+    nodal h, boundary mask, points) — everything the per-model step kernels
+    build on. Subclasses add model-specific static operators and the step.
     """
 
-    def __init__(self, problem, device_mesh: DeviceMesh, axis="i"):
+    def __init__(self, host_mesh, device_mesh: DeviceMesh, axis="i",
+                 dtype=jnp.float64):
         from conservation_fem_tpu.parallel.partition import (
             build_cell_partition,
             build_partition,
         )
 
-        self.p = problem
         self.dmesh = device_mesh
         self.axis = axis
         n_dev = device_mesh.shape[axis]
         self.n_dev = n_dev
         # partition WITHOUT reordering: the problem was built on this mesh
-        self.part = build_partition(problem.host_mesh, n_dev, reorder=False)
+        self.part = build_partition(host_mesh, n_dev, reorder=False)
         self.cpart = build_cell_partition(self.part)
         part, cpart = self.part, self.cpart
-        dtype = problem.u0.dtype
         self.dtype = dtype
         self.n_own = part.n_own
         self.H = part.halo_size
         self.S = part.shared_size
         self.K = part.mesh.max_patch
 
+        sh1 = NamedSharding(device_mesh, P(axis))
         sh2 = NamedSharding(device_mesh, P(axis, None))
         sh3 = NamedSharding(device_mesh, P(axis, None, None))
         sh4 = NamedSharding(device_mesh, P(axis, None, None, None))
+        self._sh1, self._sh2 = sh1, sh2
         i32 = lambda x, s: jax.device_put(jnp.asarray(x, jnp.int32), s)
         f = lambda x, s: jax.device_put(jnp.asarray(x, dtype), s)
         self.local_cols = i32(part.local_cols, sh3)
@@ -225,43 +215,38 @@ class DistributedHyperbolic:
         self.rev_mask = jax.device_put(jnp.asarray(cpart.rev_mask), sh3)
         # row-sharded static fields
         n = part.mesh.n_nodes
-        pad = part.n_total - n
-        padv = lambda v, fill: jnp.concatenate(
+        self._pad = pad = part.n_total - n
+        self._padv = padv = lambda v, fill: jnp.concatenate(
             [jnp.asarray(v), jnp.full(pad, fill, jnp.asarray(v).dtype)]
         )
-        sh1 = NamedSharding(device_mesh, P(axis))
         self.bc_rows = jax.device_put(
             padv(part.mesh.boundary_mask, True), sh1)
         m = part.mesh.device_arrays(dtype)
+        self.m = m
         from conservation_fem_tpu.ops import assembly as _asm
         from conservation_fem_tpu.ops.helpers import get_nodal_h
 
         M_ell = _asm.assemble_mass(m)
-        self.M_rows = jax.device_put(
-            jnp.concatenate([M_ell, jnp.zeros((pad, self.K), dtype)]), sh2)
+        self.M_rows = self.pad_ell(M_ell)
         h = get_nodal_h(m, mass_ell=M_ell)
         self.h_rows = jax.device_put(padv(h, 0.0), sh1)
-        self.u0_rows = jax.device_put(padv(problem.u0, 0.0), sh1)
         # per-device point rows for time-dependent Dirichlet data; pad rows
         # repeat node 0 (they are pinned and never referenced)
         pts = np.asarray(part.mesh.points)
         pts_pad = np.concatenate([pts, np.repeat(pts[:1], pad, axis=0)])
         self.pts_rows = jax.device_put(jnp.asarray(pts_pad, dtype), sh2)
-        # SI stabilization reads the bc-applied stiffness rows
-        # (ref SI.py:50-61; smoothness.py:147-149)
-        self.Kbc_rows = None
-        if problem.cfg.stabilization == "si":
-            from conservation_fem_tpu.ops.bc import ell_with_bc
 
-            K = _asm.assemble_stiffness(m)
-            Kbc = ell_with_bc(m, K, m.boundary_mask)
-            self.Kbc_rows = jax.device_put(
-                jnp.concatenate([Kbc, jnp.zeros((pad, self.K), dtype)]), sh2)
-        # quadrature tables
-        from conservation_fem_tpu.ops.assembly import _DUN4_W, _quad_basis
+    def pad_ell(self, A_ell):
+        """(n, K) ELL values -> (n_total, K) row-sharded device array."""
+        return jax.device_put(
+            jnp.concatenate(
+                [A_ell, jnp.zeros((self._pad, self.K), self.dtype)]
+            ),
+            self._sh2,
+        )
 
-        self.phi = _quad_basis().astype(dtype)
-        self.qw = (_DUN4_W * 0.5).astype(dtype)
+    def pad_vec(self, v, fill=0.0):
+        return jax.device_put(self._padv(v, fill), self._sh1)
 
     # -- local primitives (inside shard_map; all args device-local) ----------
 
@@ -286,7 +271,8 @@ class DistributedHyperbolic:
         incoming = picked.sum(axis=-2)                       # (S, K)
         return ext[: self.n_own].at[sidx].add(incoming)
 
-    def _assemble_vec(self, cell_vals, cells_l, valid_l, sidx, rev_src, rev_mask):
+    def _assemble_vec(self, cell_vals, cells_l, valid_l, sidx, rev_src,
+                      rev_mask):
         vals = jnp.where(valid_l[:, None], cell_vals, 0.0)
         ext = jnp.zeros(self.n_own + self.H, self.dtype).at[
             cells_l.reshape(-1)
@@ -303,6 +289,48 @@ class DistributedHyperbolic:
         ].add(vals.reshape(-1))
         return self._reverse_add_mat(flat.reshape(-1, self.K), sidx,
                                      rev_src, rev_mask)
+
+
+class DistributedHyperbolic(DistributedUnstructured):
+    """Fully distributed unstructured scalar-conservation-law solver:
+    node-partitioned rows, cell-partitioned assembly with reverse halo
+    accumulation (ghostUpdate ADD/REVERSE), psum Krylov dots — the complete
+    SPMD step on an arbitrary triangle mesh for ANY HyperbolicProblem
+    (KPP, Burgers, ...), mirroring the reference where every script is
+    MPI-distributable for free (ref linear_advection.py:40-42,165,170;
+    SI.py:155,163).
+
+    Covers the full single-device feature set of
+    models/scalar_hyperbolic.HyperbolicProblem:
+      * stabilization rv | si | gfem (SI reads halo'd bc-applied stiffness
+        rows, ref SI.py:50-61)
+      * residual scheme bdf2 | bdf1
+      * time-dependent Dirichlet data g(x, t) evaluated on each device's
+        own point rows (Burgers exact-solution bc, ref Exact_Burger_RV.py)
+      * post-solve patch smoothing (ref Exact_Burger_SI.py:193)
+    """
+
+    def __init__(self, problem, device_mesh: DeviceMesh, axis="i"):
+        super().__init__(problem.host_mesh, device_mesh, axis,
+                         dtype=problem.u0.dtype)
+        self.p = problem
+        self.u0_rows = self.pad_vec(problem.u0)
+        # SI stabilization reads the bc-applied stiffness rows
+        # (ref SI.py:50-61; smoothness.py:147-149)
+        self.Kbc_rows = None
+        if problem.cfg.stabilization == "si":
+            from conservation_fem_tpu.ops import assembly as _asm
+            from conservation_fem_tpu.ops.bc import ell_with_bc
+
+            K = _asm.assemble_stiffness(self.m)
+            self.Kbc_rows = self.pad_ell(
+                ell_with_bc(self.m, K, self.m.boundary_mask))
+        # quadrature tables
+        from conservation_fem_tpu.ops.assembly import _DUN4_W, _quad_basis
+
+        dtype = self.dtype
+        self.phi = _quad_basis().astype(dtype)
+        self.qw = (_DUN4_W * 0.5).astype(dtype)
 
     # -- step -----------------------------------------------------------------
 
@@ -520,3 +548,188 @@ class DistributedHyperbolic:
 
 # backward-compatible name (round 1 exposed the KPP-specialized class)
 DistributedKPP = DistributedHyperbolic
+
+
+class DistributedAdvection(DistributedUnstructured):
+    """Fully distributed linear advection on an unstructured mesh:
+    Crank-Nicolson with gfem | rv_node | si stabilization, homogeneous
+    Dirichlet bc, SPMD over a node partition with halo exchange — the
+    distributed form of models/linear_advection.py (every reference
+    advection script is MPI-rank-safe, ref linear_advection.py:40-42,165).
+
+    rv_node bootstraps with one plain GFEM step exactly like the
+    single-device driver (ref RV_cell.py:142-160).
+    """
+
+    def __init__(self, problem, device_mesh: DeviceMesh, axis="i"):
+        cfg = problem.cfg
+        if cfg.stabilization not in ("gfem", "rv_node", "si"):
+            raise NotImplementedError(
+                f"distributed advection: {cfg.stabilization!r} (rv_cell's "
+                "last-cell-wins scatter and rk4 are single-device only)")
+        super().__init__(problem.host_mesh, device_mesh, axis,
+                         dtype=problem.u0.dtype)
+        self.p = problem
+        self.u0_rows = self.pad_vec(problem.u0)
+        self.C_rows = self.pad_ell(problem.C)
+        self.beta_rows = self.pad_vec(jnp.linalg.norm(problem.w, axis=1))
+        self.Kbc_rows = (self.pad_ell(problem.K_bc)
+                         if cfg.stabilization == "si" else self.M_rows)
+
+    def make_step(self, stabilization: str):
+        p = self.p
+        cfg = p.cfg
+        dt = p.dt
+        axis = self.axis
+
+        def step_local(M, C, Kbc, cols, maskc, sidx, hsrc, valid, bc, h,
+                       beta, u, uo):
+            cols_, maskc_ = cols[0], maskc[0]
+            sidx_, hsrc_ = sidx[0], hsrc[0]
+            cellsl, cvalidl = self._cells_l, self._cvalid_l
+            validl = valid[0]
+            pin = bc | ~validl
+            pdot = lambda a, b: jax.lax.psum(jnp.vdot(a, b), axis)
+
+            def spmv(A, x):
+                x_ext = self._halo(x, sidx_, hsrc_)
+                g = x_ext[cols_]
+                return jnp.where(maskc_, A * g, 0.0).sum(axis=1)
+
+            def c_mv(A):
+                def mv(x):
+                    x_in = jnp.where(pin, 0.0, x)
+                    return jnp.where(pin, x, spmv(A, x_in))
+                return mv
+
+            def diag_of(A):
+                own_idx = jnp.arange(self.n_own)
+                hit = (cols_ == own_idx[:, None]) & maskc_
+                return jnp.where(hit, A, 0.0).sum(axis=1)
+
+            def patch_reduce(x, reducer, pad_val):
+                x_ext = self._halo(jnp.where(validl, x, pad_val), sidx_,
+                                   hsrc_)
+                g = x_ext[cols_]
+                return reducer(jnp.where(maskc_, g, pad_val), axis=1)
+
+            # epsilon
+            if stabilization == "rv_node":
+                # BDF1 residual projection M Rh = M (u-uo)/dt + C u, Rh|bc=0
+                # (ref RV_cell.py:169-174)
+                rhs = spmv(M, (u - uo) / dt) + spmv(C, u)
+                rhs = jnp.where(pin, 0.0, rhs)
+                diagM = jnp.where(pin, 1.0, diag_of(M))
+                Rh = cg(c_mv(M), rhs,
+                        precond=jacobi_preconditioner(diagM),
+                        rtol=cfg.krylov_rtol, dot=pdot).x
+                # rv_epsilon_linear (ref RV.py:92-127): beta at patch owner
+                nvalid = jax.lax.psum(validl.sum(), axis)
+                mean_u = jax.lax.psum(
+                    jnp.where(validl, u, 0.0).sum(), axis) / nvalid
+                abs_term = jax.lax.pmax(
+                    jnp.abs(jnp.where(validl, u - mean_u, 0.0)).max(), axis)
+                u_max = patch_reduce(u, jnp.max, -jnp.inf)
+                u_min = patch_reduce(u, jnp.min, jnp.inf)
+                n_i = jnp.abs((u_max - u_min) - abs_term)
+                Rh_i = patch_reduce(jnp.abs(Rh), jnp.max, -jnp.inf)
+                tiny = jnp.asarray(
+                    1e-300 if u.dtype == jnp.float64 else 1e-30, u.dtype)
+                eps = jnp.minimum(
+                    cfg.Cvel * h * beta,
+                    cfg.CRV * h**2 * jnp.abs(Rh_i / jnp.maximum(n_i, tiny)))
+            elif stabilization == "si":
+                u_ext = self._halo(u, sidx_, hsrc_)
+                dup = u_ext[cols_] - u[:, None]
+                num = jnp.abs(jnp.where(maskc_, Kbc * dup, 0.0).sum(axis=1))
+                den = jnp.where(maskc_, jnp.abs(Kbc) * jnp.abs(dup),
+                                0.0).sum(axis=1)
+                alpha = num / jnp.maximum(den, cfg.si_eps)
+                psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
+                eps = psi * cfg.Cm * h * beta
+            else:
+                eps = None
+
+            # CN operators A = M + dt/2 (C + Keps), B = M - dt/2 (C + Keps)
+            if eps is None:
+                CK = C
+            else:
+                eps = jnp.where(validl, eps, 0.0)
+                e_ext = self._halo(eps, sidx_, hsrc_)
+                e_cell = e_ext[cellsl].mean(axis=1)
+                gg = jnp.einsum("cad,cbd->cab", self._cgrads_l,
+                                self._cgrads_l)
+                vals = (self._careas_l * e_cell)[:, None, None] * gg
+                Keps = self._assemble_mat(vals, cellsl, self._cslots_l,
+                                          cvalidl, sidx_,
+                                          self._rev_src_l, self._rev_mask_l)
+                CK = C + Keps
+            A = M + 0.5 * dt * CK
+            B = M - 0.5 * dt * CK
+            b = jnp.where(pin, 0.0, spmv(B, u))
+            pre = jacobi_preconditioner(jnp.where(pin, 1.0, diag_of(A)))
+            # x0 = u matches the single-device _cn_solve exactly (bc rows of
+            # x0 carry u's values; the identity rows converge them to 0)
+            uh = bicgstab(c_mv(A), b, x0=u,
+                          precond=pre, rtol=cfg.krylov_rtol, dot=pdot).x
+            return uh, u
+
+        ax = self.axis
+
+        def step_wrapped(M, C, Kbc, cols, maskc, sidx, hsrc, valid, bc, h,
+                         beta, cells_l, cvalid, careas, cgrads, cslots,
+                         rev_src, rev_mask, u, uo):
+            # stash device-local cell structures for the step body
+            self._cells_l, self._cvalid_l = cells_l[0], cvalid[0]
+            self._careas_l, self._cgrads_l = careas[0], cgrads[0]
+            self._cslots_l = cslots[0]
+            self._rev_src_l, self._rev_mask_l = rev_src[0], rev_mask[0]
+            return step_local(M, C, Kbc, cols, maskc, sidx, hsrc, valid,
+                              bc, h, beta, u, uo)
+
+        return shard_map(
+            step_wrapped,
+            mesh=self.dmesh,
+            in_specs=(
+                P(ax, None), P(ax, None), P(ax, None),  # M, C, Kbc rows
+                P(ax, None, None), P(ax, None, None),   # cols, mask
+                P(ax, None), P(ax, None), P(ax, None),  # sidx, hsrc, valid
+                P(ax), P(ax), P(ax),                    # bc, h, beta
+                P(ax, None, None), P(ax, None),         # cells, cvalid
+                P(ax, None), P(ax, None, None, None),   # careas, cgrads
+                P(ax, None, None, None),                # cslots
+                P(ax, None, None), P(ax, None, None),   # rev_src, rev_mask
+                P(ax), P(ax),                           # u, uo
+            ),
+            out_specs=(P(ax),) * 2,
+        )
+
+    def solve(self):
+        p = self.p
+        cfg = p.cfg
+        step = self.make_step(cfg.stabilization)
+        gfem_step = (self.make_step("gfem")
+                     if cfg.stabilization == "rv_node" else None)
+        statics = (self.M_rows, self.C_rows, self.Kbc_rows,
+                   self.local_cols, self.local_mask,
+                   self.shared_idx, self.halo_src, self.row_valid,
+                   self.bc_rows, self.h_rows, self.beta_rows,
+                   self.cells_ext, self.cell_valid, self.careas,
+                   self.cgrads, self.cslots, self.rev_src, self.rev_mask)
+
+        @jax.jit
+        def _run(u0):
+            carry = (u0, u0)
+            n = p.num_steps
+            if gfem_step is not None:
+                carry = gfem_step(*statics, *carry)
+                n -= 1
+
+            def body(c, _):
+                return step(*statics, *c), None
+
+            (u, _), _ = jax.lax.scan(body, carry, None, length=n)
+            return u
+
+        u = _run(self.u0_rows)
+        return np.asarray(u)[: self.part.mesh.n_nodes]

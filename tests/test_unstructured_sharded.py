@@ -173,3 +173,35 @@ def test_distributed_kpp_si(device_mesh):
                         backend="ell")
     _dist_vs_single(
         lambda: kpp.build(cfg, host_mesh=mesh), device_mesh, 1e-9)
+
+
+def test_distributed_advection_rv_node(device_mesh):
+    """Distributed linear advection with node RV == single device on the
+    unstructured disk mesh (ref RV_node.py)."""
+    from conservation_fem_tpu.models import linear_advection as adv
+    from conservation_fem_tpu.parallel.unstructured_sharded import (
+        DistributedAdvection,
+    )
+
+    cfg = adv.AdvectionConfig(mesh_size=8, stabilization="rv_node", T=0.02)
+    p = adv.build(cfg)
+    res_single = adv.solve(p)
+    u_dist = DistributedAdvection(adv.build(cfg, host_mesh=p.host_mesh),
+                                  device_mesh).solve()
+    np.testing.assert_allclose(u_dist, np.asarray(res_single.u), atol=1e-9)
+
+
+def test_distributed_advection_si(device_mesh):
+    """Distributed linear advection with SI == single device
+    (ref smoothness.py)."""
+    from conservation_fem_tpu.models import linear_advection as adv
+    from conservation_fem_tpu.parallel.unstructured_sharded import (
+        DistributedAdvection,
+    )
+
+    cfg = adv.AdvectionConfig(mesh_size=8, stabilization="si", T=0.02)
+    p = adv.build(cfg)
+    res_single = adv.solve(p)
+    u_dist = DistributedAdvection(adv.build(cfg, host_mesh=p.host_mesh),
+                                  device_mesh).solve()
+    np.testing.assert_allclose(u_dist, np.asarray(res_single.u), atol=1e-9)
