@@ -12,6 +12,15 @@ Provenance notes (verified by inspection in round 1):
     nodal epsilon is last-cell-wins in DOLFINx's *internal* (reordered)
     cell numbering, which the stored file does not preserve (ref
     RV_cell.py:193-195). The artifact is order-dependent by construction.
+  * RV_node.h5 provenance (established in round 2): the stored series is a
+    P1 run with the DISCONTINUOUS indicator IC (not the smooth tanh of the
+    current degree-2 RV_node.py source), globally-normalized simple RV
+    (rv_epsilon_linear_simple, Cvel=0.25, CRV=1.0), and — decisively — the
+    BDF1 residual projection solved WITHOUT boundary conditions (the
+    current source applies bcs, ref RV_node.py:215, and mismatches the
+    stored data at 5e-4/step teacher-forced; without bcs every stored step
+    reproduces to 2e-14). Free-running full-trajectory parity: 8e-13 Linf
+    over all 285 steps — the strongest accuracy gate in the suite.
   * GFEM/solution.h5 is from an abandoned run — the stored field never
     evolves (identical to the IC at every timestep), so it is unusable as
     an oracle.
@@ -99,6 +108,45 @@ def test_rv_cell_full_trajectory_tracks(golden):
     d = jnp.asarray(final - ref)
     l2 = float(jnp.sqrt(d @ (p.M * d[p.mesh.patch_cols]).sum(1)))
     assert l2 < 2e-3, l2
+
+
+RV_NODE_H5 = "/root/reference/Code/Linear_advection/Data/RV/RV_node.h5"
+
+
+def test_rv_node_full_trajectory_parity():
+    """FULL 285-step stabilized trajectory against the reference's stored
+    RV_node.h5 series at 1e-10 Linf on EVERY step (measured: 8e-13).
+
+    This is the full-trajectory <=1e-8 accuracy gate (BASELINE.md):
+    node-based epsilon has no cell-ordering artifact, and with the
+    producing variant identified (rv_node_simple + unconstrained residual
+    projection, see module docstring) parity is at solver tolerance."""
+    import jax
+
+    mesh = read_h5_mesh(RV_NODE_H5)
+    times, vals = read_h5_series(RV_NODE_H5, "uh")
+    assert len(times) == 285
+    p = la.build(
+        la.AdvectionConfig(mesh_size=16, stabilization="rv_node_simple",
+                           discontinuous_ic=True, krylov_rtol=1e-14),
+        host_mesh=mesh,
+    )
+
+    @jax.jit
+    def traj(u0):
+        (u1, _), _ = la._step_gfem(p, (u0, u0), None)
+
+        def stepfn(c, _):
+            c2, _ = la._step_rv_node_simple(p, c, None)
+            return c2, c2[0]
+
+        _, us = jax.lax.scan(stepfn, (u1, u0), None, length=284)
+        return u1, us
+
+    u1, us = traj(p.u0)
+    assert float(jnp.abs(u1 - vals[0]).max()) < 1e-10
+    err = np.abs(np.asarray(us) - np.asarray(vals[1:])).max()
+    assert err < 1e-10, err
 
 
 def test_own_golden_regression():
