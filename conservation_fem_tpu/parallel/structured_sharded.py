@@ -89,6 +89,7 @@ class ShardedStructuredKPP:
         self.pts_s = jax.device_put(
             pts_pad, NamedSharding(device_mesh, P(axis, None, None)))
         self.shard = shard
+        self._chunk_jit = None
 
     # -- halo primitives (inside shard_map) ----------------------------------
 
@@ -303,6 +304,92 @@ class ShardedStructuredKPP:
             out_specs=(P(self.axis, None),) * 3,
         )
         return smapped
+
+    # -- checkpoint / resume (orbax, sharded-array + mesh-reshape safe) ------
+
+    def init_carry(self):
+        u0 = self._pad_global(self.p.u0.reshape(self.nx + 1, self.n1y))
+        u0 = jax.device_put(u0, self.shard)
+        return (u0, u0, u0)
+
+    def run_chunk(self, carry, start_step: int, n: int):
+        """Advance the sharded carry n steps from step index start_step."""
+        if self._chunk_jit is None:
+            step = self.make_step()
+
+            def _chunk(carry, start, n):
+                ts = (start + jnp.arange(n, dtype=self.dtype) + 1.0) * self.p.dt
+
+                def body(c, t):
+                    u, uo, uoo = c
+                    return step(self.bc2_s, self.Mc_s, self.h_s,
+                                self.valid_s, self.pts_s, u, uo, uoo, t), None
+
+                carry, _ = jax.lax.scan(body, carry, ts)
+                return carry
+
+            self._chunk_jit = jax.jit(_chunk, static_argnums=2)
+        return self._chunk_jit(carry, jnp.asarray(start_step, self.dtype), n)
+
+    def save_carry(self, path: str, step: int, carry):
+        """Orbax save of the sharded carry (at this mesh's row padding)."""
+        from conservation_fem_tpu.utils.checkpoint import save_orbax
+
+        state = {"step": np.asarray(step, np.int64),
+                 "u": carry[0], "uo": carry[1], "uoo": carry[2]}
+        return save_orbax(path, state)
+
+    def restore_carry(self, path: str):
+        """Orbax restore onto THIS object's device mesh, which may have a
+        different device count than the saving mesh: the stored row count
+        (saving mesh's padding) is read from checkpoint metadata; when the
+        new device count divides it, orbax reshards directly onto the new
+        mesh, otherwise it restores replicated. Rows are then re-padded for
+        this mesh. Returns (step, padded sharded carry)."""
+        from conservation_fem_tpu.utils.checkpoint import (
+            load_orbax,
+            orbax_metadata,
+        )
+
+        meta = orbax_metadata(path)
+        rows_saved = meta.item_metadata.tree["u"].shape[0]
+        if rows_saved % self.n_dev == 0:
+            spec = P(self.axis, None)          # sharded restore
+        else:
+            spec = P()                          # replicated fallback
+        shard = NamedSharding(self.dmesh, spec)
+        like = {
+            "step": np.asarray(0, np.int64),
+            **{k: jax.ShapeDtypeStruct((rows_saved, self.n1y), self.dtype,
+                                       sharding=shard)
+               for k in ("u", "uo", "uoo")},
+        }
+        st_ = load_orbax(path, like)
+        n1x = self.nx + 1
+
+        def repad(x):
+            return jax.device_put(self._pad_global(x[:n1x]), self.shard)
+
+        return int(st_["step"]), tuple(repad(st_[k]) for k in ("u", "uo", "uoo"))
+
+    def solve_checkpointed(self, path: str, every: int, resume: bool = False):
+        """Chunked sharded run with orbax snapshots every `every` steps;
+        resume=True restarts from the stored snapshot (works across a
+        device-mesh reshape, e.g. save on 8 devices, resume on 4)."""
+        import os
+
+        p = self.p
+        if resume and os.path.exists(path):
+            s, carry = self.restore_carry(path)
+        else:
+            s, carry = 0, self.init_carry()
+        while s < p.num_steps:
+            n = min(every, p.num_steps - s)
+            carry = self.run_chunk(carry, s, n)
+            s += n
+            self.save_carry(path, s, carry)
+        u = carry[0][: self.nx + 1].reshape(-1)
+        return u
 
     def solve(self):
         p = self.p

@@ -49,3 +49,13 @@ def load_orbax(path: str, like):
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), like)
+
+
+def orbax_metadata(path: str):
+    """Pytree of array metadata (shape/dtype) for a stored checkpoint —
+    lets a restorer build the `like` tree (with new-mesh shardings) without
+    knowing the saving configuration."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.metadata(os.path.abspath(path))
