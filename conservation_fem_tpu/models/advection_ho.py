@@ -51,6 +51,10 @@ class HOAdvectionConfig:
     Cm: float = 0.5
     si_eps: float = 1e-8
     krylov_rtol: float = 1e-12
+    # isoparametric (curved) disk boundary: project boundary dofs onto the
+    # unit circle so P2/P3 rates are not capped by the polygonal boundary
+    # (exceeds the reference, whose gmsh meshes are straight triangles)
+    curved_boundary: bool = False
     dtype: str = "float64"
 
 
@@ -112,7 +116,10 @@ def build(cfg: HOAdvectionConfig | None = None, host_mesh: Mesh | None = None, *
         host_mesh = disk_mesh(hmax) if cfg.domain == "disk" else rectangle_mesh(
             (0, 0), (1, 1), nx=cfg.mesh_size
         )
-    space = build_space(host_mesh, cfg.degree)
+    projector = None
+    if cfg.curved_boundary and cfg.domain == "disk":
+        projector = lambda p: p / np.linalg.norm(p, axis=1, keepdims=True)
+    space = build_space(host_mesh, cfg.degree, boundary_projector=projector)
     dtype = jnp.dtype(cfg.dtype)
     sp = space.device_arrays(dtype)
     w = velocity(sp.dof_coords)

@@ -195,11 +195,18 @@ def l2_error_vs_exact(problem: HyperbolicProblem, u, t):
 
 
 def l1_error_vs_exact(problem: HyperbolicProblem, u, t):
-    """L1 error int |u - u_ex| dx with u_ex the P1 interpolant, evaluated by
-    quadrature (the C++ reference assembles |u0-u_ex|*dx,
-    ref Burger_CPP/main.cpp:473-482)."""
+    """L1 error int |u - u_ex| dx with u_ex the nodal interpolant, evaluated
+    by quadrature (the C++ reference assembles |u0-u_ex|*dx,
+    ref Burger_CPP/main.cpp:473-482). Works for P1 and Pk spaces."""
     m = problem.mesh
-    u_ex = exact_solution(m.points[:, 0], m.points[:, 1], t)
+    pts = getattr(m, "points", None)
+    if pts is None:           # Pk space: dofs at lattice coords
+        u_ex = exact_solution(m.dof_coords[:, 0], m.dof_coords[:, 1], t)
+        d = u - u_ex
+        d_q = jnp.einsum("qc,mc->mq", m.phi, d[m.cell_dofs])
+        return ((jnp.abs(d_q) * m.quad_w[None, :]).sum(axis=1)
+                * 2.0 * m.area).sum()
+    u_ex = exact_solution(pts[:, 0], pts[:, 1], t)
     d = u - u_ex
     phi = assembly._quad_basis().astype(u.dtype)
     d_q = d[m.cells] @ phi.T

@@ -19,8 +19,11 @@ from conservation_fem_tpu.ops.spaces import SpaceArrays
 
 
 def _phys_grads(sp: SpaceArrays):
-    """Physical basis gradients at quad points: (M,Q,nloc,2)."""
-    return jnp.einsum("mde,qne->mqnd", sp.jinv_t, sp.dphi)
+    """Physical basis gradients at quad points: (M,Q,nloc,2).
+
+    Uses the isoparametric per-quad-point J^{-T} (== affine J^{-T} on
+    straight cells; curved-boundary cells get the bent geometry)."""
+    return jnp.einsum("mqde,qne->mqnd", sp.jinv_t_q, sp.dphi)
 
 
 def scatter_matrix(sp: SpaceArrays, cell_vals):
@@ -41,16 +44,14 @@ def scatter_vector(sp: SpaceArrays, cell_vals):
 
 
 def assemble_mass(sp: SpaceArrays):
-    loc = jnp.einsum("q,qa,qb->ab", sp.quad_w, sp.phi, sp.phi)
-    vals = 2.0 * sp.area[:, None, None] * loc[None]
+    vals = jnp.einsum("q,mq,qa,qb->mab", sp.quad_w, sp.detj_q,
+                      sp.phi, sp.phi)
     return scatter_matrix(sp, vals)
 
 
 def assemble_stiffness(sp: SpaceArrays):
     g = _phys_grads(sp)                                   # (M,Q,n,2)
-    vals = 2.0 * sp.area[:, None, None] * jnp.einsum(
-        "q,mqad,mqbd->mab", sp.quad_w, g, g
-    )
+    vals = jnp.einsum("q,mq,mqad,mqbd->mab", sp.quad_w, sp.detj_q, g, g)
     return scatter_matrix(sp, vals)
 
 
@@ -59,9 +60,8 @@ def assemble_convection(sp: SpaceArrays, w):
     g = _phys_grads(sp)
     w_cell = w[sp.cell_dofs]                              # (M,n,2)
     w_q = jnp.einsum("qc,mcd->mqd", sp.phi, w_cell)       # (M,Q,2)
-    vals = 2.0 * sp.area[:, None, None] * jnp.einsum(
-        "q,qa,mqd,mqbd->mab", sp.quad_w, sp.phi, w_q, g
-    )
+    vals = jnp.einsum("q,mq,qa,mqd,mqbd->mab", sp.quad_w, sp.detj_q,
+                      sp.phi, w_q, g)
     return scatter_matrix(sp, vals)
 
 
@@ -70,9 +70,8 @@ def assemble_eps_stiffness(sp: SpaceArrays, eps):
     g = _phys_grads(sp)
     e_cell = eps[sp.cell_dofs]
     e_q = jnp.einsum("qc,mc->mq", sp.phi, e_cell)
-    vals = 2.0 * sp.area[:, None, None] * jnp.einsum(
-        "q,mq,mqad,mqbd->mab", sp.quad_w, e_q, g, g
-    )
+    vals = jnp.einsum("q,mq,mq,mqad,mqbd->mab", sp.quad_w, sp.detj_q,
+                      e_q, g, g)
     return scatter_matrix(sp, vals)
 
 
@@ -83,7 +82,7 @@ def convection_rhs_flux(sp: SpaceArrays, u, fprime):
     u_q = jnp.einsum("qc,mc->mq", sp.phi, u_cell)
     grad_u = jnp.einsum("mc,mqcd->mqd", u_cell, g)
     conv = jnp.einsum("mqd,mqd->mq", fprime(u_q), grad_u)
-    vals = 2.0 * sp.area[:, None] * jnp.einsum("q,mq,qa->ma", sp.quad_w, conv, sp.phi)
+    vals = jnp.einsum("q,mq,mq,qa->ma", sp.quad_w, sp.detj_q, conv, sp.phi)
     return scatter_vector(sp, vals)
 
 
@@ -96,34 +95,33 @@ def assemble_flux_jacobian(sp: SpaceArrays, u, fprime):
     fp, fpp = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
     grad_u = jnp.einsum("mc,mqcd->mqd", u_cell, g)
     t1 = jnp.einsum("mqd,mqd->mq", fpp, grad_u)
-    term1 = jnp.einsum("q,mq,qa,qb->mab", sp.quad_w, t1, sp.phi, sp.phi)
+    term1 = jnp.einsum("q,mq,mq,qa,qb->mab", sp.quad_w, sp.detj_q, t1,
+                       sp.phi, sp.phi)
     t2 = jnp.einsum("mqd,mqbd->mqb", fp, g)
-    term2 = jnp.einsum("q,qa,mqb->mab", sp.quad_w, sp.phi, t2)
-    vals = 2.0 * sp.area[:, None, None] * (term1 + term2)
+    term2 = jnp.einsum("q,mq,qa,mqb->mab", sp.quad_w, sp.detj_q,
+                       sp.phi, t2)
+    vals = term1 + term2
     return scatter_matrix(sp, vals)
 
 
 def mass_apply(sp: SpaceArrays, u):
-    loc = jnp.einsum("q,qa,qb->ab", sp.quad_w, sp.phi, sp.phi)
     u_cell = u[sp.cell_dofs]
-    vals = 2.0 * sp.area[:, None] * jnp.einsum("ab,mb->ma", loc, u_cell)
+    u_q = jnp.einsum("qb,mb->mq", sp.phi, u_cell)
+    vals = jnp.einsum("q,mq,mq,qa->ma", sp.quad_w, sp.detj_q, u_q, sp.phi)
     return scatter_vector(sp, vals)
 
 
 def lumped_mass(sp: SpaceArrays):
-    loc = jnp.einsum("q,qa->a", sp.quad_w, sp.phi)
-    vals = 2.0 * sp.area[:, None] * loc[None]
+    vals = jnp.einsum("q,mq,qa->ma", sp.quad_w, sp.detj_q, sp.phi)
     return scatter_vector(sp, vals)
 
 
 def quad_coords(sp: SpaceArrays):
     """Physical coordinates of the quadrature points: (M,Q,2) via the
-    per-cell affine map x = p0 + qx*e1 + qy*e2."""
-    return (
-        sp.cell_p0[:, None, :]
-        + sp.quad_pts[None, :, 0:1] * sp.cell_e1[:, None, :]
-        + sp.quad_pts[None, :, 1:2] * sp.cell_e2[:, None, :]
-    )
+    isoparametric map x = sum_c phi_c(xi) X_c (== affine on straight
+    cells)."""
+    X = sp.dof_coords[sp.cell_dofs]                        # (M,nloc,2)
+    return jnp.einsum("qc,mcd->mqd", sp.phi, X)
 
 
 def l2_error_vs_function(sp: SpaceArrays, u, exact_fn, t=None):
@@ -134,5 +132,5 @@ def l2_error_vs_function(sp: SpaceArrays, u, exact_fn, t=None):
     ex = exact_fn(xq[..., 0], xq[..., 1]) if t is None else exact_fn(
         xq[..., 0], xq[..., 1], t
     )
-    err2 = ((u_q - ex) ** 2 * sp.quad_w[None, :]).sum(axis=1) * 2.0 * sp.area
-    return jnp.sqrt(err2.sum())
+    err2 = ((u_q - ex) ** 2 * sp.quad_w[None, :] * sp.detj_q).sum()
+    return jnp.sqrt(err2)

@@ -180,6 +180,7 @@ class FunctionSpace:
         if dtype is None:
             dtype = jnp.float64 if jnp.zeros(0).dtype == jnp.float64 else jnp.float32
         f = lambda x: jnp.asarray(x, dtype=dtype)
+        jinv_t_q, detj_q = self._geometry_q()
         i = lambda x: jnp.asarray(x, dtype=jnp.int32)
         host = self.mesh
         return SpaceArrays(
@@ -204,7 +205,30 @@ class FunctionSpace:
             phi=f(self.phi),
             dphi=f(self.dphi),
             h_cell=f(host.h_cell),
+            jinv_t_q=f(jinv_t_q),
+            detj_q=f(detj_q),
         )
+
+    def _geometry_q(self):
+        """Per-(cell, quad-point) isoparametric geometry: the cell map is
+        x(xi) = sum_c phi_c(xi) X_c with X_c the (possibly boundary-
+        projected) dof coordinates. For straight cells this reduces to the
+        affine map exactly; with a curved boundary (build_space
+        boundary_projector) boundary cells get the bent geometry that lifts
+        P2/P3 convergence past the straight-triangle cap (the reference's
+        gmsh meshes are straight, ref RV_node.py:30-46 — this exceeds it).
+
+        Returns (jinv_t_q (M,Q,2,2), detj_q (M,Q))."""
+        X = self.dof_coords[self.cell_dofs]            # (M,nloc,2)
+        # J[m,q,d,e] = d x_d / d xi_e
+        J = np.einsum("mcd,qce->mqde", X, self.dphi)
+        det = J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
+        jinv_t = np.empty_like(J)
+        jinv_t[..., 0, 0] = J[..., 1, 1]
+        jinv_t[..., 0, 1] = -J[..., 1, 0]
+        jinv_t[..., 1, 0] = -J[..., 0, 1]
+        jinv_t[..., 1, 1] = J[..., 0, 0]
+        return jinv_t / det[..., None, None], det
 
     def _jinv_t(self):
         """Per-cell J^{-T} (M,2,2) for mapping reference gradients."""
@@ -244,9 +268,21 @@ class SpaceArrays(NamedTuple):
     phi: object           # (Q,nloc)
     dphi: object          # (Q,nloc,2)
     h_cell: object        # (M,)
+    # isoparametric per-quad-point geometry (== affine values on straight
+    # cells; differs on curved-boundary cells)
+    jinv_t_q: object      # (M,Q,2,2)
+    detj_q: object        # (M,Q), dx = detj_q dxi
 
 
-def build_space(mesh: Mesh, degree: int, quad_exactness: int | None = None) -> FunctionSpace:
+def build_space(mesh: Mesh, degree: int, quad_exactness: int | None = None,
+                boundary_projector=None) -> FunctionSpace:
+    """boundary_projector: optional callable (n,2)->(n,2) mapping points
+    onto the true curved boundary (e.g. p/|p| for the unit disk). With
+    degree >= 2 the boundary dofs are projected and the cell geometry map
+    becomes isoparametric (see SpaceArrays.jinv_t_q), lifting the disk
+    convergence past the straight-triangle O(h^2) geometry cap. Straight
+    interior cells are unaffected (their per-q geometry equals the affine
+    one exactly)."""
     if degree not in (1, 2, 3):
         raise ValueError("degree must be 1, 2 or 3")
     k = degree
@@ -314,6 +350,18 @@ def build_space(mesh: Mesh, degree: int, quad_exactness: int | None = None) -> F
     for e in range(1, k):
         idx = n_vert + np.nonzero(bnd_edge)[0] * (k - 1) + (e - 1)
         boundary_mask[idx] = True
+
+    if boundary_projector is not None and k >= 2:
+        # snap boundary dofs (vertices + boundary-edge dofs) onto the true
+        # boundary -> isoparametric geometry on boundary cells
+        bmask_tmp = np.zeros(ndof, dtype=bool)
+        bmask_tmp[:n_vert] = mesh.boundary_mask
+        _, counts_tmp = np.unique(edges_sorted, axis=0, return_counts=True)
+        for e in range(1, k):
+            idx = (n_vert + np.nonzero(counts_tmp == 1)[0] * (k - 1)
+                   + (e - 1))
+            bmask_tmp[idx] = True
+        dof_coords[bmask_tmp] = boundary_projector(dof_coords[bmask_tmp])
 
     patch_cols, patch_mask, diag_slot, K = _build_adjacency(ndof, cell_dofs)
 

@@ -179,3 +179,22 @@ def test_l2_error_quadrature():
     # constant-vs-zero: ||1||_L2 over unit square = 1
     err = assembly.l2_error_vs_function(m, jnp.ones(host.n_nodes), lambda x, y: 0.0 * x)
     np.testing.assert_allclose(float(err), 1.0, rtol=1e-13)
+
+
+def test_rv_epsilon_1storder():
+    """First-order viscosity eps_i = 0.5 h_i |f'(u_i)| (ref RV.py:42-54:
+    per-node 0.5*hi*norm(f'(u_i)), no patch reduction)."""
+    import jax.numpy as jnp
+
+    from conservation_fem_tpu.ops import stabilization as stab
+
+    h = jnp.asarray([0.1, 0.2, 0.4])
+    u = jnp.asarray([0.0, 1.0, -2.0])
+    beta = jnp.sqrt(2.0) * jnp.abs(u)       # Burgers |f'(u)|
+    eps = stab.rv_epsilon_1storder(h, beta)
+    np.testing.assert_allclose(
+        np.asarray(eps), 0.5 * np.asarray(h) * np.asarray(beta), rtol=1e-15)
+    # first-order viscosity upper-bounds the plain RV epsilon when Cvel=0.5
+    r = jnp.asarray([3.0, -1.0, 0.5])
+    eps_rv = stab.rv_epsilon(0.5, 1.0, h, r, beta)
+    assert bool((eps_rv <= eps + 1e-15).all())

@@ -110,3 +110,65 @@ def test_quadrature_rules_integrate_polynomials():
                 got = (w * pts[:, 0] ** a * pts[:, 1] ** b).sum()
                 np.testing.assert_allclose(got, exact, atol=1e-14,
                                            err_msg=f"deg {d}, x^{a} y^{b}")
+
+
+def test_isoparametric_disk_geometry():
+    """Curved (isoparametric) P2 boundary: quadrature area of the unit
+    disk improves from the polygonal O(h^2) to O(h^4) (measured: 3.6e-2 ->
+    2.2e-3 straight vs 3.1e-5 -> 1.2e-7 curved over h = 1/4 -> 1/16)."""
+    import jax.numpy as jnp
+
+    from conservation_fem_tpu.ops.mesh import disk_mesh
+
+    proj = lambda p: p / np.linalg.norm(p, axis=1, keepdims=True)
+    errs_s, errs_c = [], []
+    for hmax in (1 / 4, 1 / 8):
+        m = disk_mesh(hmax)
+        sA = spaces.build_space(m, 2).device_arrays(jnp.float64)
+        sC = spaces.build_space(m, 2, boundary_projector=proj).device_arrays(
+            jnp.float64)
+        errs_s.append(abs(np.pi - float((sA.detj_q * sA.quad_w).sum())))
+        errs_c.append(abs(np.pi - float((sC.detj_q * sC.quad_w).sum())))
+    # curved geometry is orders of magnitude more accurate and gains ~O(h^4)
+    assert errs_c[0] < 1e-3 * errs_s[0]
+    assert np.log2(errs_c[0] / errs_c[1]) > 3.5
+    # straight stays O(h^2)
+    assert 1.5 < np.log2(errs_s[0] / errs_s[1]) < 2.5
+
+
+def test_isoparametric_affine_equivalence():
+    """Per-quad-point geometry == affine geometry on straight cells: the
+    P2 mass matrix is identical with and without the projector hook when
+    no dof moves (square domain)."""
+    import jax.numpy as jnp
+
+    from conservation_fem_tpu.ops import assembly_pk as apk
+    from conservation_fem_tpu.ops.mesh import rectangle_mesh
+
+    m = rectangle_mesh((0, 0), (1, 1), nx=4)
+    sp = spaces.build_space(m, 2).device_arrays(jnp.float64)
+    M = apk.assemble_mass(sp)
+    # total mass = domain area
+    np.testing.assert_allclose(float(M.sum()), 1.0, rtol=1e-13)
+    # detj_q equals 2*area on every straight cell at every quad point
+    np.testing.assert_allclose(
+        np.asarray(sp.detj_q),
+        2.0 * np.asarray(sp.area)[:, None] * np.ones((1, sp.quad_w.shape[0])),
+        rtol=1e-13,
+    )
+
+
+def test_curved_p2_advection_runs():
+    """P2 advection with the curved disk boundary matches the straight
+    version closely on a smooth IC (the 1.82 rate cap is the plain-Galerkin
+    hyperbolic O(h^k) rate, not a boundary artifact — measured in round 2:
+    curved and straight errors agree to <1%, and the reference's own P2
+    GFEM never converged at all, Figures/GFEM/conv_cont_D2.png)."""
+    from conservation_fem_tpu.models import advection_ho as ho
+
+    _, _, e_straight = ho.run(mesh_size=8, degree=2, stabilization="gfem",
+                              CFL=0.25)
+    _, _, e_curved = ho.run(mesh_size=8, degree=2, stabilization="gfem",
+                            CFL=0.25, curved_boundary=True)
+    assert abs(e_curved - e_straight) < 0.05 * e_straight
+    assert e_curved < 0.02
