@@ -313,16 +313,44 @@ class HyperbolicProblem:
     # -- driver -------------------------------------------------------------
 
     def solve(self, checkpoint_path: str | None = None,
-              checkpoint_every: int = 0, resume: bool = False):
+              checkpoint_every: int = 0, resume: bool = False,
+              stream=None):
         """Run the time loop. With checkpoint_path + checkpoint_every the
         scan runs in chunks and the solver carry (u_n, u_old, u_old_old)
         plus the step index are snapshotted between chunks; resume=True
         restarts from the stored snapshot (the reference has no resume —
-        SURVEY.md section 5)."""
+        SURVEY.md section 5).
+
+        stream: optional utils.streaming.StreamingSink — the per-step
+        solution is posted to the host from inside the jitted scan via an
+        ordered io_callback (the reference's in-loop xdmf.write_function,
+        ref linear_advection.py:176)."""
         if checkpoint_path and checkpoint_every > 0:
             return self._solve_checkpointed(
                 checkpoint_path, checkpoint_every, resume
             )
+        if stream is not None:
+
+            @jax.jit
+            def _run_stream(state, u0):
+                with self.bound_jit_state(state):
+                    ts = (jnp.arange(self.num_steps, dtype=u0.dtype) + 1.0) * self.dt
+
+                    def step_emit(carry, t):
+                        carry2, m = self.step(carry, t)
+                        stream.emit(carry2[0], t)
+                        return carry2, m
+
+                    (u, _, _), metrics = jax.lax.scan(
+                        step_emit, (u0, u0, u0), ts)
+                return u, metrics
+
+            u, metrics = _run_stream(self._jit_state(), self.u0)
+            import jax as _jax
+
+            _jax.block_until_ready(u)
+            return SolveResult(u=u, metrics=metrics, dt=self.dt,
+                               num_steps=self.num_steps)
         if self._solve_jit is None:
 
             @jax.jit

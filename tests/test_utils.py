@@ -112,3 +112,34 @@ def test_checkpoint_resume_bitexact(tmp_path):
     r_res = kpp.build(cfg).solve(checkpoint_path=ck + "2",
                                  checkpoint_every=3, resume=True)
     np.testing.assert_array_equal(np.asarray(r_plain.u), np.asarray(r_res.u))
+
+
+def test_streaming_xdmf_during_jitted_run(tmp_path):
+    """Per-step streaming from INSIDE the jitted scan (io_callback):
+    the written series matches the reference pattern of in-loop
+    xdmf.write_function and round-trips through read_h5_series."""
+    from conservation_fem_tpu.models import kpp
+    from conservation_fem_tpu.utils.io import read_h5_series
+    from conservation_fem_tpu.utils.streaming import StreamingXDMF
+
+    p = kpp.build(kpp.KPPConfig(mesh_size=4, T=0.05))
+    path = str(tmp_path / "stream.xdmf")
+    with StreamingXDMF(path, p.host_mesh) as stream:
+        res = p.solve(stream=stream)
+    times, vals = read_h5_series(str(tmp_path / "stream.h5"), "uh")
+    assert len(times) == p.num_steps
+    np.testing.assert_allclose(times, (np.arange(p.num_steps) + 1) * p.dt,
+                               rtol=1e-12)
+    # last streamed frame == final solution
+    np.testing.assert_allclose(vals[-1], np.asarray(res.u), atol=1e-12)
+
+
+def test_streaming_sink_thinning(tmp_path):
+    from conservation_fem_tpu.models import kpp
+    from conservation_fem_tpu.utils.streaming import StreamingSink
+
+    p = kpp.build(kpp.KPPConfig(mesh_size=4, T=0.05))
+    got = []
+    sink = StreamingSink(lambda u, t: got.append(t), every=2)
+    p.solve(stream=sink)
+    assert len(got) == -(-p.num_steps // 2)
