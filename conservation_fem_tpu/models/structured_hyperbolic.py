@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from conservation_fem_tpu.models.scalar_hyperbolic import HyperbolicProblem
 from conservation_fem_tpu.ops import structured as st
@@ -36,6 +37,18 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         dtype = self.u0.dtype
         self.sd = st.build_structured(self.host_mesh, nx, ny, dtype)
         self._shape2 = (nx + 1, ny + 1)
+        # host-side static geometry for the fused Pallas kernel: sd fields
+        # are traced inside jitted runs (_jit_state), but the kernel needs
+        # Python scalars / numpy tables baked into the Mosaic program.
+        hm = self.host_mesh
+        self._fused_static = dict(
+            area=float(np.asarray(hm.area)[0]),
+            h=float(np.asarray(hm.h_cell)[0]),
+            grads=np.stack([np.asarray(hm.grads)[0],
+                            np.asarray(hm.grads)[nx * ny]]),
+            phi=np.asarray(st._quad_basis()),
+            qw=np.asarray(st._DUN4_W) * 0.5,
+        )
         if self.cfg.stabilization == "si":
             self._K_bc_coef = st.stiffness_bc_coef(self.sd)
         return self
@@ -111,7 +124,45 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
 
     # -- public step (flat-vector API, same as the base class) ----------------
 
+    def _fused_pallas_ok(self):
+        """The fused whole-step kernel covers rv/gfem with fixed iteration
+        counts and no smoothing; live set is ~14 node fields + the stored
+        Newton linearization (~24 cell fields), so gate on VMEM."""
+        cfg = self.cfg
+        n_elems = (self.sd.nx + 1) * (self.sd.ny + 1)
+        fields = 14 + 24
+        return (cfg.use_pallas
+                and cfg.cg_iters is not None and cfg.newton_iters is not None
+                and cfg.stabilization in ("rv", "gfem")
+                and cfg.smooth_l == 0
+                and fields * n_elems * self.u0.dtype.itemsize < 13 * 2**20)
+
+    def _step_fused(self, carry, t):
+        from conservation_fem_tpu.ops.pallas_fused import fused_rv_step
+
+        u_n, u_old, u_old_old = carry
+        sd, sh = self.sd, self._shape2
+        fs = self._fused_static
+        u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
+        g2 = self.bc_value(self.mesh.points, t).reshape(sh)
+        uh = fused_rv_step(
+            u2, uo2, uoo2, g2,
+            nx=sd.nx, ny=sd.ny, dt=self.dt, area=fs["area"],
+            h=fs["h"], grads=fs["grads"],
+            phi=fs["phi"], qw=fs["qw"],
+            Cvel=self.cfg.Cvel, CRV=self.cfg.CRV,
+            fprime=self.flux_prime, fprime_norm=self.flux_prime_norm,
+            cg_iters=self.cfg.cg_iters, newton_iters=self.cfg.newton_iters,
+            lin_iters=self.cfg.newton_linear_iters,
+            freeze_jacobian=self.cfg.modified_newton,
+            residual_scheme=self.cfg.residual_scheme,
+            stabilization=self.cfg.stabilization,
+        ).reshape(-1)
+        return (uh, u_n, u_old), None
+
     def step(self, carry, t):
+        if self._fused_pallas_ok() and not self.cfg.record_metrics:
+            return self._step_fused(carry, t)
         u_n, u_old, u_old_old = carry
         sh = self._shape2
         u2, uo2, uoo2 = (v.reshape(sh) for v in (u_n, u_old, u_old_old))

@@ -1,0 +1,336 @@
+"""Fused whole-step Pallas kernel for the structured RV pipeline.
+
+ONE kernel per time step: BDF2 residual projection (fixed-iteration CG),
+RV epsilon (patch reductions), and the stabilized CN Newton solve
+(fixed-iteration BiCGStab inner solves) all execute inside a single
+Mosaic kernel with every field resident in VMEM. Operators are
+MATRIX-FREE: mass / eps-stiffness / flux-Jacobian applications are
+recomputed from cell quantities per application (pad/shift cell gathers,
+shifted-pad scatters — no stencil coefficient planes are materialized),
+which removes the 7-plane buffers that made the round-1 kernels OOM and
+keeps the live set to ~14 field-sized arrays.
+
+Semantics mirror ops/krylov.cg_fixed / bicgstab_fixed and
+ops/newton.newton_fixed exactly (same breakdown guards), so the kernel is
+a drop-in for the fixed-iteration stencil step
+(models/structured_hyperbolic.py with cg_iters/newton_iters set).
+Numerical identity with the XLA path is tested in interpret mode
+(tests/test_pallas_fused.py).
+
+Mosaic notes (this toolchain): static slices of traced values lower;
+gathers and lax.dynamic_slice do not — everything here is static
+pad/slice/elementwise plus full-array reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from conservation_fem_tpu.ops.structured import CORNERS, OFFSETS
+
+
+def _interpret_default():
+    return jax.default_backend() == "cpu"
+
+
+def _cells(x2, nx, ny):
+    """Field at triangle corners: per-type list of 3-tuples of (nx, ny)
+    arrays (static slices; no stacked type axis, so every geometric
+    constant stays a Python float — Pallas kernels may not capture
+    non-scalar constants)."""
+    out = []
+    for t in range(2):
+        out.append(tuple(
+            x2[di:di + nx, dj:dj + ny] for (di, dj) in CORNERS[t]))
+    return out
+
+
+def _scatter(vals, nx, ny):
+    """vals[t][a] (nx, ny) per-corner cell values -> (nx+1, ny+1) nodal
+    sums, as shifted pads (no scatter-add)."""
+    out = None
+    for t in range(2):
+        for a, (di, dj) in enumerate(CORNERS[t]):
+            c = jnp.pad(vals[t][a], ((di, 1 - di), (dj, 1 - dj)))
+            out = c if out is None else out + c
+    return out
+
+
+def _patch_reduce(x2, reducer, pad_val):
+    xp = jnp.pad(x2, 1, constant_values=pad_val)
+    n1x, n1y = x2.shape
+    acc = x2
+    for (di, dj) in OFFSETS[1:]:
+        acc = reducer(acc, xp[1 + di:1 + di + n1x, 1 + dj:1 + dj + n1y])
+    return acc
+
+
+def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
+                  Cvel, CRV, fprime, fprime_norm, cg_iters, newton_iters,
+                  lin_iters,
+                  freeze_jacobian, residual_scheme="bdf2",
+                  stabilization="rv", interpret=None):
+    """One full stabilized time step as a single Pallas kernel.
+
+    u2/uo2/uoo2: (n1x, n1y) solution history; g2: Dirichlet data field.
+    grads (2,3,2), phi (Q,3), qw (Q,): static numpy tables (closed over).
+    fprime: traceable u -> (...,2) flux derivative (|f'| == 1 assumed by
+    the RV beta for KPP; see beta handling below).
+    """
+    n1x, n1y = nx + 1, ny + 1
+    if interpret is None:
+        interpret = _interpret_default()
+    dtype = u2.dtype
+    f = lambda c: jnp.asarray(c, dtype)
+    dt_, area_, h_ = float(dt), float(area), float(h)
+    grads_c = np.asarray(grads, np.float64)
+    phi_c = np.asarray(phi, np.float64)
+    qw_c = np.asarray(qw, np.float64)
+    gg_c = np.einsum("tad,tbd->tab", grads_c, grads_c)
+    Q = phi_c.shape[0]
+    tiny = 1e-300 if dtype == jnp.float64 else 1e-30
+
+    def kernel(u_ref, uo_ref, uoo_ref, g_ref, out_ref):
+        u = u_ref[:]
+        uo = uo_ref[:]
+        uoo = uoo_ref[:]
+        g = g_ref[:]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 1)
+        bc = (ii == 0) | (ii == n1x - 1) | (jj == 0) | (jj == n1y - 1)
+
+        dot = lambda a, b: jnp.sum(a * b)
+
+        # -- matrix-free operator applications -------------------------------
+
+        def mass_mv(v):
+            vc = _cells(v, nx, ny)
+            vals = []
+            for t in range(2):
+                s = vc[t][0] + vc[t][1] + vc[t][2]
+                vals.append(tuple(
+                    f(area_ / 12.0) * (s + vc[t][a]) for a in range(3)))
+            return _scatter(vals, nx, ny)
+
+        def mass_diag():
+            one = jnp.ones((nx, ny), dtype)
+            vals = [tuple(f(area_ / 6.0) * one for _ in range(3))] * 2
+            return _scatter(vals, nx, ny)
+
+        def quad_vals(vc_t, t):
+            # tuple over q of (nx,ny)
+            return tuple(
+                sum(f(phi_c[q, a]) * vc_t[a] for a in range(3))
+                for q in range(Q))
+
+        def cell_grad(vc_t, t):
+            # (gx, gy) each (nx,ny)
+            return tuple(
+                sum(f(grads_c[t, a, d]) * vc_t[a] for a in range(3))
+                for d in range(2))
+
+        def nl_rhs(v):
+            vc = _cells(v, nx, ny)
+            vals = []
+            for t in range(2):
+                u_q = quad_vals(vc[t], t)
+                gu = cell_grad(vc[t], t)
+                conv = []
+                for q in range(Q):
+                    fp = fprime(u_q[q])               # (nx,ny,2)
+                    conv.append(fp[..., 0] * gu[0] + fp[..., 1] * gu[1])
+                vals.append(tuple(
+                    f(2.0 * area_) * sum(f(qw_c[q] * phi_c[q, a]) * conv[q]
+                                         for q in range(Q))
+                    for a in range(3)))
+            return _scatter(vals, nx, ny)
+
+        def keps_mv(e_cell, v):
+            # e_cell: per-type (nx,ny) cell-mean eps
+            vc = _cells(v, nx, ny)
+            vals = []
+            for t in range(2):
+                vals.append(tuple(
+                    f(area_) * e_cell[t]
+                    * sum(f(gg_c[t, a, b]) * vc[t][b] for b in range(3))
+                    for a in range(3)))
+            return _scatter(vals, nx, ny)
+
+        def keps_diag(e_cell):
+            vals = []
+            for t in range(2):
+                vals.append(tuple(
+                    f(area_ * gg_c[t, a, a]) * e_cell[t] for a in range(3)))
+            return _scatter(vals, nx, ny)
+
+        def linearize_cells(w):
+            """Per-type frozen (fp_u[q] (nx,ny,2), fpp_gu[q] (nx,ny))."""
+            wc = _cells(w, nx, ny)
+            fp_all, fppgu_all = [], []
+            for t in range(2):
+                u_q = quad_vals(wc[t], t)
+                gu = cell_grad(wc[t], t)
+                fps, fgs = [], []
+                for q in range(Q):
+                    fp, fpp = jax.jvp(fprime, (u_q[q],),
+                                      (jnp.ones_like(u_q[q]),))
+                    fps.append(fp)
+                    fgs.append(fpp[..., 0] * gu[0] + fpp[..., 1] * gu[1])
+                fp_all.append(fps)
+                fppgu_all.append(fgs)
+            return fp_all, fppgu_all
+
+        def conv_jac_mv(fp_u, fpp_gu, v):
+            vc = _cells(v, nx, ny)
+            vals = []
+            for t in range(2):
+                v_q = quad_vals(vc[t], t)
+                gv = cell_grad(vc[t], t)
+                integ = [
+                    fpp_gu[t][q] * v_q[q]
+                    + fp_u[t][q][..., 0] * gv[0] + fp_u[t][q][..., 1] * gv[1]
+                    for q in range(Q)]
+                vals.append(tuple(
+                    f(2.0 * area_) * sum(f(qw_c[q] * phi_c[q, a]) * integ[q]
+                                         for q in range(Q))
+                    for a in range(3)))
+            return _scatter(vals, nx, ny)
+
+        def conv_jac_diag(fp_u, fpp_gu):
+            vals = []
+            for t in range(2):
+                row = []
+                for a in range(3):
+                    t1 = sum(f(qw_c[q] * phi_c[q, a] ** 2) * fpp_gu[t][q]
+                             for q in range(Q))
+                    t2 = sum(
+                        f(qw_c[q] * phi_c[q, a])
+                        * (fp_u[t][q][..., 0] * f(grads_c[t, a, 0])
+                           + fp_u[t][q][..., 1] * f(grads_c[t, a, 1]))
+                        for q in range(Q))
+                    row.append(f(2.0 * area_) * (t1 + t2))
+                vals.append(tuple(row))
+            return _scatter(vals, nx, ny)
+
+        def pinned(op):
+            def mv(x):
+                x0 = jnp.where(bc, 0.0, x)
+                return jnp.where(bc, x, op(x0))
+            return mv
+
+        # -- 1. residual projection (cg_fixed semantics) ---------------------
+        if residual_scheme == "bdf1":
+            du = (u - uo) / f(dt_)
+        else:
+            du = (3.0 * u - 4.0 * uo + uoo) / f(2.0 * dt_)
+        rhs = jnp.where(bc, 0.0, mass_mv(du) + nl_rhs(u))
+        dM = jnp.where(bc, 1.0, mass_diag())
+        dMinv = 1.0 / dM
+        op = pinned(mass_mv)
+        r = rhs
+        z = dMinv * r
+        p = z
+        rz = dot(r, z)
+        x = jnp.zeros_like(rhs)
+        for _ in range(cg_iters):
+            Ap = op(p)
+            pAp = dot(p, Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) > 0, pAp, f(tiny))
+            alpha = jnp.where(rz > 0, alpha, 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = dMinv * r
+            rz_new = dot(r, z)
+            beta = rz_new / jnp.where(rz > 0, rz, f(tiny))
+            p = z + beta * p
+            rz = rz_new
+        RH = x
+
+        # -- 2. RV epsilon (cf. structured.rv_epsilon) -----------------------
+        if stabilization == "rv":
+            abs_term = jnp.abs(u - jnp.mean(u)).max()
+            u_max = _patch_reduce(u, jnp.maximum, -np.inf)
+            u_min = _patch_reduce(u, jnp.minimum, np.inf)
+            n_i = jnp.abs((u_max - u_min) - abs_term)
+            Rh_i = _patch_reduce(jnp.abs(RH), jnp.maximum, -np.inf)
+            beta = _patch_reduce(fprime_norm(u), jnp.maximum, -np.inf)
+            eps = jnp.minimum(
+                f(Cvel * h_) * beta,
+                f(CRV * h_ * h_) * jnp.abs(Rh_i / jnp.maximum(n_i, f(tiny))),
+            )
+        else:  # gfem
+            eps = jnp.zeros_like(u)
+        ec = _cells(eps, nx, ny)
+        e_cell = [(ec[t][0] + ec[t][1] + ec[t][2]) / 3.0 for t in range(2)]
+
+        # -- 3. Newton CN (newton_fixed + bicgstab_fixed semantics) ----------
+        N_un = nl_rhs(u)
+        K_un = keps_mv(e_cell, u)
+        dK = keps_diag(e_cell)
+        dMn = mass_diag()
+
+        def residual(v):
+            F = (mass_mv(v - u)
+                 + f(0.5 * dt_) * (nl_rhs(v) + N_un)
+                 + f(0.5 * dt_) * (keps_mv(e_cell, v) + K_un))
+            return jnp.where(bc, v - g, F)
+
+        def linearize(w):
+            fp_u, fpp_gu = linearize_cells(w)
+            dJ = jnp.where(
+                bc, 1.0,
+                dMn + f(0.5 * dt_) * (dK + conv_jac_diag(fp_u, fpp_gu)))
+            dJinv = 1.0 / dJ
+
+            def jmv(v):
+                return (mass_mv(v) + f(0.5 * dt_)
+                        * (conv_jac_mv(fp_u, fpp_gu, v) + keps_mv(e_cell, v)))
+
+            return pinned(jmv), dJinv
+
+        def safe_div(num, den):
+            ok = jnp.abs(den) > f(tiny)
+            return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
+        uk = jnp.where(bc, g, u)
+        F = residual(uk)
+        frozen = linearize(uk) if freeze_jacobian else None
+        for _ in range(newton_iters):
+            jmv, dJinv = frozen if frozen is not None else linearize(uk)
+            # bicgstab_fixed(-F)
+            bx = jnp.zeros_like(F)
+            br = -F
+            rhat = br
+            bp = br
+            rho = dot(rhat, br)
+            for _ in range(lin_iters):
+                phat = dJinv * bp
+                v = jmv(phat)
+                alpha = safe_div(rho, dot(rhat, v))
+                s = br - alpha * v
+                shat = dJinv * s
+                t = jmv(shat)
+                omega = safe_div(dot(t, s), dot(t, t))
+                bx = bx + alpha * phat + omega * shat
+                br = s - omega * t
+                rho_new = dot(rhat, br)
+                beta = safe_div(rho_new, rho) * safe_div(alpha, omega)
+                bp = br + beta * (bp - omega * v)
+                rho = rho_new
+            uk = uk + bx
+            F = residual(uk)
+        out_ref[:] = uk
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n1x, n1y), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=bool(interpret),
+    )(u2, uo2, uoo2, g2)

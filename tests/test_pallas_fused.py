@@ -1,0 +1,78 @@
+"""Fused whole-step Pallas kernel == fixed-iteration XLA stencil step
+(interpret mode on CPU; the TPU bench exercises the compiled kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conservation_fem_tpu.models import kpp
+from conservation_fem_tpu.ops.pallas_fused import fused_rv_step
+
+
+def _fused_step_like(p, carry, t):
+    sd = p.sd
+    sh = (sd.nx + 1, sd.ny + 1)
+    u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
+    g2 = p.bc_value(p.mesh.points, t).reshape(sh)
+    return fused_rv_step(
+        u2, uo2, uoo2, g2,
+        nx=sd.nx, ny=sd.ny, dt=p.dt, area=float(sd.area),
+        h=float(sd.h_cg2[0, 0]), grads=np.asarray(sd.grads),
+        phi=np.asarray(sd.phi), qw=np.asarray(sd.qw),
+        Cvel=p.cfg.Cvel, CRV=p.cfg.CRV,
+        fprime=p.flux_prime, fprime_norm=p.flux_prime_norm,
+        cg_iters=p.cfg.cg_iters, newton_iters=p.cfg.newton_iters,
+        lin_iters=p.cfg.newton_linear_iters,
+        freeze_jacobian=p.cfg.modified_newton,
+        stabilization=p.cfg.stabilization,
+        interpret=True,
+    ).reshape(-1)
+
+
+def _compare(cfg, steps=3):
+    p = kpp.build(cfg)
+    carry = (p.u0, p.u0, p.u0)
+    t = jnp.asarray(p.dt, p.u0.dtype)
+    for k in range(steps):
+        (u_x, a, b), _ = p.step(carry, t)
+        u_p = _fused_step_like(p, carry, t)
+        np.testing.assert_allclose(
+            np.asarray(u_p), np.asarray(u_x), atol=1e-11,
+            err_msg=f"step {k}")
+        carry = (u_p, carry[0], carry[1])
+
+
+def test_fused_rv_step_matches_xla_fixed():
+    _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                           cg_iters=10, newton_iters=2,
+                           newton_linear_iters=8, modified_newton=True))
+
+
+def test_fused_rv_step_exact_newton():
+    _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                           cg_iters=10, newton_iters=3,
+                           newton_linear_iters=10, modified_newton=False))
+
+
+def test_fused_solve_path_matches_plain():
+    """Drive the REAL solve() path (scan + _jit_state tracing) with
+    use_pallas on — catches static-vs-traced mix-ups that calling the
+    kernel directly cannot (sd fields are tracers inside the jitted run)."""
+    import dataclasses as dc
+
+    cfg = kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                        cg_iters=10, newton_iters=2,
+                        newton_linear_iters=8, modified_newton=True)
+    p = kpp.build(cfg)
+    p.cfg = dc.replace(p.cfg, use_pallas=True)
+    assert p._fused_pallas_ok()
+    u_f = np.asarray(p.solve().u)
+    u_x = np.asarray(kpp.build(cfg).solve().u)
+    np.testing.assert_allclose(u_f, u_x, atol=1e-11)
+
+
+def test_fused_gfem_step():
+    _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                           stabilization="gfem",
+                           cg_iters=10, newton_iters=2,
+                           newton_linear_iters=8, modified_newton=True))
