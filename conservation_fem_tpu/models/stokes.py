@@ -48,6 +48,11 @@ class StokesConfig:
     p_out: float = 0.0
     krylov_rtol: float = 1e-11
     dtype: str = "float64"
+    # "ell": generic gather SpMV; "lattice": grid-space Krylov with the
+    # generalized lattice-stencil operators (ops/lattice.py) — gather-free
+    # SpMV on the P2 (velocity) and P1 (pressure) lattices, the structured
+    # fast path on TPU. Identity with "ell" tested in tests/test_stokes.py.
+    backend: str = "ell"
 
 
 class StokesProblem(NamedTuple):
@@ -219,7 +224,91 @@ def make_step(p: StokesProblem, fd):
         return jnp.where(p.p_bc_mask, x, y)
 
     M2_diag = ell_diag(sp, p.M2)
-    pre3 = jacobi_preconditioner(M2_diag)
+
+    def M_op(xflat):
+        x = xflat.reshape(2, -1)
+        return rho * jnp.stack([
+            ell_matvec(sp, p.M2, x[0]), ell_matvec(sp, p.M2, x[1])
+        ]).reshape(-1)
+
+    preM = jacobi_preconditioner(
+        rho * jnp.stack([M2_diag, M2_diag]).reshape(-1))
+
+    # -- backend-selected Krylov drivers (dof-space vectors in and out) ------
+    if cfg.backend == "lattice":
+        from conservation_fem_tpu.ops import lattice as lat
+
+        plan2 = lat.build_plan(np.asarray(p.vspace.dof_coords))
+        plan1 = lat.build_plan(np.asarray(p.host_mesh.points))
+        assert plan2.full and plan1.full   # P2/P1 on a rectangle mesh
+        lop = [[lat.lattice_op(plan2, sp, np.asarray(A_blocks[s, d]))
+                for d in range(2)] for s in range(2)]
+        lK1 = lat.lattice_op(plan1, mp, np.asarray(p.K1))
+        lM2 = lat.lattice_op(plan2, sp, np.asarray(p.M2))
+        wg = lat.to_grid(plan2, wall)
+        pbg = lat.to_grid(plan1, p.p_bc_mask)
+        sh2 = (2, plan2.nI, plan2.nJ)
+        pre1g = jacobi_preconditioner(jnp.stack(
+            [lat.to_grid(plan2, diag1, fill=1.0)] * 2).reshape(-1))
+        pre2g = jacobi_preconditioner(
+            lat.to_grid(plan1, K1_diag, fill=1.0).reshape(-1))
+        mdg = lat.to_grid(plan2, M2_diag, fill=1.0)
+        preMg = jacobi_preconditioner(
+            (rho * jnp.stack([mdg, mdg])).reshape(-1))
+
+        def _g2(x):
+            return jnp.stack([lat.to_grid(plan2, x[0]),
+                              lat.to_grid(plan2, x[1])])
+
+        def _v2(y):
+            return jnp.stack([lat.from_grid(plan2, y[0]),
+                              lat.from_grid(plan2, y[1])])
+
+        def A1g(xflat):
+            x = xflat.reshape(sh2)
+            x_in = jnp.where(wg[None], 0.0, x)
+            y = jnp.stack([lop[0][0](x_in[0]) + lop[0][1](x_in[1]),
+                           lop[1][0](x_in[0]) + lop[1][1](x_in[1])])
+            return jnp.where(wg[None], x, y).reshape(-1)
+
+        def A2g(xflat):
+            x = xflat.reshape(plan1.nI, plan1.nJ)
+            x_in = jnp.where(pbg, 0.0, x)
+            return jnp.where(pbg, x, lK1(x_in)).reshape(-1)
+
+        def Mg(xflat):
+            x = xflat.reshape(sh2)
+            return (rho * jnp.stack([lM2(x[0]), lM2(x[1])])).reshape(-1)
+
+        def solve_momentum(rhs, x0):
+            sol = bicgstab(A1g, _g2(rhs).reshape(-1),
+                           x0=_g2(x0).reshape(-1), precond=pre1g,
+                           rtol=cfg.krylov_rtol)
+            return _v2(sol.x.reshape(sh2))
+
+        def solve_pressure(b2, x0):
+            sol = cg(A2g, lat.to_grid(plan1, b2).reshape(-1),
+                     x0=lat.to_grid(plan1, x0).reshape(-1),
+                     precond=pre2g, rtol=cfg.krylov_rtol)
+            return lat.from_grid(plan1, sol.x.reshape(plan1.nI, plan1.nJ))
+
+        def solve_mass(b3, x0):
+            sol = cg(Mg, _g2(b3).reshape(-1), x0=_g2(x0).reshape(-1),
+                     precond=preMg, rtol=cfg.krylov_rtol)
+            return _v2(sol.x.reshape(sh2))
+    else:
+        def solve_momentum(rhs, x0):
+            sol = bicgstab(A1_op, rhs.reshape(-1), x0=x0.reshape(-1),
+                           precond=pre1, rtol=cfg.krylov_rtol)
+            return sol.x.reshape(2, -1)
+
+        def solve_pressure(b2, x0):
+            return cg(A2_op, b2, x0=x0, precond=pre2,
+                      rtol=cfg.krylov_rtol).x
+
+        def solve_mass(b3, x0):
+            return cg(M_op, b3.reshape(-1), x0=x0.reshape(-1),
+                      precond=preM, rtol=cfg.krylov_rtol).x.reshape(2, -1)
 
     def conv_rhs(u):
         """rho (u . grad u) . v componentwise: (2,N)."""
@@ -291,30 +380,18 @@ def make_step(p: StokesProblem, fd):
             - pressure_edge_rhs(p_n)
         )
         rhs = jnp.where(wall[None, :], 0.0, rhs)
-        sol = bicgstab(A1_op, rhs.reshape(-1), x0=u_n.reshape(-1),
-                       precond=pre1, rtol=cfg.krylov_rtol)
-        u_star = sol.x.reshape(2, -1)
+        u_star = solve_momentum(rhs, u_n)
         # --- step 2: pressure Poisson
         b2 = ell_matvec(mp, p.K1, p_n) - (rho / dt) * div_u_rhs(u_star)
         g_ext = jnp.where(p.p_bc_mask, p.p_bc_val, 0.0)
         b2 = b2 - ell_matvec(mp, p.K1, g_ext)
         b2 = jnp.where(p.p_bc_mask, p.p_bc_val, b2)
-        p_new = cg(A2_op, b2, x0=p_n, precond=pre2, rtol=cfg.krylov_rtol).x
+        p_new = solve_pressure(b2, p_n)
         # --- step 3: velocity correction
         b3 = rho * jnp.stack([
             ell_matvec(sp, p.M2, u_star[0]), ell_matvec(sp, p.M2, u_star[1])
         ]) - dt * grad_p_rhs(p_new - p_n)
-
-        def M_op(xflat):
-            x = xflat.reshape(2, -1)
-            return rho * jnp.stack([
-                ell_matvec(sp, p.M2, x[0]), ell_matvec(sp, p.M2, x[1])
-            ]).reshape(-1)
-
-        u_new = cg(M_op, b3.reshape(-1), x0=u_star.reshape(-1),
-                   precond=jacobi_preconditioner(
-                       rho * jnp.stack([M2_diag, M2_diag]).reshape(-1)),
-                   rtol=cfg.krylov_rtol).x.reshape(2, -1)
+        u_new = solve_mass(b3, u_star)
         return (u_new, p_new), None
 
     return step

@@ -1,14 +1,15 @@
-"""Roofline / MFU accounting for the structured KPP bench step.
+"""Roofline / utilization accounting for the bench KPP-RV step.
 
-Uses XLA's own cost model (compiled.cost_analysis(): flops + bytes
-accessed) for ONE jitted stabilized step at the bench configuration, then
-measures the achieved step time inside lax.scan and reports achieved
-GFLOP/s and GB/s against the v5e peaks.
+For each mesh size: compile the bench-config solve, pull XLA's own cost
+model (flops + bytes accessed) from compiled.cost_analysis(), measure the
+per-step time, and report effective FLOP/s and HBM GB/s against the v5e
+peaks. Answers VERDICT r1 "what bound is the kernel at and how far from
+it do we sit".
 
-v5e peaks used (public spec): HBM bandwidth 819 GB/s; bf16 MXU
-197 TFLOP/s. The stencil step is elementwise VPU work (shifted MACs),
-not MXU matmuls, so the binding resource is HBM bandwidth — the roofline
-ratio to report is bytes/step vs 819 GB/s.
+v5e peaks (public: cloud.google.com/tpu/docs/v5e): 197 TFLOP/s bf16 MXU,
+f32 VPU on the order of ~4 TFLOP/s (8 MACs/cycle/lane * 8 lanes * 128 *
+0.94 GHz), HBM 819 GB/s. This workload is stencil/elementwise (VPU +
+HBM), not MXU.
 
 Usage: python scripts/roofline.py [mesh_size ...]
 """
@@ -21,17 +22,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V5E_HBM_GBS = 819.0
-V5E_BF16_TFLOPS = 197.0
-
-
-def bench_config(ms):
-    from conservation_fem_tpu.models import kpp
-
-    return kpp.KPPConfig(
-        mesh_size=ms, dtype="float32",
-        modified_newton=True, cg_iters=10,
-        newton_iters=2, newton_linear_iters=8)
+HBM_PEAK = 819e9          # bytes/s, v5e
+VPU_F32_PEAK = 3.9e12     # flop/s, v5e VPU f32 (8*128*8 lanes*2(FMA)*0.94GHz/2)
 
 
 def main():
@@ -39,53 +31,55 @@ def main():
 
     ge._enable_compile_cache()
     import jax
-    import jax.numpy as jnp
 
     from conservation_fem_tpu.models import kpp
 
-    sizes = [int(s) for s in sys.argv[1:]] or [64, 128]
+    sizes = [int(s) for s in sys.argv[1:]] or [32, 64, 128, 256]
+    rows = []
     for ms in sizes:
-        p = kpp.build(bench_config(ms))
+        cfg = kpp.KPPConfig(
+            mesh_size=ms, dtype="float32",
+            modified_newton=(ms <= 64), cg_iters=10,
+            newton_iters=2 if ms <= 64 else 3,
+            newton_linear_iters=8 if ms <= 64 else 10)
+        p = kpp.build(cfg)
         n = int(p.u0.shape[0])
 
-        def fn(u, uo, uoo, t):
-            (uh, a, b), _ = p.step((u, uo, uoo), t)
-            return uh, a, b
-
-        t0 = jnp.asarray(p.dt, p.u0.dtype)
-        lowered = jax.jit(fn).lower(p.u0, p.u0, p.u0, t0)
-        compiled = lowered.compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = float(ca.get("flops", float("nan")))
-        bytes_acc = float(ca.get("bytes accessed", float("nan")))
-
-        # measured per-step time inside the scan (the bench path)
         res = p.solve()
         jax.block_until_ready(res.u)
         best = float("inf")
         for _ in range(3):
-            t1 = time.perf_counter()
+            t0 = time.perf_counter()
             res = p.solve()
             jax.block_until_ready(res.u)
-            best = min(best, time.perf_counter() - t1)
-        step_s = best / p.num_steps
+            best = min(best, time.perf_counter() - t0)
+        t_step = best / res.num_steps
 
-        gflops = flops / step_s / 1e9
-        gbs = bytes_acc / step_s / 1e9
-        print(f"mesh {ms} (N={n}):")
-        print(f"  XLA cost model: {flops/1e6:.1f} MFLOP/step, "
-              f"{bytes_acc/1e6:.1f} MB accessed/step "
-              f"(arith intensity {flops/bytes_acc:.2f} flop/byte)")
-        print(f"  measured {step_s*1e3:.3f} ms/step = "
-              f"{n/step_s/1e6:.1f} M DOF-steps/s")
-        print(f"  achieved {gflops:.1f} GFLOP/s "
-              f"({100*gflops/1e3/V5E_BF16_TFLOPS:.2f}% of bf16 peak), "
-              f"{gbs:.1f} GB/s ({100*gbs/V5E_HBM_GBS:.1f}% of HBM peak)")
-        hbm_bound_step = bytes_acc / (V5E_HBM_GBS * 1e9)
-        print(f"  HBM speed-of-light step: {hbm_bound_step*1e3:.3f} ms "
-              f"(we are {step_s/hbm_bound_step:.1f}x away)", flush=True)
+        # XLA cost model on the solve executable (whole scan)
+        ca = None
+        try:
+            traced = p._solve_jit.lower(p._jit_state(), p.u0)
+            ca = traced.compile().cost_analysis()
+        except Exception as e:
+            print(f"mesh {ms}: cost_analysis unavailable ({e})",
+                  file=sys.stderr)
+        if ca is None:
+            continue
+        flops = float(ca.get("flops", 0.0)) / res.num_steps
+        bytes_acc = float(ca.get("bytes accessed", 0.0)) / res.num_steps
+        eff_flops = flops / t_step
+        eff_bw = bytes_acc / t_step
+        ai = flops / max(bytes_acc, 1.0)
+        rows.append((ms, n, t_step, flops, bytes_acc, eff_flops, eff_bw, ai))
+        print(f"mesh {ms:4d} N={n:7d}  {t_step*1e3:7.3f} ms/step  "
+              f"{flops/1e6:8.1f} MFLOP/step  {bytes_acc/1e6:8.1f} MB/step  "
+              f"{eff_flops/1e9:7.1f} GFLOP/s ({eff_flops/VPU_F32_PEAK*100:5.2f}% VPU)  "
+              f"{eff_bw/1e9:7.1f} GB/s ({eff_bw/HBM_PEAK*100:5.1f}% HBM)  "
+              f"AI={ai:.2f}", flush=True)
+
+    print("\nbinding resource: HBM if %HBM >> %VPU at the largest mesh; "
+          "launch/dispatch overhead if both are small and ms/step ~ flat "
+          "with N.")
 
 
 if __name__ == "__main__":

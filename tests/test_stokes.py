@@ -34,6 +34,17 @@ def test_poiseuille_converges_to_exact():
     assert np.abs(u[1]).max() < 1e-3
 
 
+def test_lattice_backend_matches_ell():
+    """Grid-space Krylov on the generalized lattice-stencil operators
+    (ops/lattice.py) is numerically identical to the gather-ELL path —
+    the Stokes "stencil backend" (P2 dofs on the half-step lattice)."""
+    r1 = stokes.solve(stokes.build(num_steps=30, T=0.6))
+    r2 = stokes.solve(stokes.build(num_steps=30, T=0.6, backend="lattice"))
+    du = np.abs(np.asarray(r1.u) - np.asarray(r2.u)).max()
+    dp = np.abs(np.asarray(r1.p) - np.asarray(r2.p)).max()
+    assert du < 1e-10 and dp < 1e-10, (du, dp)
+
+
 def test_pressure_profile_linear():
     res = stokes.solve(stokes.build(num_steps=150, T=3.0))
     p, _ = stokes.build(num_steps=1)
