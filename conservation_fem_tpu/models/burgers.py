@@ -52,6 +52,9 @@ class BurgersConfig:
     ic: str = "riemann"            # riemann | bump (ref Burger_RV.py)
     residual_scheme: str = "bdf2"  # Burger_RV.py used bdf1 (:144)
     degree: int = 1                # 2 = higher_order_SI.py parity (P2)
+    # ELL application backend: "gather" | "banded" | "lattice" (structured
+    # rectangle meshes, any degree — ops/lattice.py planes)
+    ell_matvec_backend: str = "gather"
 
 
 def initial_condition_bump(x, y):
@@ -142,6 +145,7 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
         modified_newton=cfg.modified_newton,
         residual_scheme=cfg.residual_scheme,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
+        ell_matvec_backend=cfg.ell_matvec_backend,
     )
     bc_fn = (
         (lambda pts, t: exact_solution(pts[:, 0], pts[:, 1], t))

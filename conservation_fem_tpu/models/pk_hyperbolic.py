@@ -46,6 +46,11 @@ class PkHyperbolicProblem(HyperbolicProblem):
         self._h_cg = None
         self._K_bc = None
         self._bplan = None        # banded backend is P1-only for now
+        self._latplan = None      # lattice backend: Pk dofs on the
+        if cfg.ell_matvec_backend == "lattice":   # k-times-refined lattice
+            import numpy as _np
+
+            self._init_lattice(_np.asarray(self.space.dof_coords), sp)
         self._solve_jit = None
 
     @property

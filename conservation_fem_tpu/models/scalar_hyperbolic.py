@@ -113,10 +113,13 @@ class HyperbolicProblem:
         self.num_steps = int(num_steps)
         self.M = assembly.assemble_mass(m)
         self._bplan = None
+        self._latplan = None
         if cfg.ell_matvec_backend == "banded":
             from conservation_fem_tpu.ops.banded import make_banded_plan
 
             self._bplan = make_banded_plan(host_mesh)
+        elif cfg.ell_matvec_backend == "lattice":
+            self._init_lattice(np.asarray(host_mesh.points), m)
         self._bc_points = m.points
         self.u0 = u0_fn(m.points[:, 0], m.points[:, 1]).astype(dtype)
         self._h_cg = None
@@ -138,14 +141,33 @@ class HyperbolicProblem:
             self._K_bc = ell_with_bc(self.mesh, K, self.mesh.boundary_mask)
         return self._K_bc
 
+    def _init_lattice(self, coords, space_like):
+        """Lattice-stencil application backend (ops/lattice.py): dofs on a
+        regular lattice (structured rectangle meshes, any degree) — SpMV
+        becomes shifted elementwise MACs, gather-free. The relayout of a
+        (possibly per-step) operator's values is one scatter per
+        _linear_op call; matvecs then cost one gather+scatter pair for the
+        dof<->grid view instead of an (N,K) patch gather each."""
+        from conservation_fem_tpu.ops import lattice as lat
+
+        self._latplan = lat.build_plan(coords)
+        self._latconv = lat.ell_to_planes_fn(self._latplan, space_like)
+
     def _linear_op(self, A_ell):
         """(matvec, diag) for an assembled ELL operator, honoring the
-        configured application backend (gather vs banded diagonals)."""
+        configured application backend (gather vs banded diagonals vs
+        lattice planes)."""
         if self._bplan is not None:
             from conservation_fem_tpu.ops.banded import banded_matvec, ell_to_banded
 
             band = ell_to_banded(self._bplan, A_ell)
             return (lambda x: banded_matvec(band, x)), band[self._bplan.bandwidth]
+        if self._latplan is not None:
+            from conservation_fem_tpu.ops import lattice as lat
+
+            plan, op = self._latplan, self._latconv(A_ell)
+            return (lambda x: lat.from_grid(plan, op(lat.to_grid(plan, x)))), \
+                ell_diag(self.mesh, A_ell)
         return (lambda x: ell_matvec(self.mesh, A_ell, x)), ell_diag(self.mesh, A_ell)
 
     # -- step pieces --------------------------------------------------------

@@ -155,3 +155,62 @@ def lattice_op(plan: LatticePlan, space_like, A, dtype=None) -> LatticeOp:
         plan, np.asarray(space_like.patch_cols), A)
     planes = jnp.asarray(planes, dtype or jnp.asarray(A).dtype)
     return LatticeOp(offsets=tuple(offsets), planes=planes)
+
+
+class EllToPlanes(NamedTuple):
+    """Traced ELL-values -> coefficient-planes converter.
+
+    The sparsity PATTERN is fixed at build time (host side); only VALUES
+    flow through, so per-step rebuilt operators (eps-weighted stiffness,
+    assembled Jacobians) can be re-laid-out inside jit: one scatter per
+    rebuild, then every Krylov matvec is gather-free.
+    """
+
+    offsets: tuple
+    plane_of: object      # (N, K) int32 plane index per slot (garbage on pads)
+    row_i: object         # (N,) lattice i of each row
+    row_j: object         # (N,)
+    valid: object         # (N, K) bool: real entry (not ELL padding)
+    nI: int
+    nJ: int
+
+    def __call__(self, A):
+        P = len(self.offsets)
+        k = jnp.where(self.valid, self.plane_of, P)       # pads -> dump slot
+        planes = jnp.zeros((P + 1, self.nI, self.nJ), A.dtype)
+        N, K = A.shape
+        ri = jnp.broadcast_to(self.row_i[:, None], (N, K))
+        rj = jnp.broadcast_to(self.row_j[:, None], (N, K))
+        planes = planes.at[k, ri, rj].add(A, mode="drop")
+        return LatticeOp(offsets=self.offsets, planes=planes[:-1])
+
+
+def ell_to_planes_fn(plan: LatticePlan, space_like) -> EllToPlanes:
+    """Host-side pattern analysis for EllToPlanes (run once per space)."""
+    patch_cols = np.asarray(space_like.patch_cols)
+    N, K = patch_cols.shape
+    ii = plan.idx // plan.nJ
+    jj = plan.idx % plan.nJ
+    di = ii[patch_cols] - ii[:, None]                     # (N, K)
+    dj = jj[patch_cols] - jj[:, None]
+    # padding slots repeat the row index (offset 0) but may hold zeros of
+    # real entries too; mark validity from patch_mask when available,
+    # else treat every slot as valid (scatter-add of zeros is harmless)
+    mask = getattr(space_like, "patch_mask", None)
+    if mask is None:
+        valid = np.ones((N, K), bool)
+    else:
+        valid = np.asarray(mask)
+    key = di.astype(np.int64) * (4 * plan.nJ + 1) + dj
+    uniq, first, inv = np.unique(key[valid], return_index=True,
+                                 return_inverse=True)
+    plane_of = np.zeros((N, K), np.int32)
+    plane_of[valid] = inv.astype(np.int32)
+    offsets = list(zip(di[valid][first].tolist(), dj[valid][first].tolist()))
+    return EllToPlanes(
+        offsets=tuple(offsets),
+        plane_of=jnp.asarray(plane_of),
+        row_i=jnp.asarray(ii, jnp.int32),
+        row_j=jnp.asarray(jj, jnp.int32),
+        valid=jnp.asarray(valid),
+        nI=plan.nI, nJ=plan.nJ)

@@ -17,9 +17,14 @@ a drop-in for the fixed-iteration stencil step
 Numerical identity with the XLA path is tested in interpret mode
 (tests/test_pallas_fused.py).
 
-Mosaic notes (this toolchain): static slices of traced values lower;
-gathers and lax.dynamic_slice do not — everything here is static
-pad/slice/elementwise plus full-array reductions.
+Mosaic notes (this toolchain): static slices of traced values lower, but
+`jnp.pad` (a tpu.concatenate of a lane-offset slice with zero planes)
+fails with "result/input offset mismatch on non-concat dimension" — so
+all neighbor access is ROLL + IOTA-MASK on full node-shaped arrays:
+cell fields live at node shape (n1x, n1y) with the last row/col zeroed,
+corner reads are rolls toward the origin, scatters are rolls away from
+it (wrapped lanes carry the zeroed pad row/col, so no scatter mask is
+needed). Gathers and lax.dynamic_slice do not lower either.
 """
 
 from __future__ import annotations
@@ -39,36 +44,42 @@ def _interpret_default():
     return jax.default_backend() == "cpu"
 
 
-def _cells(x2, nx, ny):
-    """Field at triangle corners: per-type list of 3-tuples of (nx, ny)
-    arrays (static slices; no stacked type axis, so every geometric
-    constant stays a Python float — Pallas kernels may not capture
-    non-scalar constants)."""
-    out = []
-    for t in range(2):
-        out.append(tuple(
-            x2[di:di + nx, dj:dj + ny] for (di, dj) in CORNERS[t]))
-    return out
+def _make_shifts(n1x, n1y):
+    """Roll+mask neighbor access on (n1x, n1y) node-shaped arrays.
 
+    Returns (shift, shift_fill, cellmask):
+      shift(x, di, dj)[i, j] = x[i+di, j+dj], 0 out of bounds
+      shift_fill(x, di, dj, fill) — same with ``fill`` out of bounds
+      cellmask — 1.0 where (i, j) indexes a cell of the (nx, ny) cell
+      grid, 0.0 on the padding row/col (i = nx or j = ny)
+    All pure rolls + iota compares — no pad/concat, Mosaic-lowerable.
+    """
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 1)
 
-def _scatter(vals, nx, ny):
-    """vals[t][a] (nx, ny) per-corner cell values -> (nx+1, ny+1) nodal
-    sums, as shifted pads (no scatter-add)."""
-    out = None
-    for t in range(2):
-        for a, (di, dj) in enumerate(CORNERS[t]):
-            c = jnp.pad(vals[t][a], ((di, 1 - di), (dj, 1 - dj)))
-            out = c if out is None else out + c
-    return out
+    def _roll(x, di, dj):
+        if di:
+            x = pltpu.roll(x, -di % n1x, 0)
+        if dj:
+            x = pltpu.roll(x, -dj % n1y, 1)
+        return x
 
+    def _inb(di, dj):
+        m = jnp.full((n1x, n1y), True)
+        if di:
+            m &= (ii + di >= 0) & (ii + di < n1x)
+        if dj:
+            m &= (jj + dj >= 0) & (jj + dj < n1y)
+        return m
 
-def _patch_reduce(x2, reducer, pad_val):
-    xp = jnp.pad(x2, 1, constant_values=pad_val)
-    n1x, n1y = x2.shape
-    acc = x2
-    for (di, dj) in OFFSETS[1:]:
-        acc = reducer(acc, xp[1 + di:1 + di + n1x, 1 + dj:1 + dj + n1y])
-    return acc
+    def shift(x, di, dj):
+        return jnp.where(_inb(di, dj), _roll(x, di, dj), 0.0)
+
+    def shift_fill(x, di, dj, fill):
+        return jnp.where(_inb(di, dj), _roll(x, di, dj), fill)
+
+    cellmask = (ii < n1x - 1) & (jj < n1y - 1)
+    return shift, shift_fill, cellmask
 
 
 def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
@@ -107,21 +118,47 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
 
         dot = lambda a, b: jnp.sum(a * b)
 
+        shift, shift_fill, cellmask = _make_shifts(n1x, n1y)
+        cmf = jnp.where(cellmask, f(1.0), f(0.0))
+
+        def _cells(v):
+            """Field at triangle corners, node-shaped with the pad
+            row/col zeroed (cell (i,j) value at index [i,j])."""
+            return [tuple(shift(v, di, dj) * cmf for (di, dj) in CORNERS[t])
+                    for t in range(2)]
+
+        def _scatter(vals):
+            """Node-shaped per-corner cell values -> nodal sums (rolls
+            away from the origin; the zeroed pad row/col wraps, so no
+            extra mask is needed beyond cmf)."""
+            out = None
+            for t in range(2):
+                for a, (di, dj) in enumerate(CORNERS[t]):
+                    c = shift(vals[t][a] * cmf, -di, -dj)
+                    out = c if out is None else out + c
+            return out
+
+        def _patch_reduce(x, reducer, pad_val):
+            acc = x
+            for (di, dj) in OFFSETS[1:]:
+                acc = reducer(acc, shift_fill(x, di, dj, f(pad_val)))
+            return acc
+
         # -- matrix-free operator applications -------------------------------
 
         def mass_mv(v):
-            vc = _cells(v, nx, ny)
+            vc = _cells(v)
             vals = []
             for t in range(2):
                 s = vc[t][0] + vc[t][1] + vc[t][2]
                 vals.append(tuple(
                     f(area_ / 12.0) * (s + vc[t][a]) for a in range(3)))
-            return _scatter(vals, nx, ny)
+            return _scatter(vals)
 
         def mass_diag():
-            one = jnp.ones((nx, ny), dtype)
+            one = jnp.ones((n1x, n1y), dtype)
             vals = [tuple(f(area_ / 6.0) * one for _ in range(3))] * 2
-            return _scatter(vals, nx, ny)
+            return _scatter(vals)
 
         def quad_vals(vc_t, t):
             # tuple over q of (nx,ny)
@@ -136,7 +173,7 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
                 for d in range(2))
 
         def nl_rhs(v):
-            vc = _cells(v, nx, ny)
+            vc = _cells(v)
             vals = []
             for t in range(2):
                 u_q = quad_vals(vc[t], t)
@@ -149,29 +186,29 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
                     f(2.0 * area_) * sum(f(qw_c[q] * phi_c[q, a]) * conv[q]
                                          for q in range(Q))
                     for a in range(3)))
-            return _scatter(vals, nx, ny)
+            return _scatter(vals)
 
         def keps_mv(e_cell, v):
             # e_cell: per-type (nx,ny) cell-mean eps
-            vc = _cells(v, nx, ny)
+            vc = _cells(v)
             vals = []
             for t in range(2):
                 vals.append(tuple(
                     f(area_) * e_cell[t]
                     * sum(f(gg_c[t, a, b]) * vc[t][b] for b in range(3))
                     for a in range(3)))
-            return _scatter(vals, nx, ny)
+            return _scatter(vals)
 
         def keps_diag(e_cell):
             vals = []
             for t in range(2):
                 vals.append(tuple(
                     f(area_ * gg_c[t, a, a]) * e_cell[t] for a in range(3)))
-            return _scatter(vals, nx, ny)
+            return _scatter(vals)
 
         def linearize_cells(w):
             """Per-type frozen (fp_u[q] (nx,ny,2), fpp_gu[q] (nx,ny))."""
-            wc = _cells(w, nx, ny)
+            wc = _cells(w)
             fp_all, fppgu_all = [], []
             for t in range(2):
                 u_q = quad_vals(wc[t], t)
@@ -187,7 +224,7 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
             return fp_all, fppgu_all
 
         def conv_jac_mv(fp_u, fpp_gu, v):
-            vc = _cells(v, nx, ny)
+            vc = _cells(v)
             vals = []
             for t in range(2):
                 v_q = quad_vals(vc[t], t)
@@ -200,7 +237,7 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
                     f(2.0 * area_) * sum(f(qw_c[q] * phi_c[q, a]) * integ[q]
                                          for q in range(Q))
                     for a in range(3)))
-            return _scatter(vals, nx, ny)
+            return _scatter(vals)
 
         def conv_jac_diag(fp_u, fpp_gu):
             vals = []
@@ -216,7 +253,7 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
                         for q in range(Q))
                     row.append(f(2.0 * area_) * (t1 + t2))
                 vals.append(tuple(row))
-            return _scatter(vals, nx, ny)
+            return _scatter(vals)
 
         def pinned(op):
             def mv(x):
@@ -266,7 +303,7 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
             )
         else:  # gfem
             eps = jnp.zeros_like(u)
-        ec = _cells(eps, nx, ny)
+        ec = _cells(eps)
         e_cell = [(ec[t][0] + ec[t][1] + ec[t][2]) / 3.0 for t in range(2)]
 
         # -- 3. Newton CN (newton_fixed + bicgstab_fixed semantics) ----------

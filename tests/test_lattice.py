@@ -51,6 +51,44 @@ def test_p3_stiffness_matches_ell():
     assert plan.full     # P3 dofs fill the 3x-refined lattice
 
 
+def test_traced_ell_to_planes_matches_host():
+    """Device-side value relayout (fixed pattern, traced values) equals
+    the host converter — the path for per-step rebuilt operators."""
+    import jax
+
+    sp = build_space(rectangle_mesh(nx=5, ny=4), 2).device_arrays(jnp.float64)
+    A = apk.assemble_stiffness(sp)
+    plan = lattice.build_plan(np.asarray(sp.dof_coords))
+    conv = lattice.ell_to_planes_fn(plan, sp)
+    op_dev = jax.jit(lambda a: conv(a).planes)(A)
+    op_dev = lattice.LatticeOp(offsets=conv.offsets, planes=op_dev)
+    op_host = lattice.lattice_op(plan, sp, A)
+    rng = np.random.default_rng(7)
+    x2 = lattice.to_grid(plan, jnp.asarray(
+        rng.standard_normal(sp.dof_coords.shape[0])))
+    np.testing.assert_allclose(np.asarray(op_dev(x2)),
+                               np.asarray(op_host(x2)), atol=1e-12)
+
+
+def test_lattice_backend_full_burgers_solves():
+    """ell_matvec_backend='lattice' through complete solves: P2 SI (the
+    higher_order_SI.py workload — 'SI on Pk spaces' fast path) and P1 RV,
+    both vs the gather backend."""
+    from conservation_fem_tpu.models import burgers
+
+    c = dict(mesh_size=15, degree=2, stabilization="si", T=0.1)
+    u1 = np.asarray(burgers.build(burgers.BurgersConfig(**c)).solve().u)
+    u2 = np.asarray(burgers.build(burgers.BurgersConfig(
+        **c, ell_matvec_backend="lattice")).solve().u)
+    np.testing.assert_allclose(u2, u1, atol=1e-11)
+
+    c = dict(mesh_size=12, T=0.1, backend="ell")
+    u3 = np.asarray(burgers.build(burgers.BurgersConfig(**c)).solve().u)
+    u4 = np.asarray(burgers.build(burgers.BurgersConfig(
+        **c, ell_matvec_backend="lattice")).solve().u)
+    np.testing.assert_allclose(u4, u3, atol=1e-12)
+
+
 def test_nonfull_lattice_p1_on_p2_grid():
     """P1 pressure dofs seen on the P2 (fine) lattice: holes are handled
     (coefficients vanish wherever the target is a hole)."""
