@@ -156,6 +156,78 @@ def build(cfg: StokesConfig | None = None, host_mesh: Mesh | None = None, **kw):
     return prob, fd
 
 
+def host_coupling_coo(p: StokesProblem, fd):
+    """The four per-step LINEAR coupling terms as host-side COO matrices.
+
+    The step's only nonlinear term is the convection RHS; everything else
+    is a fixed linear operator that the per-step code re-quadratures each
+    step (mirroring the reference's forms). Assembling them once enables
+    lattice-plane application and — crucially — the distributed step
+    (parallel/stokes_sharded.py): boundary-edge integrals become plain
+    matrix entries, so the sharded path needs no facet communication.
+
+    Returns dict with (rows, cols, vals) triplets per component s:
+      DE[s]: (N2, N1) pressure_div - pressure_edge  (step-1 rhs term)
+      B[s]:  (N1, N2) div_u                          (step-2 rhs term)
+      G[s]:  (N2, N1) grad_p                         (step-3 rhs term)
+    Identity with the quadrature functions is tested in test_stokes.py.
+    """
+    sp = p.sp
+    cd = np.asarray(p.vspace.cell_dofs)                 # (M, nloc)
+    cells = np.asarray(p.host_mesh.cells)               # (M, 3)
+    area = np.asarray(sp.area)
+    g = np.asarray(_phys_grads(sp))                     # (M,Q,n,2)
+    qw = np.asarray(sp.quad_w)
+    phi = np.asarray(sp.phi)                            # (Q,n)
+    qp = np.asarray(sp.quad_pts)
+    lam = np.stack([1 - qp[:, 0] - qp[:, 1], qp[:, 0], qp[:, 1]], 1)  # (Q,3)
+    M, nloc = cd.shape
+
+    rows_v = np.repeat(cd[:, :, None], 3, axis=2).ravel()     # (M*nloc*3,)
+    cols_p = np.repeat(cells[:, None, :], nloc, axis=1).ravel()
+
+    # D_s[dof_a, vert_c] = 2 area_m sum_q qw lam[q,c] g[m,q,a,s]
+    Dv = 2.0 * area[:, None, None, None] * np.einsum(
+        "q,qc,mqas->macs", qw, lam, g)                  # (M,nloc,3,2)
+
+    # E_s[dof_a, vert_c] = len_e sum_q w1d lam_e[q,c] phi_e[q,a] n_s
+    ec = np.asarray(fd.edge_cell)
+    le = np.asarray(fd.local_edge)
+    from conservation_fem_tpu.ops.facets import _GAUSS_X, _LOCAL_EDGES, _REF_VERTS
+
+    lam_edges = []
+    for (a, b) in _LOCAL_EDGES:
+        pts = (_REF_VERTS[a][None] * (1 - _GAUSS_X[:, None])
+               + _REF_VERTS[b][None] * _GAUSS_X[:, None])
+        lam_edges.append(np.stack(
+            [1 - pts[:, 0] - pts[:, 1], pts[:, 0], pts[:, 1]], axis=1))
+    lam_e = np.stack(lam_edges)[le]                     # (nb,Q,3)
+    phi_e = np.asarray(fd.phi_edge)[le]                 # (nb,Q,nloc)
+    Ev = np.asarray(fd.length)[:, None, None, None] * np.einsum(
+        "q,bqc,bqa,bs->bacs", np.asarray(fd.w1d), lam_e, phi_e,
+        np.asarray(fd.normal))                          # (nb,nloc,3,2)
+    rows_e = np.repeat(cd[ec][:, :, None], 3, axis=2).ravel()
+    cols_e = np.repeat(cells[ec][:, None, :], nloc, axis=1).ravel()
+
+    # B_s[vert_c, dof_a]: div kernel == D transposed entrywise
+    # G_s[dof_a, vert_c] = (2 area_m sum_q qw phi[q,a]) grads1[m,c,s]
+    grads1 = np.asarray(p.host_mesh.grads)              # (M,3,2)
+    phi_int = 2.0 * area[:, None] * np.einsum("q,qa->a", qw, phi)[None]
+    Gv = phi_int[:, :, None, None] * grads1[:, None, :, :]   # (M,nloc,3,2)
+
+    out = {}
+    for s in range(2):
+        out.setdefault("DE", []).append((
+            np.concatenate([rows_v, rows_e]),
+            np.concatenate([cols_p, cols_e]),
+            np.concatenate([Dv[..., s].ravel(), -Ev[..., s].ravel()])))
+        out.setdefault("B", []).append(
+            (cols_p, rows_v, Dv[..., s].ravel()))
+        out.setdefault("G", []).append(
+            (rows_v, cols_p, Gv[..., s].ravel()))
+    return out
+
+
 def _block_matvec(sp, blocks, x):
     """blocks (2,2,N,K), x (2,N) -> (2,N)."""
     return jnp.stack([

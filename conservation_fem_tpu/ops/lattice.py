@@ -157,6 +157,44 @@ def lattice_op(plan: LatticePlan, space_like, A, dtype=None) -> LatticeOp:
     return LatticeOp(offsets=tuple(offsets), planes=planes)
 
 
+def embed_plan(plan: LatticePlan, factor: int, nI: int, nJ: int) -> LatticePlan:
+    """View a coarse plan's dofs on a ``factor``-times finer grid
+    (coarse (i, j) -> fine (factor*i, factor*j)); the result has holes."""
+    i = plan.idx // plan.nJ
+    j = plan.idx % plan.nJ
+    idx = (i * factor) * nJ + j * factor
+    dof_at = np.full(nI * nJ, -1, np.int64)
+    dof_at[idx] = np.arange(idx.size)
+    return LatticePlan(nI=nI, nJ=nJ, idx=idx, dof_at=dof_at, full=False)
+
+
+def to_planes_coo(row_plan: LatticePlan, col_plan: LatticePlan,
+                  rows, cols, vals, dtype=np.float64):
+    """COO matrix -> (offsets, planes) for rectangular operators between
+    two dof sets viewed on the SAME (nI, nJ) grid (use embed_plan for the
+    coarse side). Duplicate (row, col) entries accumulate.
+
+        (A x)[at row_plan] = sum_o P_o * shift(x_on_grid, o)
+    """
+    if (row_plan.nI, row_plan.nJ) != (col_plan.nI, col_plan.nJ):
+        raise ValueError("row/col plans must share a grid")
+    nI, nJ = row_plan.nI, row_plan.nJ
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals, dtype)
+    rf = row_plan.idx[rows]
+    cf = col_plan.idx[cols]
+    ri, rj = rf // nJ, rf % nJ
+    di = cf // nJ - ri
+    dj = cf % nJ - rj
+    key = di.astype(np.int64) * (4 * nJ + 1) + dj
+    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    planes = np.zeros((uniq.size, nI, nJ), dtype)
+    np.add.at(planes, (inv, ri, rj), vals)
+    offsets = [(int(di[f]), int(dj[f])) for f in first]
+    return offsets, planes
+
+
 class EllToPlanes(NamedTuple):
     """Traced ELL-values -> coefficient-planes converter.
 

@@ -262,6 +262,10 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
             return mv
 
         # -- 1. residual projection (cg_fixed semantics) ---------------------
+        # Solver loops are lax.fori_loop, not Python-unrolled: the unrolled
+        # whole-step program (≈700 roll+MAC ops) takes >30 min in the
+        # remote Mosaic compiler; fori_loop keeps the program ~20x smaller
+        # at identical semantics (loop bodies are iteration-independent).
         if residual_scheme == "bdf1":
             du = (u - uo) / f(dt_)
         else:
@@ -270,12 +274,9 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
         dM = jnp.where(bc, 1.0, mass_diag())
         dMinv = 1.0 / dM
         op = pinned(mass_mv)
-        r = rhs
-        z = dMinv * r
-        p = z
-        rz = dot(r, z)
-        x = jnp.zeros_like(rhs)
-        for _ in range(cg_iters):
+
+        def cg_body(_, c):
+            x, r, p, rz = c
             Ap = op(p)
             pAp = dot(p, Ap)
             alpha = rz / jnp.where(jnp.abs(pAp) > 0, pAp, f(tiny))
@@ -285,9 +286,12 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
             z = dMinv * r
             rz_new = dot(r, z)
             beta = rz_new / jnp.where(rz > 0, rz, f(tiny))
-            p = z + beta * p
-            rz = rz_new
-        RH = x
+            return (x, r, z + beta * p, rz_new)
+
+        z0 = dMinv * rhs
+        RH = jax.lax.fori_loop(
+            0, cg_iters, cg_body,
+            (jnp.zeros_like(rhs), rhs, z0, dot(rhs, z0)))[0]
 
         # -- 2. RV epsilon (cf. structured.rv_epsilon) -----------------------
         if stabilization == "rv":
@@ -335,18 +339,20 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
             ok = jnp.abs(den) > f(tiny)
             return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
 
-        uk = jnp.where(bc, g, u)
-        F = residual(uk)
-        frozen = linearize(uk) if freeze_jacobian else None
-        for _ in range(newton_iters):
-            jmv, dJinv = frozen if frozen is not None else linearize(uk)
-            # bicgstab_fixed(-F)
-            bx = jnp.zeros_like(F)
-            br = -F
-            rhat = br
-            bp = br
-            rho = dot(rhat, br)
-            for _ in range(lin_iters):
+        uk0 = jnp.where(bc, g, u)
+        if freeze_jacobian:
+            jmv_f, dJinv_f = linearize(uk0)
+
+        def newton_body(_, nc):
+            uk, F = nc
+            if freeze_jacobian:
+                jmv, dJinv = jmv_f, dJinv_f
+            else:
+                jmv, dJinv = linearize(uk)
+            rhat = -F
+
+            def bicg_body(_, c):
+                bx, br, bp, rho = c
                 phat = dJinv * bp
                 v = jmv(phat)
                 alpha = safe_div(rho, dot(rhat, v))
@@ -359,9 +365,16 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
                 rho_new = dot(rhat, br)
                 beta = safe_div(rho_new, rho) * safe_div(alpha, omega)
                 bp = br + beta * (bp - omega * v)
-                rho = rho_new
+                return (bx, br, bp, rho_new)
+
+            bx = jax.lax.fori_loop(
+                0, lin_iters, bicg_body,
+                (jnp.zeros_like(F), -F, -F, dot(rhat, -F)))[0]
             uk = uk + bx
-            F = residual(uk)
+            return (uk, residual(uk))
+
+        uk = jax.lax.fori_loop(
+            0, newton_iters, newton_body, (uk0, residual(uk0)))[0]
         out_ref[:] = uk
 
     return pl.pallas_call(
