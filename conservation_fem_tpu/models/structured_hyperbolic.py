@@ -146,7 +146,7 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
         g2 = self.bc_value(self.mesh.points, t).reshape(sh)
         uh = fused_rv_step(
-            u2, uo2, uoo2, g2,
+            u2, uo2, uoo2, g2, sd.M_coef,
             nx=sd.nx, ny=sd.ny, dt=self.dt, area=fs["area"],
             h=fs["h"], grads=fs["grads"],
             phi=fs["phi"], qw=fs["qw"],

@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from conservation_fem_tpu.ops.structured import CORNERS, OFFSETS
+from conservation_fem_tpu.ops.structured import CORNERS, OFFSETS, _PLANE
 
 
 def _interpret_default():
@@ -82,17 +82,24 @@ def _make_shifts(n1x, n1y):
     return shift, shift_fill, cellmask
 
 
-def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
-                  Cvel, CRV, fprime, fprime_norm, cg_iters, newton_iters,
-                  lin_iters,
-                  freeze_jacobian, residual_scheme="bdf2",
-                  stabilization="rv", interpret=None):
+def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
+                  phi, qw, Cvel, CRV, fprime, fprime_norm, cg_iters,
+                  newton_iters, lin_iters, freeze_jacobian,
+                  residual_scheme="bdf2", stabilization="rv",
+                  interpret=None):
     """One full stabilized time step as a single Pallas kernel.
 
-    u2/uo2/uoo2: (n1x, n1y) solution history; g2: Dirichlet data field.
+    u2/uo2/uoo2: (n1x, n1y) solution history; g2: Dirichlet data field;
+    Mc2: (7, n1x, n1y) mass stencil planes (sd.M_coef).
     grads (2,3,2), phi (Q,3), qw (Q,): static numpy tables (closed over).
-    fprime: traceable u -> (...,2) flux derivative (|f'| == 1 assumed by
-    the RV beta for KPP; see beta handling below).
+
+    Operator strategy: the eps-stiffness and Newton-Jacobian STENCIL
+    PLANES are built once per step / per linearization inside the kernel
+    (local 3x3 blocks -> 7 planes, the in-kernel analog of
+    structured.local_to_stencil), so every Krylov matvec is 7 shifted
+    MACs instead of a full re-quadrature — this cuts both runtime work
+    and Mosaic program size ~10x vs the matrix-free-per-application
+    form (which took >15 min in the remote compiler).
     """
     n1x, n1y = nx + 1, ny + 1
     if interpret is None:
@@ -107,11 +114,12 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
     Q = phi_c.shape[0]
     tiny = 1e-300 if dtype == jnp.float64 else 1e-30
 
-    def kernel(u_ref, uo_ref, uoo_ref, g_ref, out_ref):
+    def kernel(u_ref, uo_ref, uoo_ref, g_ref, Mc_ref, out_ref):
         u = u_ref[:]
         uo = uo_ref[:]
         uoo = uoo_ref[:]
         g = g_ref[:]
+        Mc = tuple(Mc_ref[k] for k in range(len(OFFSETS)))
         ii = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 1)
         bc = (ii == 0) | (ii == n1x - 1) | (jj == 0) | (jj == n1y - 1)
@@ -128,9 +136,6 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
                     for t in range(2)]
 
         def _scatter(vals):
-            """Node-shaped per-corner cell values -> nodal sums (rolls
-            away from the origin; the zeroed pad row/col wraps, so no
-            extra mask is needed beyond cmf)."""
             out = None
             for t in range(2):
                 for a, (di, dj) in enumerate(CORNERS[t]):
@@ -144,30 +149,43 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
                 acc = reducer(acc, shift_fill(x, di, dj, f(pad_val)))
             return acc
 
-        # -- matrix-free operator applications -------------------------------
+        # -- stencil-plane machinery -----------------------------------------
 
-        def mass_mv(v):
-            vc = _cells(v)
-            vals = []
+        def plane_mv(coef, v):
+            out = coef[0] * v
+            for k, (di, dj) in enumerate(OFFSETS[1:], start=1):
+                out = out + coef[k] * shift(v, di, dj)
+            return out
+
+        def to_planes(loc):
+            """loc[t][a][b] node-shaped cell blocks -> 7 planes (the
+            in-kernel local_to_stencil)."""
+            coef = [jnp.zeros((n1x, n1y), dtype) for _ in OFFSETS]
             for t in range(2):
-                s = vc[t][0] + vc[t][1] + vc[t][2]
-                vals.append(tuple(
-                    f(area_ / 12.0) * (s + vc[t][a]) for a in range(3)))
-            return _scatter(vals)
+                cs = CORNERS[t]
+                for a in range(3):
+                    dai, daj = cs[a]
+                    for b in range(3):
+                        off = (cs[b][0] - dai, cs[b][1] - daj)
+                        p = _PLANE[off]
+                        coef[p] = coef[p] + shift(loc[t][a][b] * cmf,
+                                                  -dai, -daj)
+            return tuple(coef)
 
-        def mass_diag():
-            one = jnp.ones((n1x, n1y), dtype)
-            vals = [tuple(f(area_ / 6.0) * one for _ in range(3))] * 2
-            return _scatter(vals)
+        def pinned(op):
+            def mv(x):
+                x0 = jnp.where(bc, 0.0, x)
+                return jnp.where(bc, x, op(x0))
+            return mv
 
-        def quad_vals(vc_t, t):
-            # tuple over q of (nx,ny)
+        # -- quadrature pieces (per evaluation, not per matvec) --------------
+
+        def quad_vals(vc_t):
             return tuple(
                 sum(f(phi_c[q, a]) * vc_t[a] for a in range(3))
                 for q in range(Q))
 
         def cell_grad(vc_t, t):
-            # (gx, gy) each (nx,ny)
             return tuple(
                 sum(f(grads_c[t, a, d]) * vc_t[a] for a in range(3))
                 for d in range(2))
@@ -176,11 +194,11 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
             vc = _cells(v)
             vals = []
             for t in range(2):
-                u_q = quad_vals(vc[t], t)
+                u_q = quad_vals(vc[t])
                 gu = cell_grad(vc[t], t)
                 conv = []
                 for q in range(Q):
-                    fp = fprime(u_q[q])               # (nx,ny,2)
+                    fp = fprime(u_q[q])               # (n1x,n1y,2)
                     conv.append(fp[..., 0] * gu[0] + fp[..., 1] * gu[1])
                 vals.append(tuple(
                     f(2.0 * area_) * sum(f(qw_c[q] * phi_c[q, a]) * conv[q]
@@ -188,30 +206,17 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
                     for a in range(3)))
             return _scatter(vals)
 
-        def keps_mv(e_cell, v):
-            # e_cell: per-type (nx,ny) cell-mean eps
-            vc = _cells(v)
-            vals = []
-            for t in range(2):
-                vals.append(tuple(
-                    f(area_) * e_cell[t]
-                    * sum(f(gg_c[t, a, b]) * vc[t][b] for b in range(3))
-                    for a in range(3)))
-            return _scatter(vals)
+        def keps_planes(e_cell):
+            loc = [[[f(area_ * gg_c[t, a, b]) * e_cell[t]
+                     for b in range(3)] for a in range(3)] for t in range(2)]
+            return to_planes(loc)
 
-        def keps_diag(e_cell):
-            vals = []
-            for t in range(2):
-                vals.append(tuple(
-                    f(area_ * gg_c[t, a, a]) * e_cell[t] for a in range(3)))
-            return _scatter(vals)
-
-        def linearize_cells(w):
-            """Per-type frozen (fp_u[q] (nx,ny,2), fpp_gu[q] (nx,ny))."""
+        def conv_planes(w):
+            """Stencil of d/du N(u) at w (cf. structured.flux_jacobian_coef)."""
             wc = _cells(w)
-            fp_all, fppgu_all = [], []
+            loc = []
             for t in range(2):
-                u_q = quad_vals(wc[t], t)
+                u_q = quad_vals(wc[t])
                 gu = cell_grad(wc[t], t)
                 fps, fgs = [], []
                 for q in range(Q):
@@ -219,61 +224,29 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
                                       (jnp.ones_like(u_q[q]),))
                     fps.append(fp)
                     fgs.append(fpp[..., 0] * gu[0] + fpp[..., 1] * gu[1])
-                fp_all.append(fps)
-                fppgu_all.append(fgs)
-            return fp_all, fppgu_all
-
-        def conv_jac_mv(fp_u, fpp_gu, v):
-            vc = _cells(v)
-            vals = []
-            for t in range(2):
-                v_q = quad_vals(vc[t], t)
-                gv = cell_grad(vc[t], t)
-                integ = [
-                    fpp_gu[t][q] * v_q[q]
-                    + fp_u[t][q][..., 0] * gv[0] + fp_u[t][q][..., 1] * gv[1]
-                    for q in range(Q)]
-                vals.append(tuple(
-                    f(2.0 * area_) * sum(f(qw_c[q] * phi_c[q, a]) * integ[q]
-                                         for q in range(Q))
-                    for a in range(3)))
-            return _scatter(vals)
-
-        def conv_jac_diag(fp_u, fpp_gu):
-            vals = []
-            for t in range(2):
-                row = []
+                loc_t = []
                 for a in range(3):
-                    t1 = sum(f(qw_c[q] * phi_c[q, a] ** 2) * fpp_gu[t][q]
-                             for q in range(Q))
-                    t2 = sum(
-                        f(qw_c[q] * phi_c[q, a])
-                        * (fp_u[t][q][..., 0] * f(grads_c[t, a, 0])
-                           + fp_u[t][q][..., 1] * f(grads_c[t, a, 1]))
-                        for q in range(Q))
-                    row.append(f(2.0 * area_) * (t1 + t2))
-                vals.append(tuple(row))
-            return _scatter(vals)
-
-        def pinned(op):
-            def mv(x):
-                x0 = jnp.where(bc, 0.0, x)
-                return jnp.where(bc, x, op(x0))
-            return mv
+                    row = []
+                    for b in range(3):
+                        term = sum(
+                            f(qw_c[q] * phi_c[q, a])
+                            * (fgs[q] * f(phi_c[q, b])
+                               + fps[q][..., 0] * f(grads_c[t, b, 0])
+                               + fps[q][..., 1] * f(grads_c[t, b, 1]))
+                            for q in range(Q))
+                        row.append(f(2.0 * area_) * term)
+                    loc_t.append(row)
+                loc.append(loc_t)
+            return to_planes(loc)
 
         # -- 1. residual projection (cg_fixed semantics) ---------------------
-        # Solver loops are lax.fori_loop, not Python-unrolled: the unrolled
-        # whole-step program (≈700 roll+MAC ops) takes >30 min in the
-        # remote Mosaic compiler; fori_loop keeps the program ~20x smaller
-        # at identical semantics (loop bodies are iteration-independent).
         if residual_scheme == "bdf1":
             du = (u - uo) / f(dt_)
         else:
             du = (3.0 * u - 4.0 * uo + uoo) / f(2.0 * dt_)
-        rhs = jnp.where(bc, 0.0, mass_mv(du) + nl_rhs(u))
-        dM = jnp.where(bc, 1.0, mass_diag())
-        dMinv = 1.0 / dM
-        op = pinned(mass_mv)
+        rhs = jnp.where(bc, 0.0, plane_mv(Mc, du) + nl_rhs(u))
+        dMinv = 1.0 / jnp.where(bc, 1.0, Mc[0])
+        op = pinned(lambda v: plane_mv(Mc, v))
 
         def cg_body(_, c):
             x, r, p, rz = c
@@ -311,29 +284,22 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
         e_cell = [(ec[t][0] + ec[t][1] + ec[t][2]) / 3.0 for t in range(2)]
 
         # -- 3. Newton CN (newton_fixed + bicgstab_fixed semantics) ----------
+        Kc = keps_planes(e_cell)
         N_un = nl_rhs(u)
-        K_un = keps_mv(e_cell, u)
-        dK = keps_diag(e_cell)
-        dMn = mass_diag()
+        K_un = plane_mv(Kc, u)
 
         def residual(v):
-            F = (mass_mv(v - u)
+            F = (plane_mv(Mc, v - u)
                  + f(0.5 * dt_) * (nl_rhs(v) + N_un)
-                 + f(0.5 * dt_) * (keps_mv(e_cell, v) + K_un))
+                 + f(0.5 * dt_) * (plane_mv(Kc, v) + K_un))
             return jnp.where(bc, v - g, F)
 
         def linearize(w):
-            fp_u, fpp_gu = linearize_cells(w)
-            dJ = jnp.where(
-                bc, 1.0,
-                dMn + f(0.5 * dt_) * (dK + conv_jac_diag(fp_u, fpp_gu)))
-            dJinv = 1.0 / dJ
-
-            def jmv(v):
-                return (mass_mv(v) + f(0.5 * dt_)
-                        * (conv_jac_mv(fp_u, fpp_gu, v) + keps_mv(e_cell, v)))
-
-            return pinned(jmv), dJinv
+            Cc = conv_planes(w)
+            Jc = tuple(Mc[k] + f(0.5 * dt_) * (Kc[k] + Cc[k])
+                       for k in range(len(OFFSETS)))
+            dJinv = 1.0 / jnp.where(bc, 1.0, Jc[0])
+            return pinned(lambda v: plane_mv(Jc, v)), dJinv
 
         def safe_div(num, den):
             ok = jnp.abs(den) > f(tiny)
@@ -380,7 +346,7 @@ def fused_rv_step(u2, uo2, uoo2, g2, *, nx, ny, dt, area, h, grads, phi, qw,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n1x, n1y), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=bool(interpret),
-    )(u2, uo2, uoo2, g2)
+    )(u2, uo2, uoo2, g2, Mc2)

@@ -15,7 +15,7 @@ def _fused_step_like(p, carry, t):
     u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
     g2 = p.bc_value(p.mesh.points, t).reshape(sh)
     return fused_rv_step(
-        u2, uo2, uoo2, g2,
+        u2, uo2, uoo2, g2, sd.M_coef,
         nx=sd.nx, ny=sd.ny, dt=p.dt, area=float(sd.area),
         h=float(sd.h_cg2[0, 0]), grads=np.asarray(sd.grads),
         phi=np.asarray(sd.phi), qw=np.asarray(sd.qw),
