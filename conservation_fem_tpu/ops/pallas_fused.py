@@ -339,9 +339,14 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             uk = uk + bx
             return (uk, residual(uk))
 
-        uk = jax.lax.fori_loop(
-            0, newton_iters, newton_body, (uk0, residual(uk0)))[0]
-        out_ref[:] = uk
+        # outer Newton loop unrolled in Python (2-3 iterations): a
+        # fori_loop HERE would nest around the BiCGStab fori_loop, and
+        # nested loops are the documented compile-time pathology of the
+        # remote Mosaic service (minutes -> tens of minutes)
+        nc = (uk0, residual(uk0))
+        for _ in range(newton_iters):
+            nc = newton_body(0, nc)
+        out_ref[:] = nc[0]
 
     return pl.pallas_call(
         kernel,

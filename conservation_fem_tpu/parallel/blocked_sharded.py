@@ -1,0 +1,335 @@
+"""Distributed blocked-window unstructured solver: the FAST unstructured
+path (ops/blocked.py, 18x over gather-ELL on the reference gmsh mesh),
+sharded.
+
+Why this is almost free: the blocked plan reads x ONLY through contiguous
+row windows [b*nb - B, b*nb + nb + B), and every scatter/assembly one-hot
+writes ONLY a block's own nb rows (cells are duplicated into every block
+that owns one of their nodes at plan-build time). Partitioning CONTIGUOUS
+block ranges per device therefore needs exactly one communication
+primitive: a B-row band halo (ppermute) on each side of the local row
+range — plus psum dots in the Krylov/Newton solves and psum/pmax for the
+RV normalization. No reverse accumulation, no sparse halo tables.
+
+Covers the full scalar-law feature set (rv | si | gfem stabilization,
+bdf1 | bdf2 residual, time-dependent Dirichlet data, patch smoothing) —
+the blocked twin of DistributedHyperbolic. Agreement with the
+single-device BlockedHyperbolicProblem: 1e-9 over full runs
+(tests/test_blocked_sharded.py).
+
+ref: every reference script is MPI-distributable for free via DOLFINx
+(Code/Linear_advection/linear_advection.py:40-42,165,170); this is that
+capability on the TPU-native fast path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
+
+from conservation_fem_tpu.ops import assembly
+from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.newton import newton_solve
+
+
+class DistributedBlocked:
+    """Wrap a BlockedHyperbolicProblem; solve() matches its public API."""
+
+    def __init__(self, problem, device_mesh: DeviceMesh, axis: str = "i"):
+        self.p = problem
+        self.dmesh = device_mesh
+        self.axis = axis
+        plan = problem.plan
+        self.plan = plan
+        n_dev = device_mesh.shape[axis]
+        self.n_dev = n_dev
+        Lb = -(-plan.blocks // n_dev)
+        self.Lb = Lb
+        self.blocks_pad = Lb * n_dev
+        self.rows_local = Lb * plan.nb
+        if n_dev > 1 and self.rows_local < plan.B:
+            raise ValueError(
+                f"bandwidth B={plan.B} exceeds a device's {self.rows_local} "
+                "rows — use fewer devices or a larger mesh")
+        dtype = problem.u0.dtype
+        self.dtype = dtype
+
+        pad_b = self.blocks_pad - plan.blocks
+        sh = lambda spec: NamedSharding(device_mesh, spec)
+
+        def padb(a, fill=0.0):
+            """Pad a block-leading array with inert blocks and shard it."""
+            a = jnp.asarray(a)
+            widths = [(0, pad_b)] + [(0, 0)] * (a.ndim - 1)
+            out = jnp.pad(a, widths, constant_values=fill)
+            return jax.device_put(out, sh(P(axis, *([None] * (a.ndim - 1)))))
+
+        self.Gcell_s = padb(plan.Gcell)
+        self.Sv_s = padb(plan.Sv)
+        self.Rrow_s = padb(plan.Rrow)
+        self.Ccol_s = padb(plan.Ccol)
+        self.Abool_s = padb(plan.A_bool, False)
+        self.area_s = padb(plan.area_b)
+        self.grads_s = padb(plan.grads_b)
+        self.bcrow_s = padb(plan.bc_row, False)
+        self.patchdeg_s = padb(plan.patch_deg, 1.0)
+        # replicated small statics
+        self.diag_eye = jax.device_put(plan.diag_eye, sh(P(None, None)))
+
+        total = self.blocks_pad * plan.nb
+
+        def pad_rows(vec, fill=0.0):
+            v = jnp.asarray(vec, dtype)
+            v = jnp.pad(v, (0, total - v.shape[0]), constant_values=fill)
+            return jax.device_put(v.reshape(self.blocks_pad, plan.nb),
+                                  sh(P(axis, None)))
+
+        m = problem.mesh
+        self.valid_s = jax.device_put(
+            (jnp.arange(total) < plan.n).reshape(self.blocks_pad, plan.nb),
+            sh(P(axis, None)))
+        self.h_s = pad_rows(problem.h_cg)
+        pts = jnp.pad(m.points, ((0, total - plan.n), (0, 0)))
+        self.pts_s = jax.device_put(
+            pts.reshape(self.blocks_pad, plan.nb, 2), sh(P(axis, None, None)))
+        self.u0_s = pad_rows(problem.u0)
+        # operators (blocked layout), padded along blocks
+        self.M_s = padb(problem.M)
+        self.Kbc_s = padb(problem.K_bc if problem.cfg.stabilization == "si"
+                          else problem.M)
+
+    # ---- local primitives (inside shard_map) ----------------------------
+
+    def _band_halo(self, x_flat):
+        """x (rows_local,) -> (left B, right B) bands from neighbors."""
+        B, n = self.plan.B, self.n_dev
+        ax = self.axis
+        if n == 1:
+            z = jnp.zeros((B,), x_flat.dtype)
+            return z, z
+        left = jax.lax.ppermute(x_flat[-B:], ax,
+                                [(d, d + 1) for d in range(n - 1)])
+        right = jax.lax.ppermute(x_flat[:B], ax,
+                                 [(d, d - 1) for d in range(1, n)])
+        idx = jax.lax.axis_index(ax)
+        left = jnp.where(idx == 0, 0.0, left)
+        right = jnp.where(idx == n - 1, 0.0, right)
+        return left, right
+
+    def _windows(self, x_flat):
+        """(Lb*nb,) local rows -> (Lb, Wpad) halo'd windows
+        (cf. ops/blocked.windows; same math, band halos instead of pad)."""
+        pl = self.plan
+        Lb = self.Lb
+        left, right = self._band_halo(x_flat)
+        extra = (pl.Wpad // pl.nb - 1) * pl.nb - 2 * pl.B
+        xp = jnp.concatenate(
+            [left, x_flat, right, jnp.zeros((extra,), x_flat.dtype)])
+        span = Lb * pl.nb
+        chunks = [
+            jax.lax.slice(xp, (q * pl.nb,), (q * pl.nb + span,))
+            .reshape(Lb, pl.nb)
+            for q in range(pl.Wpad // pl.nb)
+        ]
+        return jnp.concatenate(chunks, axis=1)
+
+    # ---- the SPMD step ---------------------------------------------------
+
+    def make_step(self):
+        p = self.p
+        cfg = p.cfg
+        plan = self.plan
+        dt = p.dt
+        nb, B = plan.nb, plan.B
+        Lb = self.Lb
+        axis = self.axis
+        fprime = p.flux_prime
+        fprime_norm = p.flux_prime_norm
+        bc_value = p.bc_value
+        phi = assembly._quad_basis().astype(self.dtype)
+        qw = (assembly._DUN4_W * 0.5).astype(self.dtype)
+
+        def step_local(Mb, Kbc, Gcell, Sv, Rrow, Ccol, Abool, area_b,
+                       grads_b, bc_row, patch_deg, diag_eye, h2, pts,
+                       valid2, u2, uo2, uoo2, t):
+            area_f = area_b.reshape(-1)
+            grads_f = grads_b.reshape(-1, 3, 2)
+            pin2 = bc_row | ~valid2
+            pin = pin2.reshape(-1)
+            bc = bc_row.reshape(-1)
+            validf = valid2.reshape(-1)
+            h = h2.reshape(-1)
+            pdot = lambda a, b: jax.lax.psum(jnp.vdot(a, b), axis)
+
+            def spmv(D, x):
+                w = self._windows(x)
+                return jnp.einsum("bnw,bw->bn", D, w).reshape(-1)
+
+            def c_mv(D):
+                def mv(x):
+                    x_in = jnp.where(pin, 0.0, x)
+                    return jnp.where(pin, x, spmv(D, x_in))
+                return mv
+
+            def diag_of(D):
+                d = jnp.diagonal(D, offset=B, axis1=1, axis2=2)
+                return d[:, :nb].reshape(-1)
+
+            def gather_cells(x):
+                w = self._windows(x)
+                return jnp.einsum("bsw,bw->bs", Gcell, w).reshape(-1, 3)
+
+            def scatter_vec(vals):
+                v = vals.reshape(Lb, 3 * plan.C)
+                return jnp.einsum("bsn,bs->bn", Sv, v).reshape(-1)
+
+            def assemble(local_mats):
+                v = local_mats.reshape(Lb, 9 * plan.C)
+                return jnp.einsum(
+                    "bsr,bsw->brw", Rrow * v[:, :, None], Ccol)
+
+            def patch_reduce(x, reducer, pad_val):
+                w = self._windows(jnp.where(validf, x, pad_val))
+                v = jnp.where(Abool, w[:, None, :], pad_val)
+                return reducer(v, axis=2).reshape(-1)
+
+            def nl_rhs(x):
+                uc = gather_cells(x)
+                r = assembly.local_convection_rhs(area_f, grads_f, uc,
+                                                 fprime)
+                return scatter_vec(r)
+
+            def keps_mat(eps):
+                ec = gather_cells(eps)
+                return assemble(assembly.local_eps_stiffness(
+                    area_f, grads_f, ec))
+
+            def jac_mat(x):
+                uc = gather_cells(x)
+                return assemble(assembly.local_flux_jacobian(
+                    area_f, grads_f, uc, fprime))
+
+            u = u2.reshape(-1)
+            uo = uo2.reshape(-1)
+            uoo = uoo2.reshape(-1)
+
+            # 1. residual projection
+            if cfg.residual_scheme == "bdf1":
+                du = (u - uo) / dt
+            else:
+                du = (3.0 * u - 4.0 * uo + uoo) / (2.0 * dt)
+            rhs = jnp.where(pin, 0.0, spmv(Mb, du) + nl_rhs(u))
+            diagM = jnp.where(pin, 1.0, diag_of(Mb))
+            RH = cg(c_mv(Mb), rhs, precond=jacobi_preconditioner(diagM),
+                    rtol=cfg.krylov_rtol, dot=pdot).x
+
+            # 2. epsilon
+            tiny = jnp.asarray(
+                1e-300 if u.dtype == jnp.float64 else 1e-30, u.dtype)
+            if cfg.stabilization == "rv":
+                nvalid = jax.lax.psum(validf.sum(), axis)
+                mean_u = jax.lax.psum(
+                    jnp.where(validf, u, 0.0).sum(), axis) / nvalid
+                abs_term = jax.lax.pmax(
+                    jnp.abs(jnp.where(validf, u - mean_u, 0.0)).max(), axis)
+                u_max = patch_reduce(u, jnp.max, -jnp.inf)
+                u_min = patch_reduce(u, jnp.min, jnp.inf)
+                n_i = jnp.abs((u_max - u_min) - abs_term)
+                Rh_i = patch_reduce(jnp.abs(RH), jnp.max, 0.0)
+                beta = patch_reduce(fprime_norm(u), jnp.max, -jnp.inf)
+                eps = jnp.minimum(
+                    cfg.Cvel * h * beta,
+                    cfg.CRV * h**2 * jnp.abs(Rh_i / jnp.maximum(n_i, tiny)))
+            elif cfg.stabilization == "si":
+                w = self._windows(u)
+                u_r = w[:, B:B + nb]
+                duw = w[:, None, :] - u_r[:, :, None]
+                num = jnp.abs(jnp.einsum("brw,brw->br", Kbc, duw))
+                den = jnp.einsum("brw,brw->br", jnp.abs(Kbc), jnp.abs(duw))
+                alpha = (num / jnp.maximum(den, cfg.si_eps)).reshape(-1)
+                psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
+                eps = psi * cfg.Cm * h * fprime_norm(u)
+            else:
+                eps = jnp.zeros_like(u)
+            eps = jnp.where(validf, eps, 0.0)
+
+            # 3. Newton CN with u|bc = g(x, t)
+            Kc = keps_mat(eps)
+            N_un = nl_rhs(u)
+            Kc_un = spmv(Kc, u)
+            base = Mb + 0.5 * dt * Kc
+            g2 = bc_value(pts.reshape(-1, 2), t)
+
+            def residual(v):
+                F = (spmv(Mb, v - u)
+                     + 0.5 * dt * (nl_rhs(v) + N_un)
+                     + 0.5 * dt * (spmv(Kc, v) + Kc_un))
+                return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
+
+            def jacobian(v):
+                J = base + 0.5 * dt * jac_mat(v)
+                pre = jacobi_preconditioner(
+                    jnp.where(pin, 1.0, diag_of(J)))
+                return c_mv(J), pre
+
+            u_init = jnp.where(pin, jnp.where(bc, g2, 0.0), u)
+            res = newton_solve(
+                residual, u_init,
+                rtol=cfg.newton_rtol, atol=cfg.newton_atol,
+                max_it=cfg.newton_max_it, criterion="residual",
+                linear_rtol=cfg.newton_linear_rtol or cfg.krylov_rtol,
+                jacobian_fn=jacobian, freeze_jacobian=cfg.modified_newton,
+                dot=pdot)
+            uh = res.u
+            if cfg.smooth_l > 0:
+                total = spmv(jnp.where(Abool, 1.0, 0.0).astype(uh.dtype), uh)
+                dsz = jnp.maximum(patch_deg.reshape(-1) - 1.0, 1.0)
+                l = cfg.smooth_l
+                uh = (total - uh + (l - 1.0) * dsz * uh) / (l * dsz)
+                uh = jnp.where(validf, uh, 0.0)
+            return (uh.reshape(Lb, nb), u2, uo2)
+
+        ax = self.axis
+        smapped = shard_map(
+            step_local,
+            mesh=self.dmesh,
+            in_specs=(
+                P(ax, None, None), P(ax, None, None),   # Mb, Kbc
+                P(ax, None, None), P(ax, None, None),   # Gcell, Sv
+                P(ax, None, None), P(ax, None, None),   # Rrow, Ccol
+                P(ax, None, None),                       # Abool
+                P(ax, None), P(ax, None, None, None),    # area_b, grads_b
+                P(ax, None), P(ax, None),                # bc_row, patch_deg
+                P(None, None),                           # diag_eye
+                P(ax, None), P(ax, None, None),          # h2, pts
+                P(ax, None),                             # valid
+                P(ax, None), P(ax, None), P(ax, None),   # u, uo, uoo
+                P(),                                     # t
+            ),
+            out_specs=(P(ax, None),) * 3,
+        )
+        return smapped
+
+    def solve(self):
+        p = self.p
+        step = self.make_step()
+
+        @jax.jit
+        def _run(u0):
+            def body(carry, t):
+                u, uo, uoo = carry
+                return step(self.M_s, self.Kbc_s, self.Gcell_s, self.Sv_s,
+                            self.Rrow_s, self.Ccol_s, self.Abool_s,
+                            self.area_s, self.grads_s, self.bcrow_s,
+                            self.patchdeg_s, self.diag_eye, self.h_s,
+                            self.pts_s, self.valid_s, u, uo, uoo, t), None
+
+            ts = (jnp.arange(p.num_steps, dtype=u0.dtype) + 1.0) * p.dt
+            (u, _, _), _ = jax.lax.scan(body, (u0, u0, u0), ts)
+            return u
+
+        u = _run(self.u0_s)
+        return np.asarray(u).reshape(-1)[: self.plan.n]
