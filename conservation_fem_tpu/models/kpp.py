@@ -80,6 +80,12 @@ def flux_prime_norm(u):
     return jnp.ones_like(u)
 
 
+# componentwise form of flux_prime, for kernels where stacked (...,2)
+# outputs are pathological (Mosaic compiles rank-3 trailing-dim-2 arrays
+# ~100x slower than rank-2 — see ops/pallas_fused.py)
+flux_prime_xy = (jnp.cos, lambda u: -jnp.sin(u))
+
+
 def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
     if cfg is None:
         cfg = KPPConfig(**kw)
@@ -125,6 +131,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         dt=cfg.dt,
         num_steps=int(np.ceil(cfg.T / cfg.dt)),
     )
+    prob.flux_prime_xy = flux_prime_xy
     use_stencil = (
         cfg.backend in ("auto", "stencil")
         and built_structured

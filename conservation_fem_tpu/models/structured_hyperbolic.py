@@ -126,16 +126,18 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
 
     def _fused_pallas_ok(self):
         """The fused whole-step kernel covers rv/gfem with fixed iteration
-        counts and no smoothing; live set is ~14 node fields + the stored
-        Newton linearization (~24 cell fields), so gate on VMEM."""
+        counts and no smoothing. VMEM gate: the kernel raises the scoped
+        stack to 100 MB (CompilerParams in ops/pallas_fused.py); ~50
+        field-sized intermediates must fit under it, with in/out buffers
+        (12 planes + history) on top within the 128 MiB physical VMEM."""
         cfg = self.cfg
         n_elems = (self.sd.nx + 1) * (self.sd.ny + 1)
-        fields = 14 + 24
+        fields = 50
         return (cfg.use_pallas
                 and cfg.cg_iters is not None and cfg.newton_iters is not None
                 and cfg.stabilization in ("rv", "gfem")
                 and cfg.smooth_l == 0
-                and fields * n_elems * self.u0.dtype.itemsize < 13 * 2**20)
+                and fields * n_elems * self.u0.dtype.itemsize < 90 * 2**20)
 
     def _step_fused(self, carry, t):
         from conservation_fem_tpu.ops.pallas_fused import fused_rv_step
@@ -152,6 +154,7 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             phi=fs["phi"], qw=fs["qw"],
             Cvel=self.cfg.Cvel, CRV=self.cfg.CRV,
             fprime=self.flux_prime, fprime_norm=self.flux_prime_norm,
+            fprime_xy=getattr(self, "flux_prime_xy", None),
             cg_iters=self.cfg.cg_iters, newton_iters=self.cfg.newton_iters,
             lin_iters=self.cfg.newton_linear_iters,
             freeze_jacobian=self.cfg.modified_newton,

@@ -3,12 +3,13 @@
 ONE kernel per time step: BDF2 residual projection (fixed-iteration CG),
 RV epsilon (patch reductions), and the stabilized CN Newton solve
 (fixed-iteration BiCGStab inner solves) all execute inside a single
-Mosaic kernel with every field resident in VMEM. Operators are
-MATRIX-FREE: mass / eps-stiffness / flux-Jacobian applications are
-recomputed from cell quantities per application (pad/shift cell gathers,
-shifted-pad scatters — no stencil coefficient planes are materialized),
-which removes the 7-plane buffers that made the round-1 kernels OOM and
-keeps the live set to ~14 field-sized arrays.
+Mosaic kernel with every field resident in VMEM. The eps-stiffness and
+Newton-Jacobian stencil planes are built once per step / linearization
+in-kernel, so every Krylov matvec is 7 shifted MACs; the default 16 MB
+scoped-VMEM stack is raised via CompilerParams(vmem_limit_bytes) (the
+intermediates measured 44 MB for the quadrature section alone on the
+default limit, and the allocator THRASHING near the limit — not program
+size — is what made earlier forms take >30 min in the remote compiler).
 
 Semantics mirror ops/krylov.cg_fixed / bicgstab_fixed and
 ops/newton.newton_fixed exactly (same breakdown guards), so the kernel is
@@ -28,8 +29,6 @@ needed). Gathers and lax.dynamic_slice do not lower either.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -86,7 +85,7 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                   phi, qw, Cvel, CRV, fprime, fprime_norm, cg_iters,
                   newton_iters, lin_iters, freeze_jacobian,
                   residual_scheme="bdf2", stabilization="rv",
-                  interpret=None):
+                  fprime_xy=None, interpret=None):
     """One full stabilized time step as a single Pallas kernel.
 
     u2/uo2/uoo2: (n1x, n1y) solution history; g2: Dirichlet data field;
@@ -113,6 +112,15 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     gg_c = np.einsum("tad,tbd->tab", grads_c, grads_c)
     Q = phi_c.shape[0]
     tiny = 1e-300 if dtype == jnp.float64 else 1e-30
+    # componentwise flux derivative: stacked (..., 2) outputs make Mosaic
+    # compile ~100x slower (measured 4.4 s for ~10 rank-3 ops vs 0.5 s for
+    # an entire fori_loop solver) — models pass fprime_xy=(fx, fy) so the
+    # kernel never materializes a trailing-dim-2 array
+    if fprime_xy is not None:
+        fpx, fpy = fprime_xy
+    else:
+        fpx = lambda v: fprime(v)[..., 0]
+        fpy = lambda v: fprime(v)[..., 1]
 
     def kernel(u_ref, uo_ref, uoo_ref, g_ref, Mc_ref, out_ref):
         u = u_ref[:]
@@ -196,10 +204,9 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             for t in range(2):
                 u_q = quad_vals(vc[t])
                 gu = cell_grad(vc[t], t)
-                conv = []
-                for q in range(Q):
-                    fp = fprime(u_q[q])               # (n1x,n1y,2)
-                    conv.append(fp[..., 0] * gu[0] + fp[..., 1] * gu[1])
+                conv = tuple(
+                    fpx(u_q[q]) * gu[0] + fpy(u_q[q]) * gu[1]
+                    for q in range(Q))
                 vals.append(tuple(
                     f(2.0 * area_) * sum(f(qw_c[q] * phi_c[q, a]) * conv[q]
                                          for q in range(Q))
@@ -218,12 +225,14 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             for t in range(2):
                 u_q = quad_vals(wc[t])
                 gu = cell_grad(wc[t], t)
-                fps, fgs = [], []
+                fxs, fys, fgs = [], [], []
                 for q in range(Q):
-                    fp, fpp = jax.jvp(fprime, (u_q[q],),
-                                      (jnp.ones_like(u_q[q]),))
-                    fps.append(fp)
-                    fgs.append(fpp[..., 0] * gu[0] + fpp[..., 1] * gu[1])
+                    one = jnp.ones_like(u_q[q])
+                    fx_v, fx_d = jax.jvp(fpx, (u_q[q],), (one,))
+                    fy_v, fy_d = jax.jvp(fpy, (u_q[q],), (one,))
+                    fxs.append(fx_v)
+                    fys.append(fy_v)
+                    fgs.append(fx_d * gu[0] + fy_d * gu[1])
                 loc_t = []
                 for a in range(3):
                     row = []
@@ -231,8 +240,8 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                         term = sum(
                             f(qw_c[q] * phi_c[q, a])
                             * (fgs[q] * f(phi_c[q, b])
-                               + fps[q][..., 0] * f(grads_c[t, b, 0])
-                               + fps[q][..., 1] * f(grads_c[t, b, 1]))
+                               + fxs[q] * f(grads_c[t, b, 0])
+                               + fys[q] * f(grads_c[t, b, 1]))
                             for q in range(Q))
                         row.append(f(2.0 * area_) * term)
                     loc_t.append(row)
@@ -348,10 +357,18 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             nc = newton_body(0, nc)
         out_ref[:] = nc[0]
 
+    kwargs = {}
+    if not interpret:
+        # the default 16 MB scoped-VMEM stack OOMs on this kernel's
+        # intermediates (measured 44 MB for the quadrature section alone);
+        # v5e has 128 MiB physical VMEM
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n1x, n1y), dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=bool(interpret),
+        **kwargs,
     )(u2, uo2, uoo2, g2, Mc2)

@@ -21,6 +21,7 @@ def _fused_step_like(p, carry, t):
         phi=np.asarray(sd.phi), qw=np.asarray(sd.qw),
         Cvel=p.cfg.Cvel, CRV=p.cfg.CRV,
         fprime=p.flux_prime, fprime_norm=p.flux_prime_norm,
+        fprime_xy=getattr(p, "flux_prime_xy", None),
         cg_iters=p.cfg.cg_iters, newton_iters=p.cfg.newton_iters,
         lin_iters=p.cfg.newton_linear_iters,
         freeze_jacobian=p.cfg.modified_newton,
