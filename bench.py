@@ -35,7 +35,7 @@ def main():
 
     from conservation_fem_tpu.models import kpp
 
-    mesh_size = int(os.environ.get("BENCH_MESH_SIZE", 128))
+    mesh_size = int(os.environ.get("BENCH_MESH_SIZE", 64))
     steps_proxy = int(os.environ.get("BENCH_PROXY_STEPS", 3))
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = "float32" if on_tpu else "float64"
@@ -49,6 +49,13 @@ def main():
         #         f64 ground truth 6.2e-3 (adaptive round-1 config: 5.1e-3)
         #   >=128: exact-Jacobian Newton, 3 its x 10 — L2rel 4.4e-3 vs the
         #          adaptive exact-Newton anchor (frozen Newton needs CFL<~1)
+        # Default mesh 64 + the fused whole-step Pallas kernel (ONE Mosaic
+        # launch per step, ops/pallas_fused.py): 0.49 ms/step = 134 M
+        # DOF-steps/s, 1.6x over the composed XLA step, and MORE accurate
+        # (L2rel vs f64 truth 7.6e-4 at mesh 32 vs XLA-f32's 3.6e-3 — the
+        # in-kernel accumulation order is closer to f64). The kernel's
+        # VMEM ceiling excludes mesh>=128 (see _fused_pallas_ok), where
+        # the composed XLA path runs instead (86.6 M at 128).
         cfg = kpp.KPPConfig(
             mesh_size=mesh_size, dtype=dtype,
             modified_newton=(mesh_size <= 64),
@@ -60,6 +67,10 @@ def main():
         cfg = kpp.KPPConfig(mesh_size=mesh_size, dtype=dtype,
                             krylov_rtol=1e-12)
     p = kpp.build(cfg)
+    if dtype == "float32" and not os.environ.get("BENCH_NO_FUSED"):
+        import dataclasses as _dc
+
+        p.cfg = _dc.replace(p.cfg, use_pallas=True)  # gate decides per mesh
     n_dofs = int(p.u0.shape[0])
 
     verbose = os.environ.get("BENCH_VERBOSE")
@@ -134,6 +145,10 @@ def main():
             ) if dtype == "float32" else kpp.KPPConfig(
                 mesh_size=ms, dtype=dtype)
             p2 = kpp.build(c2)
+            if dtype == "float32" and not os.environ.get("BENCH_NO_FUSED"):
+                import dataclasses as _dc
+
+                p2.cfg = _dc.replace(p2.cfg, use_pallas=True)
             r2 = p2.solve()
             jax.block_until_ready(r2.u)
             best = float("inf")

@@ -126,18 +126,19 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
 
     def _fused_pallas_ok(self):
         """The fused whole-step kernel covers rv/gfem with fixed iteration
-        counts and no smoothing. VMEM gate: the kernel raises the scoped
-        stack to 100 MB (CompilerParams in ops/pallas_fused.py); ~50
-        field-sized intermediates must fit under it, with in/out buffers
-        (12 planes + history) on top within the 128 MiB physical VMEM."""
+        counts and no smoothing. VMEM gate (empirical): the Mosaic
+        allocator keeps ~140 field-sized intermediates live through the
+        unrolled Newton section — mesh 128 f32 (1.05 MB/field) was
+        measured to need 162.7 MB of the 128 MiB physical VMEM, while
+        mesh 64 (264 KB/field) compiles and runs. Cap the per-field size
+        at the measured-good 270 KB."""
         cfg = self.cfg
         n_elems = (self.sd.nx + 1) * (self.sd.ny + 1)
-        fields = 50
         return (cfg.use_pallas
                 and cfg.cg_iters is not None and cfg.newton_iters is not None
                 and cfg.stabilization in ("rv", "gfem")
                 and cfg.smooth_l == 0
-                and fields * n_elems * self.u0.dtype.itemsize < 90 * 2**20)
+                and n_elems * self.u0.dtype.itemsize <= 270 * 2**10)
 
     def _step_fused(self, carry, t):
         from conservation_fem_tpu.ops.pallas_fused import fused_rv_step
