@@ -55,6 +55,10 @@ class BurgersConfig:
     # ELL application backend: "gather" | "banded" | "lattice" (structured
     # rectangle meshes, any degree — ops/lattice.py planes)
     ell_matvec_backend: str = "gather"
+    # fixed-iteration unrolled solvers (throughput paths; see KPPConfig)
+    cg_iters: int | None = None
+    newton_iters: int | None = None
+    newton_linear_iters: int = 8
 
 
 def initial_condition_bump(x, y):
@@ -123,6 +127,11 @@ def flux_prime_norm(u):
     return jnp.sqrt(2.0) * jnp.abs(u)
 
 
+# componentwise f' for kernels where stacked (...,2) outputs are
+# pathological (see ops/pallas_fused.py / models/kpp.py)
+flux_prime_xy = (lambda u: u, lambda u: u)
+
+
 def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw):
     if cfg is None:
         cfg = BurgersConfig(**kw)
@@ -146,6 +155,8 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
         residual_scheme=cfg.residual_scheme,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
         ell_matvec_backend=cfg.ell_matvec_backend,
+        cg_iters=cfg.cg_iters, newton_iters=cfg.newton_iters,
+        newton_linear_iters=cfg.newton_linear_iters,
     )
     bc_fn = (
         (lambda pts, t: exact_solution(pts[:, 0], pts[:, 1], t))
@@ -170,6 +181,7 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
         dt=dt,
         num_steps=num_steps,
     )
+    prob.flux_prime_xy = flux_prime_xy
     use_stencil = (
         cfg.backend in ("auto", "stencil") and built_structured
         and cfg.stabilization in ("rv", "si", "gfem")

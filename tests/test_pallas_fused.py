@@ -72,6 +72,25 @@ def test_fused_solve_path_matches_plain():
     np.testing.assert_allclose(u_f, u_x, atol=1e-11)
 
 
+def test_fused_burgers_solve_matches_plain():
+    """Second workload through the fused kernel: Burgers RV with the
+    time-dependent exact-solution Dirichlet data (g2 varies per step)."""
+    import dataclasses as dc
+
+    from conservation_fem_tpu.models import burgers
+
+    cfg = burgers.BurgersConfig(mesh_size=16, T=0.1, backend="stencil",
+                                stabilization="rv", cg_iters=10,
+                                newton_iters=2, newton_linear_iters=8,
+                                modified_newton=True)
+    p = burgers.build(cfg)
+    p.cfg = dc.replace(p.cfg, use_pallas=True)
+    assert p._fused_pallas_ok()
+    u_f = np.asarray(p.solve().u)
+    u_x = np.asarray(burgers.build(cfg).solve().u)
+    np.testing.assert_allclose(u_f, u_x, atol=1e-11)
+
+
 def test_fused_gfem_step():
     _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
                            stabilization="gfem",
