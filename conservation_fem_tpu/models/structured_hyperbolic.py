@@ -124,31 +124,47 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
 
     # -- public step (flat-vector API, same as the base class) ----------------
 
-    def _fused_pallas_ok(self):
-        """The fused whole-step kernel covers rv/gfem with fixed iteration
-        counts and no smoothing. VMEM gate (empirical): the Mosaic
-        allocator keeps ~140 field-sized intermediates live through the
-        unrolled Newton section — mesh 128 f32 (1.05 MB/field) was
-        measured to need 162.7 MB of the 128 MiB physical VMEM, while
-        mesh 64 (264 KB/field) compiles and runs. Cap the per-field size
-        at the measured-good 270 KB."""
+    def _fused_mode(self):
+        """Fused-kernel eligibility: "single" (one Mosaic launch per
+        step), "split" (1 + newton_iters launches — each kernel's live
+        set fits where the single kernel exceeds physical VMEM), or None.
+
+        VMEM gates are empirical: the single kernel at mesh 128 f32
+        (1.05 MB/field) measured 162.7 MB of the 128 MiB physical VMEM
+        while mesh 64 (264 KB/field) runs, so single caps at 270 KB per
+        field; the split kernels' peak is roughly half, capping near
+        1.1 MB per field (mesh ~128 f32)."""
         cfg = self.cfg
-        n_elems = (self.sd.nx + 1) * (self.sd.ny + 1)
-        return (cfg.use_pallas
+        if not (cfg.use_pallas
                 and cfg.cg_iters is not None and cfg.newton_iters is not None
                 and cfg.stabilization in ("rv", "gfem")
-                and cfg.smooth_l == 0
-                and n_elems * self.u0.dtype.itemsize <= 270 * 2**10)
+                and cfg.smooth_l == 0):
+            return None
+        per_field = ((self.sd.nx + 1) * (self.sd.ny + 1)
+                     * self.u0.dtype.itemsize)
+        if per_field <= 270 * 2**10:
+            return "single"
+        if per_field <= 1100 * 2**10:
+            return "split"
+        return None
+
+    def _fused_pallas_ok(self):
+        return self._fused_mode() is not None
 
     def _step_fused(self, carry, t):
-        from conservation_fem_tpu.ops.pallas_fused import fused_rv_step
+        from conservation_fem_tpu.ops.pallas_fused import (
+            fused_rv_step,
+            fused_rv_step_split,
+        )
 
+        step_fn = (fused_rv_step if self._fused_mode() == "single"
+                   else fused_rv_step_split)
         u_n, u_old, u_old_old = carry
         sd, sh = self.sd, self._shape2
         fs = self._fused_static
         u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
         g2 = self.bc_value(self.mesh.points, t).reshape(sh)
-        uh = fused_rv_step(
+        uh = step_fn(
             u2, uo2, uoo2, g2, sd.M_coef,
             nx=sd.nx, ny=sd.ny, dt=self.dt, area=fs["area"],
             h=fs["h"], grads=fs["grads"],

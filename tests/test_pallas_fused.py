@@ -72,6 +72,39 @@ def test_fused_solve_path_matches_plain():
     np.testing.assert_allclose(u_f, u_x, atol=1e-11)
 
 
+def test_split_kernel_matches_single():
+    """fused_rv_step_split (1 + newton_iters launches, the large-mesh
+    variant) == fused_rv_step, exact and frozen Newton."""
+    from conservation_fem_tpu.ops.pallas_fused import fused_rv_step_split
+
+    for frozen in (True, False):
+        cfg = kpp.KPPConfig(mesh_size=6, T=0.03, backend="stencil",
+                            cg_iters=10, newton_iters=2,
+                            newton_linear_iters=8, modified_newton=frozen)
+        p = kpp.build(cfg)
+        carry = (p.u0, p.u0, p.u0)
+        t = jnp.asarray(p.dt, p.u0.dtype)
+        sd = p.sd
+        sh = (sd.nx + 1, sd.ny + 1)
+        args = [v.reshape(sh) for v in carry]
+        g2 = p.bc_value(p.mesh.points, t).reshape(sh)
+        kw = dict(
+            nx=sd.nx, ny=sd.ny, dt=p.dt, area=float(sd.area),
+            h=float(sd.h_cg2[0, 0]), grads=np.asarray(sd.grads),
+            phi=np.asarray(sd.phi), qw=np.asarray(sd.qw),
+            Cvel=p.cfg.Cvel, CRV=p.cfg.CRV,
+            fprime=p.flux_prime, fprime_norm=p.flux_prime_norm,
+            fprime_xy=getattr(p, "flux_prime_xy", None),
+            cg_iters=p.cfg.cg_iters, newton_iters=p.cfg.newton_iters,
+            lin_iters=p.cfg.newton_linear_iters,
+            freeze_jacobian=frozen, interpret=True)
+        u_single = fused_rv_step(*args, g2, sd.M_coef, **kw)
+        u_split = fused_rv_step_split(*args, g2, sd.M_coef, **kw)
+        np.testing.assert_allclose(np.asarray(u_split),
+                                   np.asarray(u_single), atol=1e-12,
+                                   err_msg=f"frozen={frozen}")
+
+
 def test_fused_burgers_solve_matches_plain():
     """Second workload through the fused kernel: Burgers RV with the
     time-dependent exact-solution Dirichlet data (g2 varies per step)."""
