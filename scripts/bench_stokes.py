@@ -22,10 +22,7 @@ def run(prob_fd, num_steps):
 
     @jax.jit
     def _run(u0, p0):
-        def body(carry, _):
-            return step(carry, None), None
-
-        (u, pn), _ = jax.lax.scan(body, (u0, p0), None, length=num_steps)
+        (u, pn), _ = jax.lax.scan(step, (u0, p0), None, length=num_steps)
         return u, pn
 
     u, pn = _run(p.u0, p.p0)
