@@ -31,7 +31,13 @@ import numpy as np
 
 from conservation_fem_tpu.ops import assembly, assembly_pk as apk
 from conservation_fem_tpu.ops.facets import boundary_facet_data
-from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import (
+    bicgstab,
+    bicgstab_fixed,
+    cg,
+    cg_fixed,
+    jacobi_preconditioner,
+)
 from conservation_fem_tpu.ops.mesh import Mesh, rectangle_mesh
 from conservation_fem_tpu.ops.spaces import build_space
 from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
@@ -53,6 +59,12 @@ class StokesConfig:
     # SpMV on the P2 (velocity) and P1 (pressure) lattices, the structured
     # fast path on TPU. Identity with "ell" tested in tests/test_stokes.py.
     backend: str = "ell"
+    # fixed-iteration unrolled Krylov solves (throughput path — each
+    # adaptive while-loop iteration costs ~270 us launch overhead on the
+    # axon TPU runtime): iterations for the momentum BiCGStab / pressure
+    # CG; the velocity-mass CG always converges in a few iterations and
+    # uses min(8, krylov_iters). None = adaptive to krylov_rtol.
+    krylov_iters: int | None = None
 
 
 class StokesProblem(NamedTuple):
@@ -306,6 +318,20 @@ def make_step(p: StokesProblem, fd):
     preM = jacobi_preconditioner(
         rho * jnp.stack([M2_diag, M2_diag]).reshape(-1))
 
+    # fixed-vs-adaptive Krylov (cfg.krylov_iters)
+    ki = cfg.krylov_iters
+
+    def _bicg(op, b, x0, precond):
+        if ki is not None:
+            return bicgstab_fixed(op, b, x0=x0, precond=precond, iters=ki)
+        return bicgstab(op, b, x0=x0, precond=precond, rtol=cfg.krylov_rtol)
+
+    def _cg(op, b, x0, precond, mass=False):
+        if ki is not None:
+            return cg_fixed(op, b, x0=x0, precond=precond,
+                            iters=min(8, ki) if mass else ki)
+        return cg(op, b, x0=x0, precond=precond, rtol=cfg.krylov_rtol)
+
     # -- backend-selected Krylov drivers (dof-space vectors in and out) ------
     if cfg.backend == "lattice":
         from conservation_fem_tpu.ops import lattice as lat
@@ -353,34 +379,30 @@ def make_step(p: StokesProblem, fd):
             return (rho * jnp.stack([lM2(x[0]), lM2(x[1])])).reshape(-1)
 
         def solve_momentum(rhs, x0):
-            sol = bicgstab(A1g, _g2(rhs).reshape(-1),
-                           x0=_g2(x0).reshape(-1), precond=pre1g,
-                           rtol=cfg.krylov_rtol)
+            sol = _bicg(A1g, _g2(rhs).reshape(-1),
+                        _g2(x0).reshape(-1), pre1g)
             return _v2(sol.x.reshape(sh2))
 
         def solve_pressure(b2, x0):
-            sol = cg(A2g, lat.to_grid(plan1, b2).reshape(-1),
-                     x0=lat.to_grid(plan1, x0).reshape(-1),
-                     precond=pre2g, rtol=cfg.krylov_rtol)
+            sol = _cg(A2g, lat.to_grid(plan1, b2).reshape(-1),
+                      lat.to_grid(plan1, x0).reshape(-1), pre2g)
             return lat.from_grid(plan1, sol.x.reshape(plan1.nI, plan1.nJ))
 
         def solve_mass(b3, x0):
-            sol = cg(Mg, _g2(b3).reshape(-1), x0=_g2(x0).reshape(-1),
-                     precond=preMg, rtol=cfg.krylov_rtol)
+            sol = _cg(Mg, _g2(b3).reshape(-1), _g2(x0).reshape(-1),
+                      preMg, mass=True)
             return _v2(sol.x.reshape(sh2))
     else:
         def solve_momentum(rhs, x0):
-            sol = bicgstab(A1_op, rhs.reshape(-1), x0=x0.reshape(-1),
-                           precond=pre1, rtol=cfg.krylov_rtol)
+            sol = _bicg(A1_op, rhs.reshape(-1), x0.reshape(-1), pre1)
             return sol.x.reshape(2, -1)
 
         def solve_pressure(b2, x0):
-            return cg(A2_op, b2, x0=x0, precond=pre2,
-                      rtol=cfg.krylov_rtol).x
+            return _cg(A2_op, b2, x0, pre2).x
 
         def solve_mass(b3, x0):
-            return cg(M_op, b3.reshape(-1), x0=x0.reshape(-1),
-                      precond=preM, rtol=cfg.krylov_rtol).x.reshape(2, -1)
+            return _cg(M_op, b3.reshape(-1), x0.reshape(-1), preM,
+                       mass=True).x.reshape(2, -1)
 
     def conv_rhs(u):
         """rho (u . grad u) . v componentwise: (2,N)."""

