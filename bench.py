@@ -50,12 +50,13 @@ def main():
         #   >=128: exact-Jacobian Newton, 3 its x 10 — L2rel 4.4e-3 vs the
         #          adaptive exact-Newton anchor (frozen Newton needs CFL<~1)
         # Default mesh 64 + the fused whole-step Pallas kernel (ONE Mosaic
-        # launch per step, ops/pallas_fused.py): 0.49 ms/step = 134 M
+        # launch per step, ops/pallas_fused.py): 0.47 ms/step = 141 M
         # DOF-steps/s, 1.6x over the composed XLA step, and MORE accurate
-        # (L2rel vs f64 truth 7.6e-4 at mesh 32 vs XLA-f32's 3.6e-3 — the
-        # in-kernel accumulation order is closer to f64). The kernel's
-        # VMEM ceiling excludes mesh>=128 (see _fused_pallas_ok), where
-        # the composed XLA path runs instead (86.6 M at 128).
+        # (L2rel vs f64 truth: 7.6e-4 vs 3.6e-3 at mesh 32 — the in-kernel
+        # accumulation order is closer to f64). Past the single kernel's
+        # VMEM ceiling the SPLIT fused kernel runs (mesh 128: 141.5 M,
+        # 1 + newton_iters launches); mesh >=256 falls back to the
+        # composed XLA path (73 M). See _fused_mode / RESULTS.md.
         cfg = kpp.KPPConfig(
             mesh_size=mesh_size, dtype=dtype,
             modified_newton=(mesh_size <= 64),
@@ -136,7 +137,6 @@ def main():
             if ms == mesh_size:
                 sweep[str(ms)] = round(value / 1e6, 2)
                 continue
-            os.environ["BENCH_MESH_SIZE"] = str(ms)
             c2 = kpp.KPPConfig(
                 mesh_size=ms, dtype=dtype,
                 modified_newton=(ms <= 64), cg_iters=10,

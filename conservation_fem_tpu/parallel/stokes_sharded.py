@@ -378,6 +378,11 @@ class ShardedStokes:
         return u0, p0
 
     def solve(self, num_steps=None):
+        # NOTE: the sharded statics are closure-captured by the jitted
+        # runner — fine on the CPU test mesh; a TPU-pod deployment should
+        # thread them through as arguments (cf. the _jit_state pattern in
+        # models/scalar_hyperbolic.py) to keep the remote-compile payload
+        # small.
         n = num_steps if num_steps is not None else self.p.cfg.num_steps
         step = self.make_step()
 
