@@ -132,6 +132,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         num_steps=int(np.ceil(cfg.T / cfg.dt)),
     )
     prob.flux_prime_xy = flux_prime_xy
+    prob.bc_static = True          # g = pi/4 for all t (ref KPP_NodeRV.py)
     use_stencil = (
         cfg.backend in ("auto", "stencil")
         and built_structured

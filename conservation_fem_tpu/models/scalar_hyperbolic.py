@@ -74,6 +74,12 @@ class HyperbolicConfig:
     newton_linear_iters: int = 8         # inner BiCGStab iterations
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
     use_pallas: bool = False       # fused Pallas CG on the stencil backend
+    # fused whole-step kernel: K full time steps per Mosaic launch
+    # (structured backend, time-independent bc only). Measured NEUTRAL at
+    # mesh 64 (137 vs 141 M DOF-steps/s): the fused step is bound by its
+    # ~50 sequential Krylov dot-reduction latencies, not launch overhead,
+    # so amortizing launches does not help. Kept for experimentation.
+    fused_substeps: int = 1
     # unstructured operator application: "gather" (XLA gather ELL SpMV) or
     # "banded" (RCM diagonals, gather-free; 3.2x faster on TPU — requires an
     # RCM-ordered mesh for a small bandwidth)

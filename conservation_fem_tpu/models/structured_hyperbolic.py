@@ -157,14 +157,14 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             fused_rv_step_split,
         )
 
-        step_fn = (fused_rv_step if self._fused_mode() == "single"
-                   else fused_rv_step_split)
+        single = self._fused_mode() == "single"
+        step_fn = fused_rv_step if single else fused_rv_step_split
         u_n, u_old, u_old_old = carry
         sd, sh = self.sd, self._shape2
         fs = self._fused_static
         u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
         g2 = self.bc_value(self.mesh.points, t).reshape(sh)
-        uh = step_fn(
+        out = step_fn(
             u2, uo2, uoo2, g2, sd.M_coef,
             nx=sd.nx, ny=sd.ny, dt=self.dt, area=fs["area"],
             h=fs["h"], grads=fs["grads"],
@@ -177,8 +177,71 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             freeze_jacobian=self.cfg.modified_newton,
             residual_scheme=self.cfg.residual_scheme,
             stabilization=self.cfg.stabilization,
-        ).reshape(-1)
+        )
+        uh = (out[0] if single else out).reshape(-1)
         return (uh, u_n, u_old), None
+
+    def _fused_multistep_ok(self):
+        """K-steps-per-launch mode: per-launch overhead on this runtime
+        is ~0.3 ms vs tens-of-us in-kernel compute, so amortizing K full
+        steps into one Mosaic launch is a direct win. Requires the
+        single-kernel VMEM mode (live set does not grow with K) and a
+        TIME-INDEPENDENT Dirichlet value (g2 is baked once)."""
+        return (self.cfg.fused_substeps > 1
+                and self._fused_mode() == "single"
+                and getattr(self, "bc_static", False)
+                and not self.cfg.record_metrics)
+
+    def solve(self, **kw):
+        if kw or not self._fused_multistep_ok():
+            return super().solve(**kw)
+        from conservation_fem_tpu.models.scalar_hyperbolic import SolveResult
+        from conservation_fem_tpu.ops.pallas_fused import fused_rv_step
+
+        K = self.cfg.fused_substeps
+        n_chunks, rem = divmod(self.num_steps, K)
+        sd, sh = self.sd, self._shape2
+        fs = self._fused_static
+
+        def multi(carry, n_sub):
+            u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
+            t0 = jnp.asarray(self.dt, u2.dtype)
+            g2 = self.bc_value(self.mesh.points, t0).reshape(sh)
+            out = fused_rv_step(
+                u2, uo2, uoo2, g2, sd.M_coef,
+                nx=sd.nx, ny=sd.ny, dt=self.dt, area=fs["area"],
+                h=fs["h"], grads=fs["grads"], phi=fs["phi"], qw=fs["qw"],
+                Cvel=self.cfg.Cvel, CRV=self.cfg.CRV,
+                fprime=self.flux_prime, fprime_norm=self.flux_prime_norm,
+                fprime_xy=getattr(self, "flux_prime_xy", None),
+                cg_iters=self.cfg.cg_iters,
+                newton_iters=self.cfg.newton_iters,
+                lin_iters=self.cfg.newton_linear_iters,
+                freeze_jacobian=self.cfg.modified_newton,
+                residual_scheme=self.cfg.residual_scheme,
+                stabilization=self.cfg.stabilization,
+                n_substeps=n_sub)
+            return tuple(v.reshape(-1) for v in out)
+
+        if self._solve_jit is None:
+
+            @jax.jit
+            def _run(state, u0):
+                with self.bound_jit_state(state):
+                    carry = (u0, u0, u0)
+                    if n_chunks:
+                        carry, _ = jax.lax.scan(
+                            lambda c, _: (multi(c, K), None), carry, None,
+                            length=n_chunks)
+                    if rem:
+                        carry = multi(carry, rem)
+                return carry[0]
+
+            self._solve_jit = _run
+        u = self._solve_jit(self._jit_state(), self.u0)
+        jax.block_until_ready(u)
+        return SolveResult(u=u, metrics={}, dt=self.dt,
+                           num_steps=self.num_steps)
 
     def step(self, carry, t):
         if self._fused_pallas_ok() and not self.cfg.record_metrics:

@@ -278,21 +278,92 @@ def _compiler_params(interpret):
         vmem_limit_bytes=100 * 2**20)}
 
 
+def _step_body(L, u, uo, uoo, g, Mc, *, dt, h, Cvel, CRV, tiny,
+               fprime_norm, cg_iters, newton_iters, lin_iters,
+               freeze_jacobian, residual_scheme, stabilization):
+    """One stabilized time step on traced node-shaped arrays (shared by
+    the single-, split-, and multi-step kernels)."""
+    f, bc = L.f, L.bc
+
+    # 1. residual projection
+    if residual_scheme == "bdf1":
+        du = (u - uo) / f(dt)
+    else:
+        du = (3.0 * u - 4.0 * uo + uoo) / f(2.0 * dt)
+    rhs = jnp.where(bc, 0.0, L.plane_mv(Mc, du) + L.nl_rhs(u))
+    dMinv = 1.0 / jnp.where(bc, 1.0, Mc[0])
+    RH = L.cg_fixed(L.pinned(lambda v: L.plane_mv(Mc, v)), rhs, dMinv,
+                    cg_iters)
+
+    # 2. RV epsilon (cf. structured.rv_epsilon)
+    if stabilization == "rv":
+        abs_term = jnp.abs(u - jnp.mean(u)).max()
+        u_max = L.patch_reduce(u, jnp.maximum, -np.inf)
+        u_min = L.patch_reduce(u, jnp.minimum, np.inf)
+        n_i = jnp.abs((u_max - u_min) - abs_term)
+        Rh_i = L.patch_reduce(jnp.abs(RH), jnp.maximum, -np.inf)
+        beta = L.patch_reduce(fprime_norm(u), jnp.maximum, -np.inf)
+        eps = jnp.minimum(
+            f(Cvel * h) * beta,
+            f(CRV * h * h) * jnp.abs(Rh_i / jnp.maximum(n_i, f(tiny))))
+    else:  # gfem
+        eps = jnp.zeros_like(u)
+    ec = L.cells(eps)
+    e_cell = [(ec[t][0] + ec[t][1] + ec[t][2]) / 3.0 for t in range(2)]
+
+    # 3. Newton CN
+    Kc = L.keps_planes(e_cell)
+    N_un = L.nl_rhs(u)
+    K_un = L.plane_mv(Kc, u)
+
+    def residual(v):
+        F = (L.plane_mv(Mc, v - u)
+             + f(0.5 * dt) * (L.nl_rhs(v) + N_un)
+             + f(0.5 * dt) * (L.plane_mv(Kc, v) + K_un))
+        return jnp.where(bc, v - g, F)
+
+    def linearize(w):
+        Cc = L.conv_planes(w)
+        Jc = tuple(Mc[k] + f(0.5 * dt) * (Kc[k] + Cc[k])
+                   for k in range(len(OFFSETS)))
+        dJinv = 1.0 / jnp.where(bc, 1.0, Jc[0])
+        return L.pinned(lambda v: L.plane_mv(Jc, v)), dJinv
+
+    uk = jnp.where(bc, g, u)
+    F = residual(uk)
+    if freeze_jacobian:
+        jmv_f, dJinv_f = linearize(uk)
+    # outer Newton loop unrolled in Python: a fori_loop here would nest
+    # around the BiCGStab fori_loop — nested loops are the documented
+    # compile-time pathology of the remote Mosaic service
+    for _ in range(newton_iters):
+        jmv, dJinv = (jmv_f, dJinv_f) if freeze_jacobian else linearize(uk)
+        uk = uk + L.bicgstab_fixed(jmv, dJinv, F, lin_iters)
+        F = residual(uk)
+    return uk
+
+
 def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                   phi, qw, Cvel, CRV, fprime, fprime_norm, cg_iters,
                   newton_iters, lin_iters, freeze_jacobian,
                   residual_scheme="bdf2", stabilization="rv",
-                  fprime_xy=None, interpret=None):
-    """One full stabilized time step as a SINGLE Pallas kernel.
+                  fprime_xy=None, interpret=None, n_substeps=1):
+    """``n_substeps`` full stabilized time steps in a SINGLE Pallas kernel.
 
-    u2/uo2/uoo2: (n1x, n1y) solution history; g2: Dirichlet data field;
-    Mc2: (7, n1x, n1y) mass stencil planes (sd.M_coef). The eps-stiffness
-    and Newton-Jacobian stencil planes are built in-kernel once per
-    step / linearization (in-kernel local_to_stencil), so every Krylov
-    matvec is 7 shifted MACs. Semantics == ops/krylov.cg_fixed /
-    bicgstab_fixed / ops/newton.newton_fixed (identity tests in
-    tests/test_pallas_fused.py). VMEM ceiling ~270 KB per field
-    (mesh <= 64 f32); beyond that use fused_rv_step_split.
+    u2/uo2/uoo2: (n1x, n1y) solution history; g2: Dirichlet data field
+    (must be time-independent when n_substeps > 1); Mc2: (7, n1x, n1y)
+    mass stencil planes (sd.M_coef). The eps-stiffness and Newton-Jacobian
+    stencil planes are built in-kernel once per step / linearization
+    (in-kernel local_to_stencil), so every Krylov matvec is 7 shifted
+    MACs. Semantics == ops/krylov.cg_fixed / bicgstab_fixed /
+    ops/newton.newton_fixed (identity tests in tests/test_pallas_fused.py).
+
+    Why multi-step: per-launch overhead on this runtime is ~0.3 ms while
+    the in-kernel compute is tens of us at small meshes; unrolling K
+    steps into one launch amortizes it. Returns the last three states
+    (uh_K, uh_{K-1}, uh_{K-2}) so the caller can continue the history.
+    VMEM ceiling ~270 KB per field (mesh <= 64 f32) — the live set does
+    not grow with n_substeps; beyond the ceiling use fused_rv_step_split.
     """
     n1x, n1y = nx + 1, ny + 1
     if interpret is None:
@@ -300,77 +371,30 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     dtype = u2.dtype
     st, h_ = _statics(dtype, dt, area, h, grads, phi, qw)
     fpx, fpy = _fp_components(fprime, fprime_xy)
-    dt_, tiny = st["dt"], st["tiny"]
+    body_kw = dict(dt=st["dt"], h=h_, Cvel=Cvel, CRV=CRV, tiny=st["tiny"],
+                   fprime_norm=fprime_norm, cg_iters=cg_iters,
+                   newton_iters=newton_iters, lin_iters=lin_iters,
+                   freeze_jacobian=freeze_jacobian,
+                   residual_scheme=residual_scheme,
+                   stabilization=stabilization)
 
-    def kernel(u_ref, uo_ref, uoo_ref, g_ref, Mc_ref, out_ref):
+    def kernel(u_ref, uo_ref, uoo_ref, g_ref, Mc_ref, o1, o2, o3):
         u, uo, uoo, g = u_ref[:], uo_ref[:], uoo_ref[:], g_ref[:]
         Mc = tuple(Mc_ref[k] for k in range(len(OFFSETS)))
         L = _make_lib(n1x, n1y, dtype, fpx=fpx, fpy=fpy, **st)
-        f, bc = L.f, L.bc
+        for _ in range(n_substeps):
+            uh = _step_body(L, u, uo, uoo, g, Mc, **body_kw)
+            u, uo, uoo = uh, u, uo
+        o1[:] = u
+        o2[:] = uo
+        o3[:] = uoo
 
-        # 1. residual projection
-        if residual_scheme == "bdf1":
-            du = (u - uo) / f(dt_)
-        else:
-            du = (3.0 * u - 4.0 * uo + uoo) / f(2.0 * dt_)
-        rhs = jnp.where(bc, 0.0, L.plane_mv(Mc, du) + L.nl_rhs(u))
-        dMinv = 1.0 / jnp.where(bc, 1.0, Mc[0])
-        RH = L.cg_fixed(L.pinned(lambda v: L.plane_mv(Mc, v)), rhs, dMinv,
-                        cg_iters)
-
-        # 2. RV epsilon (cf. structured.rv_epsilon)
-        if stabilization == "rv":
-            abs_term = jnp.abs(u - jnp.mean(u)).max()
-            u_max = L.patch_reduce(u, jnp.maximum, -np.inf)
-            u_min = L.patch_reduce(u, jnp.minimum, np.inf)
-            n_i = jnp.abs((u_max - u_min) - abs_term)
-            Rh_i = L.patch_reduce(jnp.abs(RH), jnp.maximum, -np.inf)
-            beta = L.patch_reduce(fprime_norm(u), jnp.maximum, -np.inf)
-            eps = jnp.minimum(
-                f(Cvel * h_) * beta,
-                f(CRV * h_ * h_) * jnp.abs(Rh_i / jnp.maximum(n_i, f(tiny))))
-        else:  # gfem
-            eps = jnp.zeros_like(u)
-        ec = L.cells(eps)
-        e_cell = [(ec[t][0] + ec[t][1] + ec[t][2]) / 3.0 for t in range(2)]
-
-        # 3. Newton CN
-        Kc = L.keps_planes(e_cell)
-        N_un = L.nl_rhs(u)
-        K_un = L.plane_mv(Kc, u)
-
-        def residual(v):
-            F = (L.plane_mv(Mc, v - u)
-                 + f(0.5 * dt_) * (L.nl_rhs(v) + N_un)
-                 + f(0.5 * dt_) * (L.plane_mv(Kc, v) + K_un))
-            return jnp.where(bc, v - g, F)
-
-        def linearize(w):
-            Cc = L.conv_planes(w)
-            Jc = tuple(Mc[k] + f(0.5 * dt_) * (Kc[k] + Cc[k])
-                       for k in range(len(OFFSETS)))
-            dJinv = 1.0 / jnp.where(bc, 1.0, Jc[0])
-            return L.pinned(lambda v: L.plane_mv(Jc, v)), dJinv
-
-        uk = jnp.where(bc, g, u)
-        F = residual(uk)
-        if freeze_jacobian:
-            jmv_f, dJinv_f = linearize(uk)
-        # outer Newton loop unrolled in Python: a fori_loop here would
-        # nest around the BiCGStab fori_loop — nested loops are the
-        # documented compile-time pathology of the remote Mosaic service
-        for _ in range(newton_iters):
-            jmv, dJinv = (jmv_f, dJinv_f) if freeze_jacobian \
-                else linearize(uk)
-            uk = uk + L.bicgstab_fixed(jmv, dJinv, F, lin_iters)
-            F = residual(uk)
-        out_ref[:] = uk
-
+    sds = jax.ShapeDtypeStruct((n1x, n1y), dtype)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n1x, n1y), dtype),
+        out_shape=[sds, sds, sds],
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         interpret=bool(interpret),
         **_compiler_params(interpret),
     )(u2, uo2, uoo2, g2, Mc2)

@@ -27,7 +27,7 @@ def _fused_step_like(p, carry, t):
         freeze_jacobian=p.cfg.modified_newton,
         stabilization=p.cfg.stabilization,
         interpret=True,
-    ).reshape(-1)
+    )[0].reshape(-1)
 
 
 def _compare(cfg, steps=3):
@@ -72,6 +72,22 @@ def test_fused_solve_path_matches_plain():
     np.testing.assert_allclose(u_f, u_x, atol=1e-11)
 
 
+def test_multistep_solve_matches_plain():
+    """K-steps-per-launch mode (fused_substeps) == the plain path over a
+    run with both full chunks and a remainder (10 = 2x4 + 2)."""
+    import dataclasses as dc
+
+    cfg = kpp.KPPConfig(mesh_size=8, T=0.1, backend="stencil",
+                        cg_iters=10, newton_iters=2,
+                        newton_linear_iters=8, modified_newton=True)
+    p = kpp.build(cfg)
+    p.cfg = dc.replace(p.cfg, use_pallas=True, fused_substeps=4)
+    assert p._fused_multistep_ok()
+    u_m = np.asarray(p.solve().u)
+    u_x = np.asarray(kpp.build(cfg).solve().u)
+    np.testing.assert_allclose(u_m, u_x, atol=1e-11)
+
+
 def test_split_kernel_matches_single():
     """fused_rv_step_split (1 + newton_iters launches, the large-mesh
     variant) == fused_rv_step, exact and frozen Newton."""
@@ -98,7 +114,7 @@ def test_split_kernel_matches_single():
             cg_iters=p.cfg.cg_iters, newton_iters=p.cfg.newton_iters,
             lin_iters=p.cfg.newton_linear_iters,
             freeze_jacobian=frozen, interpret=True)
-        u_single = fused_rv_step(*args, g2, sd.M_coef, **kw)
+        u_single = fused_rv_step(*args, g2, sd.M_coef, **kw)[0]
         u_split = fused_rv_step_split(*args, g2, sd.M_coef, **kw)
         np.testing.assert_allclose(np.asarray(u_split),
                                    np.asarray(u_single), atol=1e-12,
