@@ -354,6 +354,11 @@ class HyperbolicProblem:
         ordered io_callback (the reference's in-loop xdmf.write_function,
         ref linear_advection.py:176)."""
         if checkpoint_path and checkpoint_every > 0:
+            if stream is not None:
+                raise ValueError(
+                    "stream= is not supported together with checkpointing "
+                    "(the chunked scan would bypass the streaming sink); "
+                    "run with one or the other")
             return self._solve_checkpointed(
                 checkpoint_path, checkpoint_every, resume
             )

@@ -87,10 +87,14 @@ def to_planes(plan: LatticePlan, patch_cols, A, patch_mask=None):
     rows = np.repeat(np.arange(N), K)
     cols = patch_cols.reshape(-1)
     vals = A.reshape(-1)
-    keep = vals != 0.0
+    # keep nonzero entries plus every diagonal slot, so identity-like rows
+    # (e.g. pure Dirichlet rows whose off-diagonals are exact zeros) still
+    # pin down the (0,0) plane; ELL padding slots alias the diagonal with
+    # value 0, so accumulation below must be duplicate-safe (np.add.at)
+    diag = cols == rows
+    keep = (vals != 0.0) | diag
     if patch_mask is not None:
-        keep &= np.asarray(patch_mask).reshape(-1)
-    # always keep the diagonal slot so identity-like rows survive
+        keep &= np.asarray(patch_mask).reshape(-1) | diag
     rows, cols, vals = rows[keep], cols[keep], vals[keep]
     di = ii[cols] - ii[rows]
     dj = jj[cols] - jj[rows]
@@ -98,7 +102,7 @@ def to_planes(plan: LatticePlan, patch_cols, A, patch_mask=None):
     uniq, inv = np.unique(key, return_inverse=True)
     P = uniq.size
     planes = np.zeros((P, plan.nI, plan.nJ), A.dtype)
-    planes[inv, ii[rows], jj[rows]] += vals
+    np.add.at(planes, (inv, ii[rows], jj[rows]), vals)
     off_di = np.zeros(P, np.int64)
     off_dj = np.zeros(P, np.int64)
     off_di[inv] = di
@@ -119,6 +123,8 @@ def _shift_read(x2, di, dj):
 
 def matvec(offsets, planes, x2):
     """(A x) on the grid: sum_k planes[k] * shift(x2, offsets[k])."""
+    if not offsets:
+        return jnp.zeros_like(x2)
     y = None
     for k, (di, dj) in enumerate(offsets):
         t = planes[k] * _shift_read(x2, di, dj)

@@ -223,12 +223,17 @@ class FunctionSpace:
         # J[m,q,d,e] = d x_d / d xi_e
         J = np.einsum("mcd,qce->mqde", X, self.dphi)
         det = J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
+        if np.any(det == 0.0):
+            raise ValueError("degenerate cell: zero Jacobian at a quad point")
         jinv_t = np.empty_like(J)
         jinv_t[..., 0, 0] = J[..., 1, 1]
         jinv_t[..., 0, 1] = -J[..., 1, 0]
         jinv_t[..., 1, 0] = -J[..., 0, 1]
         jinv_t[..., 1, 1] = J[..., 0, 0]
-        return jinv_t / det[..., None, None], det
+        # The quadrature weight is |det| so clockwise-oriented cells (accepted
+        # by mesh_from_arrays) assemble with the correct sign; the signed det
+        # stays in jinv_t, which is orientation-correct as a ratio.
+        return jinv_t / det[..., None, None], np.abs(det)
 
     def _jinv_t(self):
         """Per-cell J^{-T} (M,2,2) for mapping reference gradients."""

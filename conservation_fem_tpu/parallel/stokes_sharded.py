@@ -132,6 +132,23 @@ class ShardedStokes:
         self.offG, G_pl = zip(*[pair_planes(coo["G"][s], plan2, plan1e)
                                 for s in range(2)])
 
+        # _pmv reads dynamic slices of a width-w halo'd grid; lax.dynamic_slice
+        # CLAMPS out-of-range starts, so an offset beyond the halo would be
+        # silently wrong rather than an error. Validate every plane family
+        # against the halo width its matvec uses (fine w=2, coarse w=1).
+        def _check_halo(offsets, w, name):
+            m = max((max(abs(di), abs(dj)) for di, dj in offsets), default=0)
+            if m > w:
+                raise ValueError(
+                    f"{name}: stencil offset {m} exceeds halo width {w}")
+        for off in self.offA + self.offR:
+            _check_halo(off, 2, "A/R")
+        _check_halo(self.offM, 2, "M")
+        _check_halo(self.offK, 1, "K")
+        for nm in ("offDE", "offB", "offG"):
+            for off in getattr(self, nm):
+                _check_halo(off, 2, nm)
+
         # ---- masks / diagonals / convection tables ----------------------
         def pad1(x2, fill=0.0):
             return jnp.pad(jnp.asarray(x2), ((0, self.rows1 - nI1), (0, 0)),

@@ -26,7 +26,9 @@ class StreamingSink:
 
     `every` thins on the host (ordered io_callback cannot live inside
     lax.cond, so the device posts every step and the host drops all but
-    every k-th)."""
+    every k-th). Note `every` only thins DISK writes — every emitted step
+    still pays the device->host copy. close() resets the thinning counter
+    so one sink can be reused across solve() calls."""
 
     def __init__(self, fn, every: int = 1):
         self._fn = fn
@@ -45,7 +47,7 @@ class StreamingSink:
         return u
 
     def close(self):
-        pass
+        self._count = 0
 
 
 class StreamingXDMF(StreamingSink):
@@ -65,6 +67,7 @@ class StreamingXDMF(StreamingSink):
 
     def close(self):
         self._writer.close()
+        super().close()
 
     def __enter__(self):
         return self
