@@ -52,6 +52,7 @@ class KPPConfig:
     cg_iters: int | None = None
     newton_iters: int | None = None
     newton_linear_iters: int = 8
+    inner_solver: str = "bicgstab"  # "cheby": dot-free inner solves
     # unstructured operator application (h5/gmsh meshes): "gather" (XLA
     # gather ELL), "banded" (RCM diagonals), or "blocked" (blocked-window
     # dense MXU ops + RCM, ops/blocked.py — the fast unstructured path).
@@ -110,6 +111,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         modified_newton=cfg.modified_newton, smooth_l=cfg.smooth_l,
         cg_iters=cfg.cg_iters, newton_iters=cfg.newton_iters,
         newton_linear_iters=cfg.newton_linear_iters,
+        inner_solver=cfg.inner_solver,
         ell_matvec_backend=cfg.ell_matvec_backend,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
     )

@@ -72,6 +72,17 @@ class HyperbolicConfig:
     cg_iters: int | None = None          # residual-projection mass solve
     newton_iters: int | None = None      # outer Newton iterations
     newton_linear_iters: int = 8         # inner BiCGStab iterations
+    # inner_solver="cheby": the fixed-iteration inner solves run as
+    # DOT-FREE Chebyshev semi-iterations (krylov.chebyshev_fixed) instead
+    # of CG/BiCGStab — the fused step's ~50 sequential dot-reduction
+    # latencies were its measured binding resource. Bounds cover the
+    # Jacobi-preconditioned spectra: mass via Wathen [1/2, 2] (any
+    # triangulation); the CN Jacobian measured [0.52, 1.96] (|im|<=0.1)
+    # on the KPP shock state, padded. Chebyshev uses 1 matvec/iter vs
+    # BiCGStab's 2 — double newton_linear_iters for matvec parity.
+    inner_solver: str = "bicgstab"       # bicgstab | cheby
+    cheby_mass_bounds: tuple = (0.5, 2.0)
+    cheby_lin_bounds: tuple = (0.4, 2.2)
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
     use_pallas: bool = False       # fused Pallas CG on the stencil backend
     # fused whole-step kernel: K full time steps per Mosaic launch

@@ -21,7 +21,8 @@ import numpy as np
 
 from conservation_fem_tpu.models.scalar_hyperbolic import HyperbolicProblem
 from conservation_fem_tpu.ops import structured as st
-from conservation_fem_tpu.ops.krylov import cg, cg_fixed, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import (cg, cg_fixed, chebyshev_fixed,
+                                             jacobi_preconditioner)
 from conservation_fem_tpu.ops.newton import newton_fixed, newton_solve
 
 
@@ -73,7 +74,13 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         if self.cfg.cg_iters is not None:
             # fixed-count unrolled CG: straight-line code beats both the
             # while-loop CG and the fused Pallas CG (each while iteration
-            # costs ~270 us launch overhead on the axon runtime)
+            # costs ~270 us launch overhead on the axon runtime);
+            # inner_solver="cheby" drops the dots too (see HyperbolicConfig)
+            if self.cfg.inner_solver == "cheby":
+                lo, hi = self.cfg.cheby_mass_bounds
+                return chebyshev_fixed(op, rhs, precond=pre,
+                                       iters=self.cfg.cg_iters,
+                                       lmin=lo, lmax=hi).x
             return cg_fixed(op, rhs, precond=pre, iters=self.cfg.cg_iters).x
         n_elems = (sd.nx + 1) * (sd.ny + 1)
         fits_vmem = 15 * n_elems * u2.dtype.itemsize < 12 * 2**20
@@ -113,6 +120,8 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
                 linear_iters=cfg.newton_linear_iters,
                 jacobian_fn=jacobian, freeze_jacobian=cfg.modified_newton,
                 rtol=cfg.newton_rtol, atol=cfg.newton_atol,
+                linear_solver=cfg.inner_solver,
+                cheby_bounds=cfg.cheby_lin_bounds,
             )
         return newton_solve(
             residual, u_init,
@@ -126,14 +135,18 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
 
     def _fused_mode(self):
         """Fused-kernel eligibility: "single" (one Mosaic launch per
-        step), "split" (1 + newton_iters launches — each kernel's live
-        set fits where the single kernel exceeds physical VMEM), or None.
+        step, all fields VMEM-resident), "tiled" (one launch per step,
+        HBM-resident fields swept in row tiles — any mesh size, cheby
+        inner solver only, ops/pallas_tiled.py), "split" (1 +
+        newton_iters launches), or None.
 
         VMEM gates are empirical: the single kernel at mesh 128 f32
         (1.05 MB/field) measured 162.7 MB of the 128 MiB physical VMEM
         while mesh 64 (264 KB/field) runs, so single caps at 270 KB per
         field; the split kernels' peak is roughly half, capping near
-        1.1 MB per field (mesh ~128 f32)."""
+        1.1 MB per field (mesh ~128 f32). The tiled kernel has no
+        ceiling and replaces split/fallback whenever the dot-free
+        Chebyshev solver is selected."""
         cfg = self.cfg
         if not (cfg.use_pallas
                 and cfg.cg_iters is not None and cfg.newton_iters is not None
@@ -144,6 +157,8 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
                      * self.u0.dtype.itemsize)
         if per_field <= 270 * 2**10:
             return "single"
+        if cfg.inner_solver == "cheby":
+            return "tiled"
         if per_field <= 1100 * 2**10:
             return "split"
         return None
@@ -156,9 +171,12 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             fused_rv_step,
             fused_rv_step_split,
         )
+        from conservation_fem_tpu.ops.pallas_tiled import tiled_rv_step
 
-        single = self._fused_mode() == "single"
-        step_fn = fused_rv_step if single else fused_rv_step_split
+        mode = self._fused_mode()
+        single = mode == "single"
+        step_fn = {"single": fused_rv_step, "tiled": tiled_rv_step,
+                   "split": fused_rv_step_split}[mode]
         u_n, u_old, u_old_old = carry
         sd, sh = self.sd, self._shape2
         fs = self._fused_static
@@ -177,6 +195,9 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             freeze_jacobian=self.cfg.modified_newton,
             residual_scheme=self.cfg.residual_scheme,
             stabilization=self.cfg.stabilization,
+            inner_solver=self.cfg.inner_solver,
+            mass_bounds=self.cfg.cheby_mass_bounds,
+            lin_bounds=self.cfg.cheby_lin_bounds,
         )
         uh = (out[0] if single else out).reshape(-1)
         return (uh, u_n, u_old), None
@@ -220,6 +241,9 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
                 freeze_jacobian=self.cfg.modified_newton,
                 residual_scheme=self.cfg.residual_scheme,
                 stabilization=self.cfg.stabilization,
+                inner_solver=self.cfg.inner_solver,
+                mass_bounds=self.cfg.cheby_mass_bounds,
+                lin_bounds=self.cfg.cheby_lin_bounds,
                 n_substeps=n_sub)
             return tuple(v.reshape(-1) for v in out)
 

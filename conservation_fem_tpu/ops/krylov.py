@@ -207,6 +207,56 @@ def bicgstab_fixed(
     return KrylovResult(x, jnp.int32(iters), rnorm, jnp.asarray(True))
 
 
+def chebyshev_fixed(
+    matvec: Callable,
+    b,
+    *,
+    iters: int,
+    lmin: float,
+    lmax: float,
+    precond: Callable = _identity,
+    x0=None,
+) -> KrylovResult:
+    """Preconditioned Chebyshev semi-iteration — ZERO inner products.
+
+    The fixed-iteration Krylov twins (cg_fixed / bicgstab_fixed) removed
+    the while-loop launch overhead but still serialize on 2-4 global
+    dot-reductions per iteration; on the fused-kernel step those ~50
+    sequential reduction latencies are the measured binding resource
+    (RESULTS.md roofline). Chebyshev replaces the data-dependent step
+    sizes with a precomputed three-term recurrence from eigenvalue bounds
+    [lmin, lmax] of the preconditioned operator, so the whole solve is
+    straight-line MACs with no reductions at all.
+
+    Bounds: for a Jacobi-preconditioned P1 mass matrix lambda(D^-1 M) in
+    [1/2, 2] on ANY triangulation (Wathen's bounds); rows pinned to
+    identity contribute lambda = 1. Mildly nonsymmetric operators (the CN
+    Newton Jacobian M + dt/2 (K_eps + C), convection-perturbed) converge
+    for eigenvalues inside the ellipse around [lmin, lmax]; callers
+    accuracy-gate per config (bench.py asserts vs the f64 anchor).
+
+    Error after k steps <= 2 ((sqrt(kappa)-1)/(sqrt(kappa)+1))^k with
+    kappa = lmax/lmin.
+    """
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+    f = lambda c: jnp.asarray(c, b.dtype)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x) if x0 is not None else b
+    d = precond(r) / f(theta)
+    rho = 1.0 / sigma1
+    for _ in range(iters):
+        x = x + d
+        r = r - matvec(d)
+        z = precond(r)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = f(rho_new * rho) * d + f(2.0 * rho_new / delta) * z
+        rho = rho_new
+    return KrylovResult(x, jnp.int32(iters), jnp.asarray(jnp.inf, b.dtype),
+                        jnp.asarray(True))
+
+
 def jacobi_preconditioner(diag):
     """Inverse-diagonal preconditioner; safe where diag == 0."""
     inv = jnp.where(diag != 0, 1.0 / diag, 1.0)

@@ -23,7 +23,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from conservation_fem_tpu.ops.krylov import bicgstab, bicgstab_fixed
+from conservation_fem_tpu.ops.krylov import (bicgstab, bicgstab_fixed,
+                                             chebyshev_fixed)
 
 
 class NewtonResult(NamedTuple):
@@ -142,6 +143,8 @@ def newton_fixed(
     rtol=1e-4,
     atol=1e-10,
     dot: Callable = jnp.vdot,
+    linear_solver: str = "bicgstab",
+    cheby_bounds: tuple = (0.4, 2.2),
 ) -> NewtonResult:
     """Newton with FIXED unrolled outer and inner iteration counts.
 
@@ -152,6 +155,11 @@ def newton_fixed(
     still reports whether the residual criterion was met, so callers'
     blow-up guards keep working; iteration counts must be validated against
     the adaptive solver for each workload (tests do this on CPU).
+
+    linear_solver="cheby" swaps the inner BiCGStab for the dot-free
+    Chebyshev semi-iteration (krylov.chebyshev_fixed) over cheby_bounds —
+    one matvec and zero reductions per iteration vs BiCGStab's two and
+    four, so callers typically double linear_iters for matvec parity.
     """
     norm = lambda v: jnp.sqrt(dot(v, v))
     F = residual_fn(u0)
@@ -160,8 +168,14 @@ def newton_fixed(
     u = u0
     for _ in range(iters):
         matvec, precond = frozen if frozen is not None else jacobian_fn(u)
-        du = bicgstab_fixed(matvec, -F, precond=precond,
-                            iters=linear_iters, dot=dot).x
+        if linear_solver == "cheby":
+            du = chebyshev_fixed(matvec, -F, precond=precond,
+                                 iters=linear_iters,
+                                 lmin=cheby_bounds[0],
+                                 lmax=cheby_bounds[1]).x
+        else:
+            du = bicgstab_fixed(matvec, -F, precond=precond,
+                                iters=linear_iters, dot=dot).x
         u = u + du
         F = residual_fn(u)
     rnorm = norm(F)

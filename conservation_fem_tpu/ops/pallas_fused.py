@@ -43,7 +43,7 @@ def _interpret_default():
     return jax.default_backend() == "cpu"
 
 
-def _make_shifts(n1x, n1y):
+def _make_shifts(n1x, n1y, row0=0, n_rows=None):
     """Roll+mask neighbor access on (n1x, n1y) node-shaped arrays.
 
     Returns (shift, shift_fill, cellmask):
@@ -52,8 +52,19 @@ def _make_shifts(n1x, n1y):
       cellmask — 1.0 where (i, j) indexes a cell of the (nx, ny) cell
       grid, 0.0 on the padding row/col (i = nx or j = ny)
     All pure rolls + iota compares — no pad/concat, Mosaic-lowerable.
+
+    Tiled view (ops/pallas_tiled.py): when the (n1x, n1y) buffer is a
+    row-tile of a larger (n_rows, n1y) grid starting at global row
+    ``row0`` (may be traced), out-of-bounds tests use GLOBAL row indices
+    row0 + i against n_rows, so rolls that wrap within the tile are
+    masked exactly where the GLOBAL neighbour does not exist. Wrapped
+    in-tile garbage is confined to the outermost rows; callers size the
+    tile halo >= the sweep's shift-chain depth so interior rows never
+    consume it.
     """
-    ii = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 0)
+    if n_rows is None:
+        n_rows = n1x
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 0) + row0
     jj = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 1)
 
     def _roll(x, di, dj):
@@ -64,9 +75,9 @@ def _make_shifts(n1x, n1y):
         return x
 
     def _inb(di, dj):
-        m = jnp.full((n1x, n1y), True)
+        m = (ii >= 0) & (ii < n_rows)
         if di:
-            m &= (ii + di >= 0) & (ii + di < n1x)
+            m &= (ii + di >= 0) & (ii + di < n_rows)
         if dj:
             m &= (jj + dj >= 0) & (jj + dj < n1y)
         return m
@@ -77,22 +88,27 @@ def _make_shifts(n1x, n1y):
     def shift_fill(x, di, dj, fill):
         return jnp.where(_inb(di, dj), _roll(x, di, dj), fill)
 
-    cellmask = (ii < n1x - 1) & (jj < n1y - 1)
+    cellmask = (ii >= 0) & (ii < n_rows - 1) & (jj < n1y - 1)
     return shift, shift_fill, cellmask
 
 
 def _make_lib(n1x, n1y, dtype, *, dt, area, grads_c, phi_c, qw_c, gg_c, Q,
-              tiny, fpx, fpy):
-    """Kernel-internal helper namespace shared by the single-kernel and
-    split-kernel variants (everything operates on traced node-shaped
-    arrays; no refs)."""
+              tiny, fpx, fpy, row0=0, n_rows=None):
+    """Kernel-internal helper namespace shared by the single-kernel,
+    split-kernel, and row-tiled variants (everything operates on traced
+    node-shaped arrays; no refs). row0/n_rows: see _make_shifts — the
+    buffer is a row-tile of an (n_rows, n1y) grid starting at global row
+    row0; bc/cell masks then use global row indices."""
     import types
 
+    if n_rows is None:
+        n_rows = n1x
     f = lambda c: jnp.asarray(c, dtype)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 0) + row0
     jj = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 1)
-    bc = (ii == 0) | (ii == n1x - 1) | (jj == 0) | (jj == n1y - 1)
-    shift, shift_fill, cellmask = _make_shifts(n1x, n1y)
+    bc = (ii == 0) | (ii == n_rows - 1) | (jj == 0) | (jj == n1y - 1)
+    valid = (ii >= 0) & (ii < n_rows)
+    shift, shift_fill, cellmask = _make_shifts(n1x, n1y, row0, n_rows)
     cmf = jnp.where(cellmask, f(1.0), f(0.0))
     dot = lambda a, b: jnp.sum(a * b)
 
@@ -220,6 +236,33 @@ def _make_lib(n1x, n1y, dtype, *, dt, area, grads_c, phi_c, qw_c, gg_c, Q,
             0, iters, cg_body,
             (jnp.zeros_like(rhs), rhs, z0, dot(rhs, z0)))[0]
 
+    def cheby_fixed(op, rhs, dMinv, iters, lmin, lmax):
+        """Preconditioned Chebyshev semi-iteration: ZERO dot products —
+        the fused step's ~50 sequential Krylov dot-reduction latencies
+        were its measured binding resource (RESULTS.md); the three-term
+        recurrence replaces every data-dependent step size with constants
+        from eigenvalue bounds of the preconditioned operator (Wathen
+        [1/2, 2] for Jacobi-preconditioned P1 mass; measured [0.52, 1.96]
+        with |im| <= 0.1 for the CN Newton Jacobian)."""
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma1 = theta / delta
+
+        def ch_body(_, c):
+            x, r, d, rho = c
+            x = x + d
+            r = r - op(d)
+            z = dMinv * r
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            d = f(rho_new) * rho * d + f(2.0 * rho_new / delta) * z
+            return (x, r, d, rho_new)
+
+        d0 = dMinv * rhs / f(theta)
+        return jax.lax.fori_loop(
+            0, iters, ch_body,
+            (jnp.zeros_like(rhs), rhs, d0, jnp.full((), 1.0 / sigma1,
+                                                    dtype)))[0]
+
     def bicgstab_fixed(jmv, dJinv, F, iters):
         rhat = -F
 
@@ -244,12 +287,14 @@ def _make_lib(n1x, n1y, dtype, *, dt, area, grads_c, phi_c, qw_c, gg_c, Q,
             (jnp.zeros_like(F), -F, -F, dot(rhat, -F)))[0]
 
     return types.SimpleNamespace(
-        f=f, bc=bc, cmf=cmf, dot=dot, shift=shift, shift_fill=shift_fill,
+        f=f, bc=bc, valid=valid, cmf=cmf, dot=dot, shift=shift,
+        shift_fill=shift_fill,
         cells=cells, scatter=scatter, patch_reduce=patch_reduce,
         plane_mv=plane_mv, to_planes=to_planes, pinned=pinned,
         quad_vals=quad_vals, cell_grad=cell_grad, nl_rhs=nl_rhs,
         keps_planes=keps_planes, conv_planes=conv_planes,
-        safe_div=safe_div, cg_fixed=cg_fixed, bicgstab_fixed=bicgstab_fixed)
+        safe_div=safe_div, cg_fixed=cg_fixed, cheby_fixed=cheby_fixed,
+        bicgstab_fixed=bicgstab_fixed)
 
 
 def _statics(dtype, dt, area, h, grads, phi, qw):
@@ -280,10 +325,18 @@ def _compiler_params(interpret):
 
 def _step_body(L, u, uo, uoo, g, Mc, *, dt, h, Cvel, CRV, tiny,
                fprime_norm, cg_iters, newton_iters, lin_iters,
-               freeze_jacobian, residual_scheme, stabilization):
+               freeze_jacobian, residual_scheme, stabilization,
+               inner_solver="bicgstab", mass_bounds=(0.5, 2.0),
+               lin_bounds=(0.4, 2.2)):
     """One stabilized time step on traced node-shaped arrays (shared by
-    the single-, split-, and multi-step kernels)."""
+    the single-, split-, and multi-step kernels).
+
+    inner_solver="cheby" runs BOTH inner solves (residual-projection mass
+    solve + Newton linear solves) as dot-free Chebyshev semi-iterations
+    over mass_bounds / lin_bounds — no global reductions left in the
+    solver chain (only the RV normalization's mean/max remain)."""
     f, bc = L.f, L.bc
+    cheby = inner_solver == "cheby"
 
     # 1. residual projection
     if residual_scheme == "bdf1":
@@ -292,8 +345,11 @@ def _step_body(L, u, uo, uoo, g, Mc, *, dt, h, Cvel, CRV, tiny,
         du = (3.0 * u - 4.0 * uo + uoo) / f(2.0 * dt)
     rhs = jnp.where(bc, 0.0, L.plane_mv(Mc, du) + L.nl_rhs(u))
     dMinv = 1.0 / jnp.where(bc, 1.0, Mc[0])
-    RH = L.cg_fixed(L.pinned(lambda v: L.plane_mv(Mc, v)), rhs, dMinv,
-                    cg_iters)
+    mass_op = L.pinned(lambda v: L.plane_mv(Mc, v))
+    if cheby:
+        RH = L.cheby_fixed(mass_op, rhs, dMinv, cg_iters, *mass_bounds)
+    else:
+        RH = L.cg_fixed(mass_op, rhs, dMinv, cg_iters)
 
     # 2. RV epsilon (cf. structured.rv_epsilon)
     if stabilization == "rv":
@@ -338,7 +394,10 @@ def _step_body(L, u, uo, uoo, g, Mc, *, dt, h, Cvel, CRV, tiny,
     # compile-time pathology of the remote Mosaic service
     for _ in range(newton_iters):
         jmv, dJinv = (jmv_f, dJinv_f) if freeze_jacobian else linearize(uk)
-        uk = uk + L.bicgstab_fixed(jmv, dJinv, F, lin_iters)
+        if cheby:
+            uk = uk + L.cheby_fixed(jmv, -F, dJinv, lin_iters, *lin_bounds)
+        else:
+            uk = uk + L.bicgstab_fixed(jmv, dJinv, F, lin_iters)
         F = residual(uk)
     return uk
 
@@ -347,7 +406,9 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                   phi, qw, Cvel, CRV, fprime, fprime_norm, cg_iters,
                   newton_iters, lin_iters, freeze_jacobian,
                   residual_scheme="bdf2", stabilization="rv",
-                  fprime_xy=None, interpret=None, n_substeps=1):
+                  fprime_xy=None, interpret=None, n_substeps=1,
+                  inner_solver="bicgstab", mass_bounds=(0.5, 2.0),
+                  lin_bounds=(0.4, 2.2)):
     """``n_substeps`` full stabilized time steps in a SINGLE Pallas kernel.
 
     u2/uo2/uoo2: (n1x, n1y) solution history; g2: Dirichlet data field
@@ -376,7 +437,9 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                    newton_iters=newton_iters, lin_iters=lin_iters,
                    freeze_jacobian=freeze_jacobian,
                    residual_scheme=residual_scheme,
-                   stabilization=stabilization)
+                   stabilization=stabilization,
+                   inner_solver=inner_solver, mass_bounds=mass_bounds,
+                   lin_bounds=lin_bounds)
 
     def kernel(u_ref, uo_ref, uoo_ref, g_ref, Mc_ref, o1, o2, o3):
         u, uo, uoo, g = u_ref[:], uo_ref[:], uoo_ref[:], g_ref[:]
@@ -404,7 +467,9 @@ def fused_rv_step_split(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h,
                         grads, phi, qw, Cvel, CRV, fprime, fprime_norm,
                         cg_iters, newton_iters, lin_iters, freeze_jacobian,
                         residual_scheme="bdf2", stabilization="rv",
-                        fprime_xy=None, interpret=None):
+                        fprime_xy=None, interpret=None,
+                        inner_solver="bicgstab", mass_bounds=(0.5, 2.0),
+                        lin_bounds=(0.4, 2.2)):
     """The same step as ``fused_rv_step`` in 1 + newton_iters Pallas
     launches: a setup kernel (CG residual projection, RV epsilon,
     eps-stiffness planes, frozen terms) and one kernel per Newton
@@ -435,8 +500,11 @@ def fused_rv_step_split(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h,
             du = (3.0 * u - 4.0 * uo + uoo) / f(2.0 * dt_)
         rhs = jnp.where(bc, 0.0, L.plane_mv(Mc, du) + L.nl_rhs(u))
         dMinv = 1.0 / jnp.where(bc, 1.0, Mc[0])
-        RH = L.cg_fixed(L.pinned(lambda v: L.plane_mv(Mc, v)), rhs, dMinv,
-                        cg_iters)
+        mass_op = L.pinned(lambda v: L.plane_mv(Mc, v))
+        if inner_solver == "cheby":
+            RH = L.cheby_fixed(mass_op, rhs, dMinv, cg_iters, *mass_bounds)
+        else:
+            RH = L.cg_fixed(mass_op, rhs, dMinv, cg_iters)
 
         if stabilization == "rv":
             abs_term = jnp.abs(u - jnp.mean(u)).max()
@@ -483,7 +551,10 @@ def fused_rv_step_split(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h,
                    for k in range(nP))
         dJinv = 1.0 / jnp.where(bc, 1.0, Jc[0])
         jmv = L.pinned(lambda v: L.plane_mv(Jc, v))
-        uk = uk + L.bicgstab_fixed(jmv, dJinv, F, lin_iters)
+        if inner_solver == "cheby":
+            uk = uk + L.cheby_fixed(jmv, -F, dJinv, lin_iters, *lin_bounds)
+        else:
+            uk = uk + L.bicgstab_fixed(jmv, dJinv, F, lin_iters)
         Fn = (L.plane_mv(Mc, uk - u)
               + f(0.5 * dt_) * (L.nl_rhs(uk) + N_un)
               + f(0.5 * dt_) * (L.plane_mv(Kc, uk) + K_un))

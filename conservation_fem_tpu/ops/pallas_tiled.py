@@ -1,0 +1,444 @@
+"""HBM-resident row-tiled fused whole-step kernel (mesh sizes past VMEM).
+
+The single fused kernel (ops/pallas_fused.py) keeps every field in VMEM
+and dies at mesh 128 f32 (162.7 MB live set vs 128 MiB physical VMEM);
+the split kernel stretches to 128 and everything larger fell back to
+composed XLA at ~50 separate launches x ~290 us per-launch overhead of
+the axon runtime (the measured binding resource, scripts/roofline.py).
+
+This kernel runs the SAME stabilized step (BDF2/BDF1 residual projection,
+RV epsilon, stabilized CN Newton — semantics of pallas_fused._step_body
+with inner_solver="cheby") in ONE Pallas launch at ANY mesh size: every
+field lives in HBM (pl.ANY refs), and the step executes as a sequence of
+~50 row-tile SWEEPS — each sweep DMAs a (T + 2H)-row tile of its operands
+into VMEM scratch, computes, and DMAs the T interior rows back. Tile
+geometry:
+
+  * HBM buffers carry pad rows (zeroed, masked invalid) so every tile DMA
+    is a uniform static-size slice — no clamping anywhere.
+  * In-tile neighbour access reuses pallas_fused._make_shifts with a
+    GLOBAL row offset (row0 = t*T - H): rolls that wrap inside the tile
+    are masked wherever the global neighbour does not exist, and the halo
+    H = 3 >= every sweep's shift-chain depth, so wrapped garbage never
+    reaches an interior row (see _make_shifts docstring).
+  * Sweeps are sequential (single instruction stream, DMAs waited), so a
+    sweep may read any previous sweep's output with halo; within a sweep
+    only the Chebyshev direction d is read with halo while being
+    rewritten, so d ping-pongs between two HBM buffers.
+
+Inner solves are DOT-FREE Chebyshev semi-iterations (cf.
+krylov.chebyshev_fixed): a global reduction per Krylov iteration would
+need a cross-tile accumulation pass each — Chebyshev needs none. The two
+global scalars the RV epsilon needs (mean(u), max|u - mean|) are
+accumulated tile-by-tile into SMEM across early sweeps that read u
+anyway (sequential execution makes this race-free).
+
+Identity with the XLA fixed-iteration cheby step is tested in interpret
+mode (tests/test_pallas_tiled.py); bench.py gates the compiled kernel's
+accuracy against the f64 anchor on-chip.
+
+ref workload: Code/KPP/KPP_NodeRV.py:127-172 (the step being fused);
+there is no reference analog of the kernel itself — the reference's
+PETSc stack launches hundreds of host-driven kernels per step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from conservation_fem_tpu.ops.pallas_fused import (
+    _fp_components,
+    _interpret_default,
+    _make_lib,
+    _statics,
+)
+from conservation_fem_tpu.ops.structured import OFFSETS
+
+_H = 3          # halo rows; >= max shift-chain depth of any sweep
+_NP = len(OFFSETS)
+
+
+def _cheby_schedule(iters, lmin, lmax):
+    """Python-time Chebyshev recurrence scalars (theta, [(c1, c2)]) —
+    the same recurrence as krylov.chebyshev_fixed, unrolled to floats."""
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+    cs = []
+    for _ in range(iters):
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        cs.append((rho_new * rho, 2.0 * rho_new / delta))
+        rho = rho_new
+    return theta, cs
+
+
+def default_tile_rows(n1x, n1y, itemsize, vmem_budget=80 * 2**20):
+    """Largest row tile whose VMEM scratch pool (3 plane slabs + 8 field
+    slots = 29 tile buffers) fits the budget; multiple of 8 sublanes."""
+    n_bufs = 3 * _NP + 8
+    t = int(vmem_budget // (n_bufs * n1y * itemsize)) - 2 * _H
+    t = max(8, min(t, n1x))
+    return max(8, (t // 8) * 8)
+
+
+def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
+                  phi, qw, Cvel, CRV, fprime, fprime_norm, cg_iters,
+                  newton_iters, lin_iters, freeze_jacobian,
+                  residual_scheme="bdf2", stabilization="rv",
+                  fprime_xy=None, interpret=None, tile_rows=None,
+                  mass_bounds=(0.5, 2.0), lin_bounds=(0.4, 2.2),
+                  inner_solver="cheby"):
+    """One stabilized time step, HBM-resident, ONE Pallas launch.
+
+    Arguments mirror pallas_fused.fused_rv_step; the inner solver is
+    always the dot-free Chebyshev semi-iteration (mass_bounds /
+    lin_bounds — see HyperbolicConfig.cheby_*_bounds). Returns uh
+    (n1x, n1y).
+    """
+    if inner_solver != "cheby":
+        raise NotImplementedError(
+            "tiled_rv_step is dot-free by construction: a BiCGStab/CG "
+            "inner solve would need a cross-tile reduction pass per "
+            "Krylov iteration — use inner_solver='cheby' "
+            "(HyperbolicConfig.inner_solver)")
+    n1x, n1y = nx + 1, ny + 1
+    if interpret is None:
+        interpret = _interpret_default()
+    dtype = u2.dtype
+    H = _H
+    if tile_rows is None:
+        tile_rows = default_tile_rows(n1x, n1y, u2.dtype.itemsize)
+    T = int(tile_rows)
+    tiles = -(-n1x // T)
+    T2 = T + 2 * H
+    R = tiles * T + 2 * H
+
+    st, h_ = _statics(dtype, dt, area, h, grads, phi, qw)
+    fpx, fpy = _fp_components(fprime, fprime_xy)
+    dt_, tiny = st["dt"], st["tiny"]
+    th_m, cs_m = _cheby_schedule(cg_iters, *mass_bounds)
+    th_l, cs_l = _cheby_schedule(lin_iters, *lin_bounds)
+    n_nodes = float(n1x * n1y)
+
+    def padrows(a):
+        return jnp.pad(a, ((H, R - H - n1x), (0, 0)))
+
+    def padrows3(a):
+        return jnp.pad(a, ((0, 0), (H, R - H - n1x), (0, 0)))
+
+    def kernel(u_h, uo_h, uoo_h, g_h, Mc_h,
+               uk_h, cx_h, cr_h, cd0_h, cd1_h, eps_h, dJ_h, Nun_h, Kun_h,
+               F_h, uk2_h, Kc_h, Jc_h,
+               A, B, C, V, sems, sm):
+        f = lambda c: jnp.asarray(c, dtype)
+
+        # --- DMA helpers: start all, wait all (overlaps latency) --------
+        def load(t, pairs):
+            """pairs: (hbm_field_ref | (hbm_plane_ref, slab), vmem_dst)."""
+            cps = []
+            for i, (src, dst) in enumerate(pairs):
+                cp = pltpu.make_async_copy(src, dst, sems.at[i])
+                cp.start()
+                cps.append(cp)
+            for cp in cps:
+                cp.wait()
+
+        def rows(hbm, t):
+            return hbm.at[pl.ds(t * T, T2)]
+
+        def planes(hbm, t):
+            return hbm.at[:, pl.ds(t * T, T2)]
+
+        def store(t, pairs, plane_pairs=()):
+            """pairs: (V_slot, hbm_field_ref); plane_pairs:
+            (plane_slab, hbm_plane_ref). Interior T rows only."""
+            cps = []
+            i = 12
+            for slot, hbm in pairs:
+                cp = pltpu.make_async_copy(
+                    V.at[slot, pl.ds(H, T)],
+                    hbm.at[pl.ds(t * T + H, T)], sems.at[i])
+                cp.start()
+                cps.append(cp)
+                i += 1
+            for slab, hbm in plane_pairs:
+                cp = pltpu.make_async_copy(
+                    slab.at[:, pl.ds(H, T)],
+                    hbm.at[:, pl.ds(t * T + H, T)], sems.at[i])
+                cp.start()
+                cps.append(cp)
+                i += 1
+            for cp in cps:
+                cp.wait()
+
+        def lib_for(t):
+            return _make_lib(T2, n1y, dtype, fpx=fpx, fpy=fpy,
+                             row0=t * T - H, n_rows=n1x, **st)
+
+        # --- sweep 1: residual-projection rhs + Chebyshev init ----------
+        def s1_body(t, _):
+            L = lib_for(t)
+            load(t, [(rows(u_h, t), V.at[0]), (rows(uo_h, t), V.at[1]),
+                     (rows(uoo_h, t), V.at[2]), (planes(Mc_h, t), A)])
+            u, uo, uoo = V[0], V[1], V[2]
+            Mc = tuple(A[k] for k in range(_NP))
+            if residual_scheme == "bdf1":
+                du = (u - uo) / f(dt_)
+            else:
+                du = (3.0 * u - 4.0 * uo + uoo) / f(2.0 * dt_)
+            rhs = jnp.where(L.bc, 0.0, L.plane_mv(Mc, du) + L.nl_rhs(u))
+            dMinv = 1.0 / jnp.where(L.bc, 1.0, Mc[0])
+            V[3] = rhs                                  # cr
+            V[4] = jnp.zeros_like(rhs)                  # cx
+            V[5] = dMinv * rhs / f(th_m)                # cd
+            # interior rows only — the halo rows belong to the
+            # neighbouring tiles' accumulation
+            li = jax.lax.broadcasted_iota(jnp.int32, (T2, n1y), 0)
+            interior = (li >= H) & (li < H + T)
+            sm[0] += jnp.sum(jnp.where(L.valid & interior, u, 0.0))
+            store(t, [(3, cr_h), (4, cx_h), (5, cd0_h)])
+            return 0
+
+        sm[0] = jnp.zeros((), dtype)
+        sm[1] = jnp.zeros((), dtype)
+        jax.lax.fori_loop(0, tiles, s1_body, 0)
+
+        # --- sweeps: mass Chebyshev (cg_iters) ---------------------------
+        for k, (c1, c2) in enumerate(cs_m):
+            cd_in = cd0_h if k % 2 == 0 else cd1_h
+            cd_out = cd1_h if k % 2 == 0 else cd0_h
+            first = k == 0
+
+            def s2_body(t, _, c1=c1, c2=c2, cd_in=cd_in, cd_out=cd_out,
+                        first=first):
+                L = lib_for(t)
+                pairs = [(planes(Mc_h, t), A), (rows(cd_in, t), V.at[0]),
+                         (rows(cr_h, t), V.at[1]), (rows(cx_h, t), V.at[2])]
+                if first:
+                    pairs.append((rows(u_h, t), V.at[3]))
+                load(t, pairs)
+                Mc = tuple(A[j] for j in range(_NP))
+                d, r, x = V[0], V[1], V[2]
+                dMinv = 1.0 / jnp.where(L.bc, 1.0, Mc[0])
+                op = L.pinned(lambda v: L.plane_mv(Mc, v))
+                x = x + d
+                r = r - op(d)
+                dn = f(c1) * d + f(c2) * (dMinv * r)
+                if first:
+                    mean = sm[0] / f(n_nodes)
+                    dev = jnp.where(L.valid, jnp.abs(V[3] - mean), 0.0)
+                    sm[1] = jnp.maximum(sm[1], jnp.max(dev))
+                V[1] = r
+                V[2] = x
+                V[0] = dn
+                store(t, [(1, cr_h), (2, cx_h), (0, cd_out)])
+                return 0
+
+            jax.lax.fori_loop(0, tiles, s2_body, 0)
+
+        # --- sweep: RV epsilon (cx holds RH) -----------------------------
+        if stabilization == "rv":
+            def s3_body(t, _):
+                L = lib_for(t)
+                load(t, [(rows(u_h, t), V.at[0]), (rows(cx_h, t), V.at[1])])
+                u, RH = V[0], V[1]
+                abs_term = sm[1]
+                u_max = L.patch_reduce(u, jnp.maximum, -np.inf)
+                u_min = L.patch_reduce(u, jnp.minimum, np.inf)
+                n_i = jnp.abs((u_max - u_min) - abs_term)
+                Rh_i = L.patch_reduce(jnp.abs(RH), jnp.maximum, -np.inf)
+                beta = L.patch_reduce(fprime_norm(u), jnp.maximum, -np.inf)
+                eps = jnp.minimum(
+                    f(Cvel * h_) * beta,
+                    f(CRV * h_ * h_)
+                    * jnp.abs(Rh_i / jnp.maximum(n_i, f(tiny))))
+                V[2] = eps
+                store(t, [(2, eps_h)])
+                return 0
+
+            jax.lax.fori_loop(0, tiles, s3_body, 0)
+
+        # --- sweep: eps-stiffness planes + frozen terms + uk0/F0 ---------
+        def s4_body(t, _):
+            L = lib_for(t)
+            pairs = [(rows(u_h, t), V.at[0]), (rows(g_h, t), V.at[1]),
+                     (planes(Mc_h, t), A)]
+            if stabilization == "rv":
+                pairs.append((rows(eps_h, t), V.at[2]))
+            load(t, pairs)
+            u, g = V[0], V[1]
+            Mc = tuple(A[k] for k in range(_NP))
+            if stabilization == "rv":
+                ec = L.cells(V[2])
+                e_cell = [(ec[s][0] + ec[s][1] + ec[s][2]) / 3.0
+                          for s in range(2)]
+                Kc = L.keps_planes(e_cell)
+            else:
+                Kc = tuple(jnp.zeros((T2, n1y), dtype) for _ in range(_NP))
+            N_un = L.nl_rhs(u)
+            K_un = L.plane_mv(Kc, u)
+            uk0 = jnp.where(L.bc, g, u)
+            F0 = (L.plane_mv(Mc, uk0 - u)
+                  + f(0.5 * dt_) * (L.nl_rhs(uk0) + N_un)
+                  + f(0.5 * dt_) * (L.plane_mv(Kc, uk0) + K_un))
+            F0 = jnp.where(L.bc, uk0 - g, F0)
+            for k in range(_NP):
+                B[k] = Kc[k]
+            V[3] = N_un
+            V[4] = K_un
+            V[5] = uk0
+            V[6] = F0
+            store(t, [(3, Nun_h), (4, Kun_h), (5, uk_h), (6, F_h)],
+                  plane_pairs=[(B, Kc_h)])
+            return 0
+
+        jax.lax.fori_loop(0, tiles, s4_body, 0)
+
+        # --- Newton sweeps ----------------------------------------------
+        def linearize_sweep(uk_cur):
+            """Jc = Mc + dt/2 (Kc + conv_planes(uk)) + Chebyshev init."""
+            def s5_body(t, _):
+                L = lib_for(t)
+                load(t, [(rows(uk_cur, t), V.at[0]), (planes(Mc_h, t), A),
+                         (planes(Kc_h, t), B), (rows(F_h, t), V.at[1])])
+                w, F = V[0], V[1]
+                Mc = tuple(A[k] for k in range(_NP))
+                Kc = tuple(B[k] for k in range(_NP))
+                Cc = L.conv_planes(w)
+                Jc = tuple(Mc[k] + f(0.5 * dt_) * (Kc[k] + Cc[k])
+                           for k in range(_NP))
+                dJinv = 1.0 / jnp.where(L.bc, 1.0, Jc[0])
+                for k in range(_NP):
+                    C[k] = Jc[k]
+                V[2] = dJinv
+                V[3] = -F                                   # cr
+                V[4] = jnp.zeros_like(F)                    # cx
+                V[5] = dJinv * (-F) / f(th_l)               # cd
+                store(t, [(2, dJ_h), (3, cr_h), (4, cx_h), (5, cd0_h)],
+                      plane_pairs=[(C, Jc_h)])
+                return 0
+
+            jax.lax.fori_loop(0, tiles, s5_body, 0)
+
+        def solver_init_sweep():
+            """Re-arm the Chebyshev state from the current F (frozen
+            Jacobian: Jc/dJinv stay)."""
+            def s5b_body(t, _):
+                load(t, [(rows(F_h, t), V.at[0]), (rows(dJ_h, t), V.at[1])])
+                F, dJinv = V[0], V[1]
+                V[2] = -F
+                V[3] = jnp.zeros_like(F)
+                V[4] = dJinv * (-F) / f(th_l)
+                store(t, [(2, cr_h), (3, cx_h), (4, cd0_h)])
+                return 0
+
+            jax.lax.fori_loop(0, tiles, s5b_body, 0)
+
+        def lin_cheby_sweeps():
+            for k, (c1, c2) in enumerate(cs_l):
+                cd_in = cd0_h if k % 2 == 0 else cd1_h
+                cd_out = cd1_h if k % 2 == 0 else cd0_h
+
+                def s6_body(t, _, c1=c1, c2=c2, cd_in=cd_in,
+                            cd_out=cd_out):
+                    L = lib_for(t)
+                    load(t, [(planes(Jc_h, t), C), (rows(cd_in, t), V.at[0]),
+                             (rows(cr_h, t), V.at[1]),
+                             (rows(cx_h, t), V.at[2]),
+                             (rows(dJ_h, t), V.at[3])])
+                    Jc = tuple(C[j] for j in range(_NP))
+                    d, r, x, dJinv = V[0], V[1], V[2], V[3]
+                    op = L.pinned(lambda v: L.plane_mv(Jc, v))
+                    x = x + d
+                    r = r - op(d)
+                    dn = f(c1) * d + f(c2) * (dJinv * r)
+                    V[1] = r
+                    V[2] = x
+                    V[0] = dn
+                    store(t, [(1, cr_h), (2, cx_h), (0, cd_out)])
+                    return 0
+
+                jax.lax.fori_loop(0, tiles, s6_body, 0)
+
+        def update_sweep(uk_cur, uk_nxt):
+            """uk_nxt = uk_cur + x; F = residual(uk_nxt). The update
+            writes a DIFFERENT buffer than it halo-reads (ping-pong):
+            in-place would let tile t+1's lower halo see tile t's
+            already-updated rows and double-apply the Newton step."""
+            def s7_body(t, _):
+                L = lib_for(t)
+                load(t, [(rows(uk_cur, t), V.at[0]), (rows(cx_h, t), V.at[1]),
+                         (rows(u_h, t), V.at[2]), (rows(g_h, t), V.at[3]),
+                         (planes(Mc_h, t), A), (planes(Kc_h, t), B),
+                         (rows(Nun_h, t), V.at[4]),
+                         (rows(Kun_h, t), V.at[5])])
+                uk = V[0] + V[1]
+                u, g = V[2], V[3]
+                Mc = tuple(A[k] for k in range(_NP))
+                Kc = tuple(B[k] for k in range(_NP))
+                Fn = (L.plane_mv(Mc, uk - u)
+                      + f(0.5 * dt_) * (L.nl_rhs(uk) + V[4])
+                      + f(0.5 * dt_) * (L.plane_mv(Kc, uk) + V[5]))
+                V[6] = jnp.where(L.bc, uk - g, Fn)
+                V[7] = uk
+                store(t, [(7, uk_nxt), (6, F_h)])
+                return 0
+
+            jax.lax.fori_loop(0, tiles, s7_body, 0)
+
+        def copy_sweep(src, dst):
+            def sc_body(t, _):
+                load(t, [(rows(src, t), V.at[0])])
+                V[1] = V[0]
+                store(t, [(1, dst)])
+                return 0
+
+            jax.lax.fori_loop(0, tiles, sc_body, 0)
+
+        cur, nxt = uk_h, uk2_h
+        if freeze_jacobian:
+            linearize_sweep(cur)
+            for n in range(newton_iters):
+                if n > 0:
+                    solver_init_sweep()
+                lin_cheby_sweeps()
+                update_sweep(cur, nxt)
+                cur, nxt = nxt, cur
+        else:
+            for n in range(newton_iters):
+                linearize_sweep(cur)
+                lin_cheby_sweeps()
+                update_sweep(cur, nxt)
+                cur, nxt = nxt, cur
+        if cur is not uk_h:
+            copy_sweep(cur, uk_h)
+
+    sds = jax.ShapeDtypeStruct
+    fld = sds((R, n1y), dtype)
+    pln = sds((_NP, R, n1y), dtype)
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[fld] * 11 + [pln, pln],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 13,
+        scratch_shapes=[
+            pltpu.VMEM((_NP, T2, n1y), dtype),      # A: Mc tile
+            pltpu.VMEM((_NP, T2, n1y), dtype),      # B: Kc tile
+            pltpu.VMEM((_NP, T2, n1y), dtype),      # C: Jc tile
+            pltpu.VMEM((8, T2, n1y), dtype),        # V: field slots
+            pltpu.SemaphoreType.DMA((24,)),
+            pltpu.SMEM((4,), dtype),
+        ],
+        interpret=bool(interpret),
+        **kw,
+    )(padrows(u2), padrows(uo2), padrows(uoo2), padrows(g2), padrows3(Mc2))
+    return outs[0][H:H + n1x]

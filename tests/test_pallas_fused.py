@@ -26,6 +26,9 @@ def _fused_step_like(p, carry, t):
         lin_iters=p.cfg.newton_linear_iters,
         freeze_jacobian=p.cfg.modified_newton,
         stabilization=p.cfg.stabilization,
+        inner_solver=p.cfg.inner_solver,
+        mass_bounds=p.cfg.cheby_mass_bounds,
+        lin_bounds=p.cfg.cheby_lin_bounds,
         interpret=True,
     )[0].reshape(-1)
 
@@ -47,6 +50,28 @@ def test_fused_rv_step_matches_xla_fixed():
     _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
                            cg_iters=10, newton_iters=2,
                            newton_linear_iters=8, modified_newton=True))
+
+
+def test_fused_rv_step_cheby():
+    """Dot-free Chebyshev inner solves: fused kernel == XLA fixed step
+    (both running chebyshev_fixed, so identity is exact up to roundoff)."""
+    _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                           cg_iters=10, newton_iters=2,
+                           newton_linear_iters=12, modified_newton=True,
+                           inner_solver="cheby"))
+
+
+def test_cheby_full_run_matches_adaptive():
+    """Chebyshev fixed-iteration config reproduces the adaptive f64
+    anchor on a full KPP run (same gate as the bicgstab fixed config)."""
+    anchor = np.asarray(
+        kpp.build(kpp.KPPConfig(mesh_size=8, T=0.2)).solve().u)
+    u = np.asarray(kpp.build(kpp.KPPConfig(
+        mesh_size=8, T=0.2, modified_newton=True, cg_iters=10,
+        newton_iters=2, newton_linear_iters=12,
+        inner_solver="cheby")).solve().u)
+    rel = np.linalg.norm(u - anchor) / np.linalg.norm(anchor)
+    assert rel < 2e-3, rel
 
 
 def test_fused_rv_step_exact_newton():

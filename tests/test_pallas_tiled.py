@@ -1,0 +1,99 @@
+"""HBM-resident row-tiled fused whole-step kernel == the XLA
+fixed-iteration Chebyshev stencil step (interpret mode on CPU; bench.py
+gates the compiled kernel on-chip). Exercises multi-tile geometry
+(tile_rows smaller than the grid) so halo DMA, ping-pong buffers, and
+the SMEM scalar accumulators are all on the tested path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from conservation_fem_tpu.models import kpp
+from conservation_fem_tpu.ops.pallas_tiled import tiled_rv_step
+
+
+def _tiled_step_like(p, carry, t, tile_rows):
+    sd = p.sd
+    sh = (sd.nx + 1, sd.ny + 1)
+    u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
+    g2 = p.bc_value(p.mesh.points, t).reshape(sh)
+    return tiled_rv_step(
+        u2, uo2, uoo2, g2, sd.M_coef,
+        nx=sd.nx, ny=sd.ny, dt=p.dt, area=float(sd.area),
+        h=float(sd.h_cg2[0, 0]), grads=np.asarray(sd.grads),
+        phi=np.asarray(sd.phi), qw=np.asarray(sd.qw),
+        Cvel=p.cfg.Cvel, CRV=p.cfg.CRV,
+        fprime=p.flux_prime, fprime_norm=p.flux_prime_norm,
+        fprime_xy=getattr(p, "flux_prime_xy", None),
+        cg_iters=p.cfg.cg_iters, newton_iters=p.cfg.newton_iters,
+        lin_iters=p.cfg.newton_linear_iters,
+        freeze_jacobian=p.cfg.modified_newton,
+        stabilization=p.cfg.stabilization,
+        mass_bounds=p.cfg.cheby_mass_bounds,
+        lin_bounds=p.cfg.cheby_lin_bounds,
+        interpret=True, tile_rows=tile_rows,
+    ).reshape(-1)
+
+
+def _compare(cfg, tile_rows, steps=3, atol=1e-11):
+    p = kpp.build(cfg)
+    carry = (p.u0, p.u0, p.u0)
+    t = jnp.asarray(p.dt, p.u0.dtype)
+    for k in range(steps):
+        (u_x, _, _), _ = p.step(carry, t)
+        u_t = _tiled_step_like(p, carry, t, tile_rows)
+        np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_x),
+                                   atol=atol, err_msg=f"step {k}")
+        carry = (u_x, carry[0], carry[1])
+
+
+def test_tiled_multi_tile_frozen_newton():
+    """4 tiles of 8 rows over the 25-row grid; frozen Jacobian."""
+    _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                           cg_iters=10, newton_iters=2,
+                           newton_linear_iters=12, modified_newton=True,
+                           inner_solver="cheby"), tile_rows=8)
+
+
+def test_tiled_exact_newton_odd_iters():
+    """Exact Newton rebuilds the Jacobian per iteration; odd iteration
+    count exercises the final uk ping-pong copy sweep."""
+    _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                           cg_iters=10, newton_iters=3,
+                           newton_linear_iters=12, modified_newton=False,
+                           inner_solver="cheby"), tile_rows=8)
+
+
+def test_tiled_single_tile():
+    """tile_rows >= grid: degenerate one-tile geometry must also match."""
+    _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                           cg_iters=10, newton_iters=2,
+                           newton_linear_iters=12, modified_newton=True,
+                           inner_solver="cheby"), tile_rows=32, steps=2)
+
+
+def test_tiled_gfem():
+    """gfem (eps = 0) skips the RV sweeps; ragged last tile (25 = 3x8+1)."""
+    _compare(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                           stabilization="gfem",
+                           cg_iters=10, newton_iters=2,
+                           newton_linear_iters=12, modified_newton=True,
+                           inner_solver="cheby"), tile_rows=8, steps=2)
+
+
+def test_tiled_rejects_bicgstab():
+    import pytest
+
+    p = kpp.build(kpp.KPPConfig(mesh_size=6, backend="stencil",
+                                cg_iters=10, newton_iters=2))
+    sd = p.sd
+    sh = (sd.nx + 1, sd.ny + 1)
+    u2 = p.u0.reshape(sh)
+    with pytest.raises(NotImplementedError):
+        tiled_rv_step(
+            u2, u2, u2, u2, sd.M_coef, nx=sd.nx, ny=sd.ny, dt=p.dt,
+            area=float(sd.area), h=float(sd.h_cg2[0, 0]),
+            grads=np.asarray(sd.grads), phi=np.asarray(sd.phi),
+            qw=np.asarray(sd.qw), Cvel=0.5, CRV=4.0,
+            fprime=p.flux_prime, fprime_norm=p.flux_prime_norm,
+            cg_iters=10, newton_iters=2, lin_iters=8,
+            freeze_jacobian=True, inner_solver="bicgstab")
