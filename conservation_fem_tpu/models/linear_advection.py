@@ -65,6 +65,10 @@ class AdvectionConfig:
     Cm: float = 0.5                # ref smoothness.py:94
     si_eps: float = 1e-8           # denominator floor (ref SI.py:186)
     discontinuous_ic: bool = False  # indicator-disk IC (ref RV_cell.py:44-45)
+    # rv_cell epsilon scatter: "last" = reference's last-cell-wins loop
+    # order (ref RV_cell.py:193-195), "max" = order-independent variant
+    # (what the distributed path uses)
+    rv_cell_scatter: str = "last"
     krylov_rtol: float = 1e-12
     # "banded": RCM-diagonal operator application (gather-free; requires an
     # RCM-ordered mesh — build with reorder_mesh(rcm_permutation(m)))
@@ -227,10 +231,13 @@ def _step_rv_cell(p: AdvectionProblem, carry, _):
     # (ref RV_cell.py:175)
     Rh = Rh / (u_n - u_n.mean()).max()
     beta_cell = jnp.linalg.norm(p.w, axis=1)[m.cells].max(axis=1)   # (M,)
-    eps = stab.rv_epsilon_cell(m, cfg.Cvel, cfg.CRV, Rh, beta_cell, m.h_cell)
-    # deviation: reference assigns eps_k per cell in loop order (last cell
-    # wins, ref RV_cell.py:193-195); we take the max over adjacent cells —
-    # deterministic and slightly more diffusive at cell interfaces.
+    # scatter="last" (default) reproduces the reference's Python cell loop
+    # exactly (last cell wins, ref RV_cell.py:193-195); "max" is the
+    # order-independent variant the distributed path uses
+    # (parallel/unstructured_sharded.DistributedAdvection) — slightly more
+    # diffusive at cell interfaces.
+    eps = stab.rv_epsilon_cell(m, cfg.Cvel, cfg.CRV, Rh, beta_cell,
+                               m.h_cell, scatter=cfg.rv_cell_scatter)
     Keps = assembly.assemble_eps_stiffness(m, eps)
     uh, _ = _cn_solve(p, Keps, u_n, cfg.krylov_rtol)
     return (uh, u_n), None

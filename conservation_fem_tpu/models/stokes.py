@@ -248,12 +248,61 @@ def _block_matvec(sp, blocks, x):
     ])
 
 
-def make_step(p: StokesProblem, fd):
+def step_buffers(p: StokesProblem, fd):
+    """(aux, bufs): the step's LARGE device buffers as a jit-argument
+    pytree plus static lattice metadata.
+
+    Closure-captured operator buffers are serialized into the XLA
+    program; the axon remote-compile service rejects the payload of the
+    fully unrolled fixed-iteration (krylov_iters) lattice program (cf.
+    BlockedPlan's pytree registration, ops/blocked.py:91-95). Threading
+    them as arguments keeps the payload small, so cfg.krylov_iters now
+    runs on TPU. ``aux`` carries the host-built lattice plans and static
+    stencil offsets; ``bufs`` the ELL blocks, physical gradients, and
+    lattice coefficient planes."""
+    cfg = p.cfg
+    sp = p.sp
+    dt, mu, rho = p.dt, cfg.mu, cfg.rho
+    bufs = {"M2": p.M2, "K1": p.K1, "visc": p.visc, "edge": p.edge,
+            "g": _phys_grads(sp)}
+    aux = {}
+    if cfg.backend == "lattice":
+        from conservation_fem_tpu.ops import lattice as lat
+
+        A_blocks = np.asarray(
+            (rho / dt) * np.stack([
+                np.stack([np.asarray(p.M2), np.zeros_like(p.M2)]),
+                np.stack([np.zeros_like(p.M2), np.asarray(p.M2)]),
+            ]) + 0.5 * np.asarray(p.visc) - 0.5 * mu * np.asarray(p.edge))
+        plan2 = lat.build_plan(np.asarray(p.vspace.dof_coords))
+        plan1 = lat.build_plan(np.asarray(p.host_mesh.points))
+        assert plan2.full and plan1.full   # P2/P1 on a rectangle mesh
+        lop = [[lat.lattice_op(plan2, sp, A_blocks[s, d])
+                for d in range(2)] for s in range(2)]
+        lK1 = lat.lattice_op(plan1, p.mp, np.asarray(p.K1))
+        lM2 = lat.lattice_op(plan2, sp, np.asarray(p.M2))
+        aux["plan2"], aux["plan1"] = plan2, plan1
+        aux["lop_off"] = [[lop[s][d].offsets for d in range(2)]
+                          for s in range(2)]
+        aux["K1_off"], aux["M2_off"] = lK1.offsets, lM2.offsets
+        bufs["lopP"] = [[lop[s][d].planes for d in range(2)]
+                        for s in range(2)]
+        bufs["K1P"], bufs["M2P"] = lK1.planes, lM2.planes
+    return aux, bufs
+
+
+def make_step(p: StokesProblem, fd, aux=None, bufs=None):
+    """One IPCS step closure. With (aux, bufs) from step_buffers the big
+    operator buffers are read from ``bufs`` — call inside jit with bufs
+    as a traced argument to keep them out of the compile payload."""
+    if bufs is None:
+        aux, bufs = step_buffers(p, fd)
     cfg = p.cfg
     sp, mp = p.sp, p.mp
     dt, mu, rho = p.dt, cfg.mu, cfg.rho
     wall = p.wall_mask
-    g = _phys_grads(sp)
+    g = bufs["g"]
+    M2, K1 = bufs["M2"], bufs["K1"]
     phi = sp.phi
     qw = sp.quad_w
     # P1 basis at the P2 quad points (barycentric coordinates)
@@ -282,14 +331,15 @@ def make_step(p: StokesProblem, fd):
     e_lam = jnp.asarray(np.stack(ref_edge_lam), sp.area.dtype)  # (3,Q,3)
 
     A_blocks = (rho / dt) * jnp.stack([
-        jnp.stack([p.M2, jnp.zeros_like(p.M2)]),
-        jnp.stack([jnp.zeros_like(p.M2), p.M2]),
-    ]) + 0.5 * p.visc - 0.5 * mu * p.edge
+        jnp.stack([M2, jnp.zeros_like(M2)]),
+        jnp.stack([jnp.zeros_like(M2), M2]),
+    ]) + 0.5 * bufs["visc"] - 0.5 * mu * bufs["edge"]
 
     diag1 = jnp.where(
         wall, 1.0,
-        (rho / dt) * ell_diag(sp, p.M2)
-        + 0.5 * ell_diag(sp, p.visc[0, 0]) - 0.5 * mu * ell_diag(sp, p.edge[0, 0]),
+        (rho / dt) * ell_diag(sp, M2)
+        + 0.5 * ell_diag(sp, bufs["visc"][0, 0])
+        - 0.5 * mu * ell_diag(sp, bufs["edge"][0, 0]),
     )
     pre1 = jacobi_preconditioner(jnp.stack([diag1, diag1]).reshape(-1))
 
@@ -299,20 +349,20 @@ def make_step(p: StokesProblem, fd):
         y = _block_matvec(sp, A_blocks, x_in)
         return jnp.where(wall[None, :], x, y).reshape(-1)
 
-    K1_diag = jnp.where(p.p_bc_mask, 1.0, ell_diag(mp, p.K1))
+    K1_diag = jnp.where(p.p_bc_mask, 1.0, ell_diag(mp, K1))
     pre2 = jacobi_preconditioner(K1_diag)
 
     def A2_op(x):
         x_in = jnp.where(p.p_bc_mask, 0.0, x)
-        y = ell_matvec(mp, p.K1, x_in)
+        y = ell_matvec(mp, K1, x_in)
         return jnp.where(p.p_bc_mask, x, y)
 
-    M2_diag = ell_diag(sp, p.M2)
+    M2_diag = ell_diag(sp, M2)
 
     def M_op(xflat):
         x = xflat.reshape(2, -1)
         return rho * jnp.stack([
-            ell_matvec(sp, p.M2, x[0]), ell_matvec(sp, p.M2, x[1])
+            ell_matvec(sp, M2, x[0]), ell_matvec(sp, M2, x[1])
         ]).reshape(-1)
 
     preM = jacobi_preconditioner(
@@ -336,13 +386,12 @@ def make_step(p: StokesProblem, fd):
     if cfg.backend == "lattice":
         from conservation_fem_tpu.ops import lattice as lat
 
-        plan2 = lat.build_plan(np.asarray(p.vspace.dof_coords))
-        plan1 = lat.build_plan(np.asarray(p.host_mesh.points))
-        assert plan2.full and plan1.full   # P2/P1 on a rectangle mesh
-        lop = [[lat.lattice_op(plan2, sp, np.asarray(A_blocks[s, d]))
+        plan2, plan1 = aux["plan2"], aux["plan1"]
+        lop = [[lat.LatticeOp(offsets=aux["lop_off"][s][d],
+                              planes=bufs["lopP"][s][d])
                 for d in range(2)] for s in range(2)]
-        lK1 = lat.lattice_op(plan1, mp, np.asarray(p.K1))
-        lM2 = lat.lattice_op(plan2, sp, np.asarray(p.M2))
+        lK1 = lat.LatticeOp(offsets=aux["K1_off"], planes=bufs["K1P"])
+        lM2 = lat.LatticeOp(offsets=aux["M2_off"], planes=bufs["M2P"])
         wg = lat.to_grid(plan2, wall)
         pbg = lat.to_grid(plan1, p.p_bc_mask)
         sh2 = (2, plan2.nI, plan2.nJ)
@@ -465,25 +514,25 @@ def make_step(p: StokesProblem, fd):
         # --- step 1: tentative velocity
         rhs = (
             (rho / dt) * jnp.stack([
-                ell_matvec(sp, p.M2, u_n[0]), ell_matvec(sp, p.M2, u_n[1])
+                ell_matvec(sp, M2, u_n[0]), ell_matvec(sp, M2, u_n[1])
             ])
             - conv_rhs(u_n)
-            - 0.5 * _block_matvec(sp, p.visc, u_n)
-            + 0.5 * mu * _block_matvec(sp, p.edge, u_n)
+            - 0.5 * _block_matvec(sp, bufs["visc"], u_n)
+            + 0.5 * mu * _block_matvec(sp, bufs["edge"], u_n)
             + pressure_div_rhs(p_n)
             - pressure_edge_rhs(p_n)
         )
         rhs = jnp.where(wall[None, :], 0.0, rhs)
         u_star = solve_momentum(rhs, u_n)
         # --- step 2: pressure Poisson
-        b2 = ell_matvec(mp, p.K1, p_n) - (rho / dt) * div_u_rhs(u_star)
+        b2 = ell_matvec(mp, K1, p_n) - (rho / dt) * div_u_rhs(u_star)
         g_ext = jnp.where(p.p_bc_mask, p.p_bc_val, 0.0)
-        b2 = b2 - ell_matvec(mp, p.K1, g_ext)
+        b2 = b2 - ell_matvec(mp, K1, g_ext)
         b2 = jnp.where(p.p_bc_mask, p.p_bc_val, b2)
         p_new = solve_pressure(b2, p_n)
         # --- step 3: velocity correction
         b3 = rho * jnp.stack([
-            ell_matvec(sp, p.M2, u_star[0]), ell_matvec(sp, p.M2, u_star[1])
+            ell_matvec(sp, M2, u_star[0]), ell_matvec(sp, M2, u_star[1])
         ]) - dt * grad_p_rhs(p_new - p_n)
         u_new = solve_mass(b3, u_star)
         return (u_new, p_new), None
@@ -509,14 +558,15 @@ def solve(prob_fd=None, cfg: StokesConfig | None = None, **kw) -> StokesResult:
     if prob_fd is None:
         prob_fd = build(cfg, **kw)
     p, fd = prob_fd
-    step = make_step(p, fd)
+    aux, bufs = step_buffers(p, fd)
 
     @jax.jit
-    def _run(u0, p0):
+    def _run(bufs, u0, p0):
+        step = make_step(p, fd, aux=aux, bufs=bufs)
         (u, pr), _ = jax.lax.scan(step, (u0, p0), None, length=p.cfg.num_steps)
         return u, pr
 
-    u, pr = _run(p.u0, p.p0)
+    u, pr = _run(bufs, p.u0, p.p0)
     u_ex = exact_velocity(p.sp)
     d = u - u_ex
     err = jnp.sqrt(

@@ -299,6 +299,75 @@ def mesh_from_arrays(points: Array, cells: Array, use_native: bool | None = None
     )
 
 
+def make_periodic(host: Mesh, axes=(0, 1), tol: float = 1e-9) -> Mesh:
+    """Identify opposite-boundary nodes to make the mesh topologically
+    periodic along ``axes`` (ref Burger_CPP/main.cpp:146-192
+    ``PeriodicBoundaryXY1``, the reference's master-slave periodic
+    mapping on the unit square — declared there but unused in its main
+    path; here it is a first-class mesh transform).
+
+    Every node on an axis' high side becomes a slave of the matching
+    low-side master (corners chain through both folds). Cell CONNECTIVITY
+    is renumbered onto the surviving master nodes while cell GEOMETRY
+    (area, gradients, h) keeps the original coordinates, so seam cells
+    integrate over their true shape. Seam edges then have two adjacent
+    cells, so the periodic directions drop out of boundary_mask
+    automatically; downstream assembly/stabilization kernels need no
+    changes, and the convection matrix gets exact zero column sums
+    (discrete mass conservation — tests/test_mesh.py).
+    """
+    pts = np.asarray(host.points, np.float64)
+    cells = np.asarray(host.cells, np.int64)
+    n = pts.shape[0]
+    master_of = np.arange(n)
+    for ax in axes:
+        lo, hi = pts[:, ax].min(), pts[:, ax].max()
+        other = [a for a in range(pts.shape[1]) if a != ax]
+        is_hi = np.isclose(pts[:, ax], hi, atol=tol)
+        is_lo = np.isclose(pts[:, ax], lo, atol=tol)
+        key = lambda ids: [tuple(np.round(pts[i, other] / tol).astype(
+            np.int64)) for i in ids]
+        lo_ids = np.nonzero(is_lo)[0]
+        lut = dict(zip(key(lo_ids), lo_ids))
+        hi_ids = np.nonzero(is_hi)[0]
+        for s, k in zip(hi_ids, key(hi_ids)):
+            if k not in lut:
+                raise ValueError(
+                    f"periodic axis {ax}: no matching low-side node for "
+                    f"point {pts[s]}")
+            master_of[s] = lut[k]
+    # resolve chains (corner: x-fold then y-fold)
+    for _ in range(len(axes)):
+        master_of = master_of[master_of]
+    keep = master_of == np.arange(n)
+    new_id = np.cumsum(keep) - 1
+    cells_new = new_id[master_of[cells]]
+    n_new = int(keep.sum())
+
+    area, grads, h_cell = _cell_geometry(pts, cells)
+    patch_cols, patch_mask, diag_slot, K = _build_patches(n_new, cells_new)
+    bnd_mask = _boundary_mask(n_new, cells_new)
+    cell_slots = _build_cell_slots(cells_new, patch_cols, patch_mask)
+    mat_perm, mat_segs, vec_perm, vec_segs = _scatter_orderings(
+        cells_new, cell_slots, K)
+    return Mesh(
+        points=np.ascontiguousarray(pts[keep]),
+        cells=cells_new.astype(np.int32),
+        boundary_mask=bnd_mask,
+        patch_cols=patch_cols,
+        patch_mask=patch_mask,
+        diag_slot=diag_slot,
+        cell_slots=cell_slots,
+        area=area,
+        grads=grads,
+        h_cell=h_cell,
+        mat_perm=mat_perm,
+        mat_segs=mat_segs,
+        vec_perm=vec_perm,
+        vec_segs=vec_segs,
+    )
+
+
 def rectangle_mesh(
     p0=(0.0, 0.0),
     p1=(1.0, 1.0),

@@ -425,11 +425,16 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20)
+    # explicit HBM (not pl.ANY): the compiler otherwise promotes small
+    # buffers to VMEM, where the dynamic-offset sublane-unaligned tile
+    # slices fail to lower (tpu.memref_slice on a tiled vmem memref);
+    # as DMA descriptors on HBM refs arbitrary offsets are fine
+    space = pltpu.HBM if not interpret else pl.ANY
     outs = pl.pallas_call(
         kernel,
         out_shape=[fld] * 11 + [pln, pln],
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 13,
+        in_specs=[pl.BlockSpec(memory_space=space)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=space)] * 13,
         scratch_shapes=[
             pltpu.VMEM((_NP, T2, n1y), dtype),      # A: Mc tile
             pltpu.VMEM((_NP, T2, n1y), dtype),      # B: Kc tile

@@ -41,6 +41,7 @@ class CellPartition(NamedTuple):
     cell_valid: np.ndarray     # (n_dev, C) real-cell mask
     area: np.ndarray           # (n_dev, C)
     grads: np.ndarray          # (n_dev, C, 3, 2)
+    h: np.ndarray              # (n_dev, C) cell size h_k (rv_cell epsilon)
     cell_slots: np.ndarray     # (n_dev, C, 3, 3) K-slot of each (a,b) pair
     # reverse exchange: owners pick contributions destined to their shared
     # rows out of the all_gathered (n_dev*H,) halo-accumulation table
@@ -169,6 +170,7 @@ def build_cell_partition(part: Partition) -> CellPartition:
     cell_valid = np.zeros((n_dev, C), dtype=bool)
     area = np.zeros((n_dev, C))
     grads = np.zeros((n_dev, C, 3, 2))
+    h_c = np.zeros((n_dev, C))
     cslots = np.zeros((n_dev, C, 3, 3), dtype=np.int64)
 
     # global ELL slot of (row, col): exact masked match (rows are sorted on
@@ -192,6 +194,7 @@ def build_cell_partition(part: Partition) -> CellPartition:
             cell_valid[d, k] = True
             area[d, k] = mesh.area[cidx]
             grads[d, k] = mesh.grads[cidx]
+            h_c[d, k] = mesh.h_cell[cidx]
             for a in range(3):
                 for b in range(3):
                     cslots[d, k, a, b] = slot_of(int(vs[a]), int(vs[b]))
@@ -222,6 +225,6 @@ def build_cell_partition(part: Partition) -> CellPartition:
                 rev_mask[d, sj, r] = True
     return CellPartition(
         n_cell_max=C, cells_ext=cells_ext, cell_valid=cell_valid,
-        area=area, grads=grads, cell_slots=cslots,
+        area=area, grads=grads, h=h_c, cell_slots=cslots,
         rev_src=rev_src, rev_mask=rev_mask,
     )

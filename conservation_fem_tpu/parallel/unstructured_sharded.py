@@ -210,6 +210,7 @@ class DistributedUnstructured:
         self.cell_valid = jax.device_put(jnp.asarray(cpart.cell_valid), sh2)
         self.careas = f(cpart.area, sh2)
         self.cgrads = f(cpart.grads, sh4)
+        self.ch = f(cpart.h, sh2)
         self.cslots = i32(cpart.cell_slots, sh4)
         self.rev_src = i32(cpart.rev_src, sh3)
         self.rev_mask = jax.device_put(jnp.asarray(cpart.rev_mask), sh3)
@@ -263,6 +264,16 @@ class DistributedUnstructured:
         picked = jnp.where(rev_mask, table[rev_src], 0.0)
         incoming = picked.sum(axis=-1)                       # (S,)
         return ext[: self.n_own].at[sidx].add(incoming)
+
+    def _reverse_max_vec(self, ext, sidx, rev_src, rev_mask):
+        """MAX-reduction twin of _reverse_add_vec (distributed rv_cell's
+        order-independent scatter='max'): owners take the max of their own
+        accumulation and every foreign cell's shipped contribution."""
+        halo_part = ext[self.n_own:]
+        table = jax.lax.all_gather(halo_part, self.axis).reshape(-1)
+        picked = jnp.where(rev_mask, table[rev_src], -jnp.inf)
+        incoming = picked.max(axis=-1)                       # (S,)
+        return ext[: self.n_own].at[sidx].max(incoming)
 
     def _reverse_add_mat(self, ext, sidx, rev_src, rev_mask):
         halo_part = ext[self.n_own:]                        # (H, K)
@@ -563,10 +574,10 @@ class DistributedAdvection(DistributedUnstructured):
 
     def __init__(self, problem, device_mesh: DeviceMesh, axis="i"):
         cfg = problem.cfg
-        if cfg.stabilization not in ("gfem", "rv_node", "si"):
+        if cfg.stabilization not in ("gfem", "rv_node", "si", "rv_cell",
+                                     "rk4"):
             raise NotImplementedError(
-                f"distributed advection: {cfg.stabilization!r} (rv_cell's "
-                "last-cell-wins scatter and rk4 are single-device only)")
+                f"distributed advection: {cfg.stabilization!r}")
         super().__init__(problem.host_mesh, device_mesh, axis,
                          dtype=problem.u0.dtype)
         self.p = problem
@@ -613,6 +624,24 @@ class DistributedAdvection(DistributedUnstructured):
                 g = x_ext[cols_]
                 return reducer(jnp.where(maskc_, g, pad_val), axis=1)
 
+            if stabilization == "rk4":
+                # explicit RK4: M k = -C u_stage with k|bc = 0 per stage
+                # (ref GFEM_RK4.py:134-218; single-device _step_rk4)
+                preM = jacobi_preconditioner(
+                    jnp.where(pin, 1.0, diag_of(M)))
+
+                def stage(v):
+                    r = jnp.where(pin, 0.0, -spmv(C, v))
+                    return cg(c_mv(M), r, precond=preM,
+                              rtol=cfg.krylov_rtol, dot=pdot).x
+
+                k1 = stage(u)
+                k2 = stage(u + 0.5 * dt * k1)
+                k3 = stage(u + 0.5 * dt * k2)
+                k4 = stage(u + dt * k3)
+                uh = u + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+                return jnp.where(bc, 0.0, uh), u
+
             # epsilon
             if stabilization == "rv_node":
                 # BDF1 residual projection M Rh = M (u-uo)/dt + C u, Rh|bc=0
@@ -647,6 +676,41 @@ class DistributedAdvection(DistributedUnstructured):
                 alpha = num / jnp.maximum(den, cfg.si_eps)
                 psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
                 eps = psi * cfg.Cm * h * beta
+            elif stabilization == "rv_cell":
+                # cell RV (ref RV_cell.py:169-195): bc-constrained BDF1
+                # residual, plain-max global normalization, per-cell
+                # eps_k scattered to nodes. Scatter is the order-
+                # independent 'max' variant (the reference's Python loop
+                # is last-cell-wins; single-device matches it via
+                # cfg.rv_cell_scatter='last' — max is the deterministic
+                # distributed choice, deviation documented there).
+                rhs = spmv(M, (u - uo) / dt) + spmv(C, u)
+                rhs = jnp.where(pin, 0.0, rhs)
+                diagM = jnp.where(pin, 1.0, diag_of(M))
+                Rh = cg(c_mv(M), rhs,
+                        precond=jacobi_preconditioner(diagM),
+                        rtol=cfg.krylov_rtol, dot=pdot).x
+                nvalid = jax.lax.psum(validl.sum(), axis)
+                mean_u = jax.lax.psum(
+                    jnp.where(validl, u, 0.0).sum(), axis) / nvalid
+                norm = jax.lax.pmax(
+                    jnp.where(validl, u - mean_u, -jnp.inf).max(), axis)
+                Rext = self._halo(jnp.where(validl, jnp.abs(Rh / norm),
+                                            0.0), sidx_, hsrc_)
+                R_cell = Rext[cellsl].max(axis=1)
+                bext = self._halo(jnp.where(validl, beta, 0.0), sidx_,
+                                  hsrc_)
+                beta_cell = bext[cellsl].max(axis=1)
+                hc = self._ch_l
+                eps_k = jnp.minimum(cfg.Cvel * hc * beta_cell,
+                                    cfg.CRV * hc**2 * R_cell)
+                eps_k = jnp.where(cvalidl, eps_k, -jnp.inf)
+                ext = jnp.full(self.n_own + self.H, -jnp.inf,
+                               u.dtype).at[cellsl.reshape(-1)].max(
+                    jnp.repeat(eps_k, 3))
+                eps = self._reverse_max_vec(ext, sidx_, self._rev_src_l,
+                                            self._rev_mask_l)
+                eps = jnp.where(jnp.isfinite(eps), eps, 0.0)
             else:
                 eps = None
 
@@ -677,11 +741,12 @@ class DistributedAdvection(DistributedUnstructured):
         ax = self.axis
 
         def step_wrapped(M, C, Kbc, cols, maskc, sidx, hsrc, valid, bc, h,
-                         beta, cells_l, cvalid, careas, cgrads, cslots,
-                         rev_src, rev_mask, u, uo):
+                         beta, cells_l, cvalid, careas, cgrads, ch_l,
+                         cslots, rev_src, rev_mask, u, uo):
             # stash device-local cell structures for the step body
             self._cells_l, self._cvalid_l = cells_l[0], cvalid[0]
             self._careas_l, self._cgrads_l = careas[0], cgrads[0]
+            self._ch_l = ch_l[0]
             self._cslots_l = cslots[0]
             self._rev_src_l, self._rev_mask_l = rev_src[0], rev_mask[0]
             return step_local(M, C, Kbc, cols, maskc, sidx, hsrc, valid,
@@ -697,6 +762,7 @@ class DistributedAdvection(DistributedUnstructured):
                 P(ax), P(ax), P(ax),                    # bc, h, beta
                 P(ax, None, None), P(ax, None),         # cells, cvalid
                 P(ax, None), P(ax, None, None, None),   # careas, cgrads
+                P(ax, None),                            # ch
                 P(ax, None, None, None),                # cslots
                 P(ax, None, None), P(ax, None, None),   # rev_src, rev_mask
                 P(ax), P(ax),                           # u, uo
@@ -709,13 +775,15 @@ class DistributedAdvection(DistributedUnstructured):
         cfg = p.cfg
         step = self.make_step(cfg.stabilization)
         gfem_step = (self.make_step("gfem")
-                     if cfg.stabilization == "rv_node" else None)
+                     if cfg.stabilization in ("rv_node", "rv_cell")
+                     else None)
         statics = (self.M_rows, self.C_rows, self.Kbc_rows,
                    self.local_cols, self.local_mask,
                    self.shared_idx, self.halo_src, self.row_valid,
                    self.bc_rows, self.h_rows, self.beta_rows,
                    self.cells_ext, self.cell_valid, self.careas,
-                   self.cgrads, self.cslots, self.rev_src, self.rev_mask)
+                   self.cgrads, self.ch, self.cslots, self.rev_src,
+                   self.rev_mask)
 
         @jax.jit
         def _run(u0):

@@ -92,3 +92,49 @@ def test_scatter_orderings_consistent():
     assert (np.diff(m.vec_segs) >= 0).all()
     assert len(m.mat_perm) == 9 * m.n_cells
     assert len(m.vec_perm) == 3 * m.n_cells
+
+
+def test_make_periodic():
+    """Periodic node identification (ref Burger_CPP/main.cpp:146-192
+    PeriodicBoundaryXY1): folds both axes of the unit square, corner
+    chains through both folds, seam cells keep their true geometry, and
+    the resulting convection operator conserves discrete mass exactly."""
+    import jax.numpy as jnp
+
+    from conservation_fem_tpu.ops import assembly
+    from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
+    from conservation_fem_tpu.ops.mesh import make_periodic, rectangle_mesh
+    from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
+
+    host = rectangle_mesh((0, 0), (1, 1), nx=8)
+    pm = make_periodic(host, axes=(0, 1))
+    assert pm.points.shape[0] == 8 * 8          # (nx+1)^2 -> nx^2
+    assert not pm.boundary_mask.any()           # fully periodic
+    assert np.isclose(np.asarray(pm.area).sum(), 1.0)
+
+    m = pm.device_arrays(jnp.float64)
+    n = pm.points.shape[0]
+    w = jnp.stack([jnp.ones(n), 0.5 * jnp.ones(n)], axis=1)
+    M = assembly.assemble_mass(m)
+    C = assembly.assemble_convection(m, w)
+    u0 = jnp.asarray(np.random.default_rng(0).random(n))
+    dt = 0.01
+    Aop = lambda x: ell_matvec(m, M, x) + 0.5 * dt * ell_matvec(m, C, x)
+    b = ell_matvec(m, M, u0) - 0.5 * dt * ell_matvec(m, C, u0)
+    u1 = cg(Aop, b, precond=jacobi_preconditioner(ell_diag(m, M)),
+            rtol=1e-14).x
+    ones = jnp.ones(n)
+    drift = abs(float(ones @ ell_matvec(m, M, u1 - u0)))
+    assert drift < 1e-12, drift
+
+
+def test_make_periodic_single_axis():
+    """Periodic in x only: the y = 0, 1 walls stay boundary."""
+    from conservation_fem_tpu.ops.mesh import make_periodic, rectangle_mesh
+
+    host = rectangle_mesh((0, 0), (1, 1), nx=6)
+    pm = make_periodic(host, axes=(0,))
+    assert pm.points.shape[0] == 6 * 7
+    bpts = np.asarray(pm.points)[np.asarray(pm.boundary_mask)]
+    assert len(bpts) == 2 * 6                   # two walls, 6 nodes each
+    assert all(np.isclose(y, 0.0) or np.isclose(y, 1.0) for y in bpts[:, 1])

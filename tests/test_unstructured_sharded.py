@@ -191,6 +191,40 @@ def test_distributed_advection_rv_node(device_mesh):
     np.testing.assert_allclose(u_dist, np.asarray(res_single.u), atol=1e-9)
 
 
+def test_distributed_advection_rv_cell(device_mesh):
+    """Distributed cell RV == single device with the order-independent
+    scatter='max' variant (the reference's last-cell-wins loop order is
+    single-device-only by construction; deviation documented in
+    models/linear_advection._step_rv_cell)."""
+    from conservation_fem_tpu.models import linear_advection as adv
+    from conservation_fem_tpu.parallel.unstructured_sharded import (
+        DistributedAdvection,
+    )
+
+    cfg = adv.AdvectionConfig(mesh_size=8, stabilization="rv_cell", T=0.02,
+                              rv_cell_scatter="max")
+    p = adv.build(cfg)
+    res_single = adv.solve(p)
+    u_dist = DistributedAdvection(adv.build(cfg, host_mesh=p.host_mesh),
+                                  device_mesh).solve()
+    np.testing.assert_allclose(u_dist, np.asarray(res_single.u), atol=1e-9)
+
+
+def test_distributed_advection_rk4(device_mesh):
+    """Distributed explicit RK4 == single device (ref GFEM_RK4.py)."""
+    from conservation_fem_tpu.models import linear_advection as adv
+    from conservation_fem_tpu.parallel.unstructured_sharded import (
+        DistributedAdvection,
+    )
+
+    cfg = adv.AdvectionConfig(mesh_size=8, stabilization="rk4", T=0.02)
+    p = adv.build(cfg)
+    res_single = adv.solve(p)
+    u_dist = DistributedAdvection(adv.build(cfg, host_mesh=p.host_mesh),
+                                  device_mesh).solve()
+    np.testing.assert_allclose(u_dist, np.asarray(res_single.u), atol=1e-9)
+
+
 def test_distributed_advection_si(device_mesh):
     """Distributed linear advection with SI == single device
     (ref smoothness.py)."""
