@@ -36,7 +36,8 @@ import numpy as np
 from conservation_fem_tpu.ops import assembly
 from conservation_fem_tpu.ops.bc import constrained_matvec, constrain_residual, ell_with_bc
 from conservation_fem_tpu.ops.helpers import get_nodal_h
-from conservation_fem_tpu.ops.krylov import cg, cg_fixed, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import (cg, cg_fixed, chebyshev_fixed,
+                                             jacobi_preconditioner)
 from conservation_fem_tpu.ops.mesh import Mesh
 from conservation_fem_tpu.ops.newton import newton_fixed, newton_solve
 from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
@@ -74,12 +75,14 @@ class HyperbolicConfig:
     newton_linear_iters: int = 8         # inner BiCGStab iterations
     # inner_solver="cheby": the fixed-iteration inner solves run as
     # DOT-FREE Chebyshev semi-iterations (krylov.chebyshev_fixed) instead
-    # of CG/BiCGStab — the fused step's ~50 sequential dot-reduction
-    # latencies were its measured binding resource. Bounds cover the
-    # Jacobi-preconditioned spectra: mass via Wathen [1/2, 2] (any
-    # triangulation); the CN Jacobian measured [0.52, 1.96] (|im|<=0.1)
-    # on the KPP shock state, padded. Chebyshev uses 1 matvec/iter vs
-    # BiCGStab's 2 — double newton_linear_iters for matvec parity.
+    # of CG/BiCGStab. No inner products means no psum collectives in
+    # distributed inner solves (halo exchanges remain the only per-
+    # iteration communication) and no cross-tile reduction passes in the
+    # HBM-tiled fused kernel. Bounds cover the Jacobi-preconditioned
+    # spectra: mass via Wathen [1/2, 2] (any triangulation); the CN
+    # Jacobian measured [0.52, 1.96] (|im|<=0.1) on the KPP shock state,
+    # padded. Chebyshev uses 1 matvec/iter vs BiCGStab's 2 — double
+    # newton_linear_iters for matvec parity.
     inner_solver: str = "bicgstab"       # bicgstab | cheby
     cheby_mass_bounds: tuple = (0.5, 2.0)
     cheby_lin_bounds: tuple = (0.4, 2.2)
@@ -87,9 +90,10 @@ class HyperbolicConfig:
     use_pallas: bool = False       # fused Pallas CG on the stencil backend
     # fused whole-step kernel: K full time steps per Mosaic launch
     # (structured backend, time-independent bc only). Measured NEUTRAL at
-    # mesh 64 (137 vs 141 M DOF-steps/s): the fused step is bound by its
-    # ~50 sequential Krylov dot-reduction latencies, not launch overhead,
-    # so amortizing launches does not help. Kept for experimentation.
+    # mesh 64 — round 3 established why: Pallas launches inside a scan
+    # are ~free on this runtime (the per-launch cost previously blamed
+    # was the ~30 ms per-Python-call tunnel constant), so amortizing
+    # launches cannot help. Kept for experimentation.
     fused_substeps: int = 1
     # unstructured operator application: "gather" (XLA gather ELL SpMV) or
     # "banded" (RCM diagonals, gather-free; 3.2x faster on TPU — requires an
@@ -217,6 +221,11 @@ class HyperbolicProblem:
         op = lambda x: jnp.where(bc, x, M_mv(jnp.where(bc, 0.0, x)))
         pre = jacobi_preconditioner(diag)
         if self.cfg.cg_iters is not None:
+            if self.cfg.inner_solver == "cheby":
+                lo, hi = self.cfg.cheby_mass_bounds
+                return chebyshev_fixed(op, rhs, precond=pre,
+                                       iters=self.cfg.cg_iters,
+                                       lmin=lo, lmax=hi).x
             return cg_fixed(op, rhs, precond=pre,
                             iters=self.cfg.cg_iters).x
         return cg(op, rhs, precond=pre, rtol=self.cfg.krylov_rtol).x
@@ -277,6 +286,8 @@ class HyperbolicProblem:
                 jacobian_fn=jacobian,
                 freeze_jacobian=self.cfg.modified_newton,
                 rtol=self.cfg.newton_rtol, atol=self.cfg.newton_atol,
+                linear_solver=self.cfg.inner_solver,
+                cheby_bounds=self.cfg.cheby_lin_bounds,
             )
         res = newton_solve(
             residual, u_init,

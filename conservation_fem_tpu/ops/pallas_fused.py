@@ -43,7 +43,7 @@ def _interpret_default():
     return jax.default_backend() == "cpu"
 
 
-def _make_shifts(n1x, n1y, row0=0, n_rows=None):
+def _make_shifts(n1x, n1y, row0=0, n_rows=None, n_cols=None):
     """Roll+mask neighbor access on (n1x, n1y) node-shaped arrays.
 
     Returns (shift, shift_fill, cellmask):
@@ -64,6 +64,8 @@ def _make_shifts(n1x, n1y, row0=0, n_rows=None):
     """
     if n_rows is None:
         n_rows = n1x
+    if n_cols is None:
+        n_cols = n1y
     ii = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 0) + row0
     jj = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 1)
 
@@ -75,11 +77,11 @@ def _make_shifts(n1x, n1y, row0=0, n_rows=None):
         return x
 
     def _inb(di, dj):
-        m = (ii >= 0) & (ii < n_rows)
+        m = (ii >= 0) & (ii < n_rows) & (jj < n_cols)
         if di:
             m &= (ii + di >= 0) & (ii + di < n_rows)
         if dj:
-            m &= (jj + dj >= 0) & (jj + dj < n1y)
+            m &= (jj + dj >= 0) & (jj + dj < n_cols)
         return m
 
     def shift(x, di, dj):
@@ -88,27 +90,32 @@ def _make_shifts(n1x, n1y, row0=0, n_rows=None):
     def shift_fill(x, di, dj, fill):
         return jnp.where(_inb(di, dj), _roll(x, di, dj), fill)
 
-    cellmask = (ii >= 0) & (ii < n_rows - 1) & (jj < n1y - 1)
+    cellmask = (ii >= 0) & (ii < n_rows - 1) & (jj < n_cols - 1)
     return shift, shift_fill, cellmask
 
 
 def _make_lib(n1x, n1y, dtype, *, dt, area, grads_c, phi_c, qw_c, gg_c, Q,
-              tiny, fpx, fpy, row0=0, n_rows=None):
+              tiny, fpx, fpy, row0=0, n_rows=None, n_cols=None):
     """Kernel-internal helper namespace shared by the single-kernel,
     split-kernel, and row-tiled variants (everything operates on traced
     node-shaped arrays; no refs). row0/n_rows: see _make_shifts — the
-    buffer is a row-tile of an (n_rows, n1y) grid starting at global row
-    row0; bc/cell masks then use global row indices."""
+    buffer is a row-tile of an (n_rows, n_cols) grid starting at global
+    row row0; bc/cell masks then use global row indices. n_cols < n1y
+    marks the lane-padding columns (HBM slices need 128-multiple widths)
+    invalid."""
     import types
 
     if n_rows is None:
         n_rows = n1x
+    if n_cols is None:
+        n_cols = n1y
     f = lambda c: jnp.asarray(c, dtype)
     ii = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 0) + row0
     jj = jax.lax.broadcasted_iota(jnp.int32, (n1x, n1y), 1)
-    bc = (ii == 0) | (ii == n_rows - 1) | (jj == 0) | (jj == n1y - 1)
-    valid = (ii >= 0) & (ii < n_rows)
-    shift, shift_fill, cellmask = _make_shifts(n1x, n1y, row0, n_rows)
+    bc = (ii == 0) | (ii == n_rows - 1) | (jj == 0) | (jj == n_cols - 1)
+    valid = (ii >= 0) & (ii < n_rows) & (jj < n_cols)
+    shift, shift_fill, cellmask = _make_shifts(n1x, n1y, row0, n_rows,
+                                               n_cols)
     cmf = jnp.where(cellmask, f(1.0), f(0.0))
     dot = lambda a, b: jnp.sum(a * b)
 

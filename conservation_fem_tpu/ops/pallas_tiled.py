@@ -58,7 +58,11 @@ from conservation_fem_tpu.ops.pallas_fused import (
 )
 from conservation_fem_tpu.ops.structured import OFFSETS
 
-_H = 3          # halo rows; >= max shift-chain depth of any sweep
+# halo rows: must cover the deepest shift chain of any sweep (3) AND be a
+# multiple of 8 so every HBM tile slice's dim-0 offset/size stays aligned
+# to the (8, 128) tiling ("Slice shape along dimension 0 must be aligned
+# to tiling (8)" is a hard Mosaic error otherwise)
+_H = 8
 _NP = len(OFFSETS)
 
 
@@ -117,6 +121,10 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     tiles = -(-n1x // T)
     T2 = T + 2 * H
     R = tiles * T + 2 * H
+    # lane padding: HBM tile slices require 128-multiple widths ("Slice
+    # shape along dimension 1 must be aligned to tiling (128)"); columns
+    # [n1y, Yp) are masked invalid everywhere (n_cols in _make_lib)
+    Yp = -(-n1y // 128) * 128
 
     st, h_ = _statics(dtype, dt, area, h, grads, phi, qw)
     fpx, fpy = _fp_components(fprime, fprime_xy)
@@ -126,10 +134,10 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     n_nodes = float(n1x * n1y)
 
     def padrows(a):
-        return jnp.pad(a, ((H, R - H - n1x), (0, 0)))
+        return jnp.pad(a, ((H, R - H - n1x), (0, Yp - n1y)))
 
     def padrows3(a):
-        return jnp.pad(a, ((0, 0), (H, R - H - n1x), (0, 0)))
+        return jnp.pad(a, ((0, 0), (H, R - H - n1x), (0, Yp - n1y)))
 
     def kernel(u_h, uo_h, uoo_h, g_h, Mc_h,
                uk_h, cx_h, cr_h, cd0_h, cd1_h, eps_h, dJ_h, Nun_h, Kun_h,
@@ -177,8 +185,8 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                 cp.wait()
 
         def lib_for(t):
-            return _make_lib(T2, n1y, dtype, fpx=fpx, fpy=fpy,
-                             row0=t * T - H, n_rows=n1x, **st)
+            return _make_lib(T2, Yp, dtype, fpx=fpx, fpy=fpy,
+                             row0=t * T - H, n_rows=n1x, n_cols=n1y, **st)
 
         # --- sweep 1: residual-projection rhs + Chebyshev init ----------
         def s1_body(t, _):
@@ -192,13 +200,13 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             else:
                 du = (3.0 * u - 4.0 * uo + uoo) / f(2.0 * dt_)
             rhs = jnp.where(L.bc, 0.0, L.plane_mv(Mc, du) + L.nl_rhs(u))
-            dMinv = 1.0 / jnp.where(L.bc, 1.0, Mc[0])
+            dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Mc[0])
             V[3] = rhs                                  # cr
             V[4] = jnp.zeros_like(rhs)                  # cx
             V[5] = dMinv * rhs / f(th_m)                # cd
             # interior rows only — the halo rows belong to the
             # neighbouring tiles' accumulation
-            li = jax.lax.broadcasted_iota(jnp.int32, (T2, n1y), 0)
+            li = jax.lax.broadcasted_iota(jnp.int32, (T2, Yp), 0)
             interior = (li >= H) & (li < H + T)
             sm[0] += jnp.sum(jnp.where(L.valid & interior, u, 0.0))
             store(t, [(3, cr_h), (4, cx_h), (5, cd0_h)])
@@ -224,7 +232,7 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                 load(t, pairs)
                 Mc = tuple(A[j] for j in range(_NP))
                 d, r, x = V[0], V[1], V[2]
-                dMinv = 1.0 / jnp.where(L.bc, 1.0, Mc[0])
+                dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Mc[0])
                 op = L.pinned(lambda v: L.plane_mv(Mc, v))
                 x = x + d
                 r = r - op(d)
@@ -279,7 +287,7 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                           for s in range(2)]
                 Kc = L.keps_planes(e_cell)
             else:
-                Kc = tuple(jnp.zeros((T2, n1y), dtype) for _ in range(_NP))
+                Kc = tuple(jnp.zeros((T2, Yp), dtype) for _ in range(_NP))
             N_un = L.nl_rhs(u)
             K_un = L.plane_mv(Kc, u)
             uk0 = jnp.where(L.bc, g, u)
@@ -312,7 +320,7 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                 Cc = L.conv_planes(w)
                 Jc = tuple(Mc[k] + f(0.5 * dt_) * (Kc[k] + Cc[k])
                            for k in range(_NP))
-                dJinv = 1.0 / jnp.where(L.bc, 1.0, Jc[0])
+                dJinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Jc[0])
                 for k in range(_NP):
                     C[k] = Jc[k]
                 V[2] = dJinv
@@ -419,8 +427,8 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             copy_sweep(cur, uk_h)
 
     sds = jax.ShapeDtypeStruct
-    fld = sds((R, n1y), dtype)
-    pln = sds((_NP, R, n1y), dtype)
+    fld = sds((R, Yp), dtype)
+    pln = sds((_NP, R, Yp), dtype)
     kw = {}
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -436,14 +444,14 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
         in_specs=[pl.BlockSpec(memory_space=space)] * 5,
         out_specs=[pl.BlockSpec(memory_space=space)] * 13,
         scratch_shapes=[
-            pltpu.VMEM((_NP, T2, n1y), dtype),      # A: Mc tile
-            pltpu.VMEM((_NP, T2, n1y), dtype),      # B: Kc tile
-            pltpu.VMEM((_NP, T2, n1y), dtype),      # C: Jc tile
-            pltpu.VMEM((8, T2, n1y), dtype),        # V: field slots
+            pltpu.VMEM((_NP, T2, Yp), dtype),       # A: Mc tile
+            pltpu.VMEM((_NP, T2, Yp), dtype),       # B: Kc tile
+            pltpu.VMEM((_NP, T2, Yp), dtype),       # C: Jc tile
+            pltpu.VMEM((8, T2, Yp), dtype),         # V: field slots
             pltpu.SemaphoreType.DMA((24,)),
             pltpu.SMEM((4,), dtype),
         ],
         interpret=bool(interpret),
         **kw,
     )(padrows(u2), padrows(uo2), padrows(uoo2), padrows(g2), padrows3(Mc2))
-    return outs[0][H:H + n1x]
+    return outs[0][H:H + n1x, :n1y]

@@ -31,8 +31,9 @@ from jax import shard_map
 from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 from conservation_fem_tpu.ops import assembly
-from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
-from conservation_fem_tpu.ops.newton import newton_solve
+from conservation_fem_tpu.ops.krylov import (cg, cg_fixed, chebyshev_fixed,
+                                             jacobi_preconditioner)
+from conservation_fem_tpu.ops.newton import newton_fixed, newton_solve
 
 
 class DistributedBlocked:
@@ -223,8 +224,20 @@ class DistributedBlocked:
                 du = (3.0 * u - 4.0 * uo + uoo) / (2.0 * dt)
             rhs = jnp.where(pin, 0.0, spmv(Mb, du) + nl_rhs(u))
             diagM = jnp.where(pin, 1.0, diag_of(Mb))
-            RH = cg(c_mv(Mb), rhs, precond=jacobi_preconditioner(diagM),
-                    rtol=cfg.krylov_rtol, dot=pdot).x
+            preM = jacobi_preconditioner(diagM)
+            if cfg.cg_iters is not None and cfg.inner_solver == "cheby":
+                # dot-free: the distributed inner solve needs NO psum
+                # collectives — band halos are the only communication
+                RH = chebyshev_fixed(c_mv(Mb), rhs, precond=preM,
+                                     iters=cfg.cg_iters,
+                                     lmin=cfg.cheby_mass_bounds[0],
+                                     lmax=cfg.cheby_mass_bounds[1]).x
+            elif cfg.cg_iters is not None:
+                RH = cg_fixed(c_mv(Mb), rhs, precond=preM,
+                              iters=cfg.cg_iters, dot=pdot).x
+            else:
+                RH = cg(c_mv(Mb), rhs, precond=preM,
+                        rtol=cfg.krylov_rtol, dot=pdot).x
 
             # 2. epsilon
             tiny = jnp.asarray(
@@ -276,13 +289,27 @@ class DistributedBlocked:
                 return c_mv(J), pre
 
             u_init = jnp.where(pin, jnp.where(bc, g2, 0.0), u)
-            res = newton_solve(
-                residual, u_init,
-                rtol=cfg.newton_rtol, atol=cfg.newton_atol,
-                max_it=cfg.newton_max_it, criterion="residual",
-                linear_rtol=cfg.newton_linear_rtol or cfg.krylov_rtol,
-                jacobian_fn=jacobian, freeze_jacobian=cfg.modified_newton,
-                dot=pdot)
+            if cfg.newton_iters is not None:
+                # fixed-iteration Newton (inner_solver="cheby" leaves only
+                # the two residual-norm psums per step)
+                res = newton_fixed(
+                    residual, u_init,
+                    iters=cfg.newton_iters,
+                    linear_iters=cfg.newton_linear_iters,
+                    jacobian_fn=jacobian,
+                    freeze_jacobian=cfg.modified_newton,
+                    rtol=cfg.newton_rtol, atol=cfg.newton_atol,
+                    dot=pdot, linear_solver=cfg.inner_solver,
+                    cheby_bounds=cfg.cheby_lin_bounds)
+            else:
+                res = newton_solve(
+                    residual, u_init,
+                    rtol=cfg.newton_rtol, atol=cfg.newton_atol,
+                    max_it=cfg.newton_max_it, criterion="residual",
+                    linear_rtol=cfg.newton_linear_rtol or cfg.krylov_rtol,
+                    jacobian_fn=jacobian,
+                    freeze_jacobian=cfg.modified_newton,
+                    dot=pdot)
             uh = res.u
             if cfg.smooth_l > 0:
                 total = spmv(jnp.where(Abool, 1.0, 0.0).astype(uh.dtype), uh)

@@ -1,4 +1,13 @@
-"""TPU timing: Stokes IPCS step — gather-ELL vs lattice-plane backend.
+"""TPU timing: Stokes IPCS step — gather-ELL vs lattice vs lattice+fixed.
+
+Amortized timing (see scripts/timeharness.py): every Python-level jitted
+call costs ~30 ms on the axon tunnel regardless of the work inside, so
+per-step cost is measured as (t(R2) - t(R1)) / ((R2 - R1) * steps) over
+R chained repetitions of the step scan inside one jit.
+
+The fixed-iteration mode (krylov_iters) requires the operator buffers to
+ride through jit as ARGUMENTS (stokes.step_buffers); closure capture
+made the unrolled program OOM the remote compile service in round 2.
 
 Usage: python scripts/bench_stokes.py [nx ...]   (default 32 64)
 """
@@ -12,28 +21,46 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(prob_fd, num_steps):
+def run(prob_fd, num_steps, reps=(1, 3)):
     import jax
     import jax.numpy as jnp
-    from conservation_fem_tpu.models.stokes import make_step
+    from conservation_fem_tpu.models.stokes import make_step, step_buffers
 
     p, fd = prob_fd
-    step = make_step(p, fd)
+    aux, bufs = step_buffers(p, fd)
 
-    @jax.jit
-    def _run(u0, p0):
-        (u, pn), _ = jax.lax.scan(step, (u0, p0), None, length=num_steps)
-        return u, pn
+    def runner(R):
+        @jax.jit
+        def _run(bufs, u0, p0):
+            step = make_step(p, fd, aux=aux, bufs=bufs)
 
-    u, pn = _run(p.u0, p.p0)
-    jax.block_until_ready(u)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        u, pn = _run(p.u0, p.p0)
-        jax.block_until_ready(u)
-        best = min(best, time.perf_counter() - t0)
-    return best / num_steps, np.asarray(u)
+            def rep(carry, _):
+                (u, pn), _ = jax.lax.scan(step, carry, None,
+                                          length=num_steps)
+                return (u, pn), None
+
+            (u, pn), _ = jax.lax.scan(rep, (u0, p0), None, length=R)
+            return u, pn
+
+        return _run
+
+    times = {}
+    u = None
+    for R in reps:
+        f = runner(R)
+        u, pn = f(bufs, p.u0, p.p0)
+        s = float(jnp.sum(u))                       # hard sync
+        assert np.isfinite(s)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            u, pn = f(bufs, p.u0, p.p0)
+            s = float(jnp.sum(u))
+            best = min(best, time.perf_counter() - t0)
+        times[R] = best
+    per_step = (times[reps[1]] - times[reps[0]]) / (
+        (reps[1] - reps[0]) * num_steps)
+    return per_step, np.asarray(u)
 
 
 def main():

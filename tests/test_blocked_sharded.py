@@ -49,3 +49,22 @@ def test_distributed_blocked_devices_with_only_padding():
     u_dist = sh.solve()
     d = np.abs(u_dist - u_single).max()
     assert d < 1e-9, d
+
+
+def test_distributed_blocked_fast_solvers_match():
+    """The sharded blocked path running the FAST fixed-iteration
+    Chebyshev solvers (zero psum dots in the inner loops) matches the
+    single-device blocked problem running the same config at 1e-9 —
+    the fast kernels compose with sharding."""
+    kw = dict(modified_newton=True, cg_iters=10, newton_iters=2,
+              newton_linear_iters=16, inner_solver="cheby")
+    p = _build(**kw)
+    u_single = np.asarray(p.solve().u)
+    u_dist = DistributedBlocked(_build(**kw), _dmesh(4)).solve()
+    d = np.abs(u_dist - u_single).max()
+    assert d < 1e-9, d
+    # and the fixed config itself tracks the adaptive anchor
+    u_adaptive = np.asarray(_build().solve().u)
+    rel = (np.linalg.norm(u_single - u_adaptive)
+           / np.linalg.norm(u_adaptive))
+    assert rel < 2e-3, rel
