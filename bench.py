@@ -8,6 +8,21 @@ algorithmic structure (see conservation_fem_tpu/utils/baseline_proxy.py —
 if anything faster than real DOLFINx because it reuses factorizations the
 reference rebuilds each step).
 
+Round-3 methodology fixes:
+  * AMORTIZED timing: every Python-level jitted call costs a ~30 ms
+    constant on the axon tunnel (scripts/timeharness.py) that inflated
+    round-1/2 denominators; the metric now times R chained full solves
+    inside ONE jitted call for two values of R and differences them, so
+    the constant cancels and the number is true on-device throughput.
+  * ACCURACY GATE: after timing, the f32 solution is compared against a
+    committed f64 CPU anchor (golden/kpp_rv_anchor_mesh*.npy, generated
+    by the adaptive-solver f64 path); L2rel must stay inside the
+    recorded envelope or the bench exits nonzero — a Mosaic lowering
+    regression cannot ship a fast-but-wrong number.
+  * Default config: fused whole-step Pallas kernels with DOT-FREE
+    Chebyshev inner solves (mesh <= 64 fully VMEM-resident single
+    kernel; larger meshes the HBM-resident row-tiled kernel).
+
 Prints ONE JSON line:
   {"metric": ..., "value": DOF-steps/s on this chip,
    "unit": "DOF-steps/s", "vs_baseline": value / proxy_DOF-steps/s}
@@ -20,17 +35,85 @@ import time
 
 import numpy as np
 
+ACCURACY_GATE = 1e-2     # L2rel vs the f64 anchor (recorded envelope ~4e-3)
+
+
+def _config(kpp, mesh_size, dtype):
+    # accuracy-validated per mesh (tests/test_pallas_fused.py,
+    # tests/test_pallas_tiled.py, golden anchors below):
+    #   <=64: frozen-Jacobian Newton 2 x cheby(16)
+    #   >=128: exact-Jacobian Newton 3 x cheby(20) (frozen diverges past
+    #          CFL ~ 1 — caught by the stagnation guard in round 2)
+    return kpp.KPPConfig(
+        mesh_size=mesh_size, dtype=dtype,
+        modified_newton=(mesh_size <= 64),
+        cg_iters=10,
+        newton_iters=2 if mesh_size <= 64 else 3,
+        newton_linear_iters=16 if mesh_size <= 64 else 20,
+        inner_solver="cheby",
+    )
+
+
+def _measure(p, jnp, jax, reps=(1, 4), trials=3):
+    """True per-step seconds: difference chained-repetition timings."""
+    import time as _t
+
+    def runner(R):
+        @jax.jit
+        def run(state, u0):
+            with p.bound_jit_state(state):
+                ts = (jnp.arange(p.num_steps, dtype=u0.dtype) + 1.0) * p.dt
+
+                def rep(u, _):
+                    (uh, _, _), _ = jax.lax.scan(p.step, (u, u, u), ts)
+                    return uh, None
+
+                u, _ = jax.lax.scan(rep, u0, None, length=R)
+            return u
+
+        return run
+
+    times = {}
+    u = None
+    for R in reps:
+        run = runner(R)
+        u = run(p._jit_state(), p.u0)
+        s = float(jnp.sum(u))                    # hard sync (compile+warm)
+        best = float("inf")
+        for _ in range(trials):
+            t0 = _t.perf_counter()
+            u = run(p._jit_state(), p.u0)
+            s = float(jnp.sum(u))
+            best = min(best, _t.perf_counter() - t0)
+        if not np.isfinite(s):
+            raise RuntimeError("bench solve produced non-finite values")
+        times[R] = best
+    per_step = (times[reps[1]] - times[reps[0]]) / (
+        (reps[1] - reps[0]) * p.num_steps)
+    return per_step, np.asarray(u)
+
+
+def _accuracy(u, mesh_size):
+    """(L2rel vs committed f64 anchor, anchor_found)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", f"kpp_rv_anchor_mesh{mesh_size}.npy")
+    if not os.path.exists(path):
+        return None, False
+    ref = np.load(path).astype(np.float64)
+    rel = float(np.linalg.norm(u - ref) / np.linalg.norm(ref))
+    return rel, True
+
 
 def main():
     import jax
 
-    # persistent compilation cache: repeat bench runs (e.g. the driver's)
-    # skip the multi-minute TPU compile
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import dataclasses as _dc
+
     import jax.numpy as jnp
 
     from conservation_fem_tpu.models import kpp
@@ -39,126 +122,93 @@ def main():
     steps_proxy = int(os.environ.get("BENCH_PROXY_STEPS", 3))
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = "float32" if on_tpu else "float64"
-
-    if dtype == "float32":
-        # fixed-iteration unrolled solvers (ops/krylov.cg_fixed /
-        # newton_fixed): each adaptive while-loop iteration costs ~270 us
-        # of launch overhead on this TPU runtime, so the throughput path
-        # unrolls. Iteration counts are accuracy-validated per mesh size:
-        #   <=64: frozen-Jacobian Newton, 2 its x 8 BiCGStab — L2rel vs
-        #         f64 ground truth 6.2e-3 (adaptive round-1 config: 5.1e-3)
-        #   >=128: exact-Jacobian Newton, 3 its x 10 — L2rel 4.4e-3 vs the
-        #          adaptive exact-Newton anchor (frozen Newton needs CFL<~1)
-        # Default mesh 64 + the fused whole-step Pallas kernel (ONE Mosaic
-        # launch per step, ops/pallas_fused.py): 0.47 ms/step = 141 M
-        # DOF-steps/s, 1.6x over the composed XLA step, and MORE accurate
-        # (L2rel vs f64 truth: 7.6e-4 vs 3.6e-3 at mesh 32 — the in-kernel
-        # accumulation order is closer to f64). Past the single kernel's
-        # VMEM ceiling the SPLIT fused kernel runs (mesh 128: 141.5 M,
-        # 1 + newton_iters launches); mesh >=256 falls back to the
-        # composed XLA path (73 M). See _fused_mode / RESULTS.md.
-        cfg = kpp.KPPConfig(
-            mesh_size=mesh_size, dtype=dtype,
-            modified_newton=(mesh_size <= 64),
-            cg_iters=10,
-            newton_iters=2 if mesh_size <= 64 else 3,
-            newton_linear_iters=8 if mesh_size <= 64 else 10,
-        )
-    else:
-        cfg = kpp.KPPConfig(mesh_size=mesh_size, dtype=dtype,
-                            krylov_rtol=1e-12)
-    p = kpp.build(cfg)
-    if dtype == "float32" and not os.environ.get("BENCH_NO_FUSED"):
-        import dataclasses as _dc
-
-        p.cfg = _dc.replace(p.cfg, use_pallas=True)  # gate decides per mesh
-    n_dofs = int(p.u0.shape[0])
-
     verbose = os.environ.get("BENCH_VERBOSE")
 
     def log(msg):
         if verbose:
             print(msg, file=sys.stderr, flush=True)
 
-    # compile + warm run
+    def build(ms):
+        if dtype == "float32":
+            p = kpp.build(_config(kpp, ms, dtype))
+            if not os.environ.get("BENCH_NO_FUSED"):
+                p.cfg = _dc.replace(p.cfg, use_pallas=True)
+        else:
+            p = kpp.build(kpp.KPPConfig(mesh_size=ms, dtype=dtype,
+                                        krylov_rtol=1e-12))
+        return p
+
+    p = build(mesh_size)
+    n_dofs = int(p.u0.shape[0])
+    log(f"mesh {mesh_size}: fused mode = "
+        f"{p._fused_mode() if hasattr(p, '_fused_mode') else None}")
+
     t0 = time.perf_counter()
-    res = p.solve()
-    jax.block_until_ready(res.u)
-    log(f"compile+first solve: {time.perf_counter()-t0:.1f}s")
-    elapsed = float("inf")
-    for _ in range(3):                      # best-of-3: the solve is fast
-        t0 = time.perf_counter()            # enough that dispatch jitter
-        res = p.solve()                     # matters
-        jax.block_until_ready(res.u)
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    log(f"timed solve (best of 3): {elapsed:.3f}s")
-    u = np.asarray(res.u)
+    per_step, u = _measure(p, jnp, jax)
+    log(f"measure (incl compile): {time.perf_counter()-t0:.1f}s "
+        f"-> {per_step*1e6:.1f} us/step")
+
     if not np.isfinite(u).all() or u.min() < 0.5 or u.max() > 12.0:
         print(json.dumps({"metric": "KPP-RV DOF-steps/sec/chip",
                           "value": 0, "unit": "DOF-steps/s",
                           "vs_baseline": 0,
                           "error": "solution sanity check failed"}))
         sys.exit(1)
-    value = n_dofs * res.num_steps / elapsed
+    rel, found = _accuracy(u, mesh_size)
+    if found and rel > ACCURACY_GATE:
+        print(json.dumps({"metric": "KPP-RV DOF-steps/sec/chip",
+                          "value": 0, "unit": "DOF-steps/s",
+                          "vs_baseline": 0,
+                          "error": f"accuracy gate failed: L2rel vs f64 "
+                                   f"anchor {rel:.2e} > {ACCURACY_GATE}"}))
+        sys.exit(1)
+    log(f"accuracy vs f64 anchor: "
+        f"{f'{rel:.2e}' if found else 'no anchor committed'}")
+    value = n_dofs / per_step
 
     # measured proxy baseline (scipy sparse LU + python RV loop). Measured
     # at mesh <=32 regardless of the bench mesh: the proxy's per-DOF cost
-    # GROWS with N (sparse LU fill-in + per-node Python loops — mesh 128
-    # would take hours), so normalizing by its mesh-32 per-DOF throughput
-    # is conservative for vs_baseline at larger bench meshes.
-    from conservation_fem_tpu.models import kpp as _kpp
+    # GROWS with N (sparse LU fill-in + per-node Python loops), so
+    # normalizing by its mesh-32 per-DOF throughput is conservative.
     from conservation_fem_tpu.utils.baseline_proxy import make_kpp_proxy
 
     proxy_ms = min(mesh_size, 32)
-    p_proxy = (p if proxy_ms == mesh_size
-               else _kpp.build(_kpp.KPPConfig(mesh_size=proxy_ms, dtype=dtype)))
-    proxy = make_kpp_proxy(p_proxy.host_mesh, dt=cfg.dt)
+    p_proxy = (p if proxy_ms == mesh_size and dtype == "float64"
+               else kpp.build(kpp.KPPConfig(mesh_size=proxy_ms,
+                                            dtype=dtype)))
+    proxy = make_kpp_proxy(p_proxy.host_mesh, dt=p.cfg.dt
+                           if hasattr(p.cfg, "dt") else 0.01)
     u0 = np.asarray(p_proxy.u0, dtype=np.float64)
-    proxy.step(u0, u0, u0)  # warm numpy caches
+    proxy.step(u0, u0, u0)
     t0 = time.perf_counter()
     proxy.solve(u0, steps_proxy)
     proxy_elapsed = time.perf_counter() - t0
-    n_dofs_proxy = int(p_proxy.u0.shape[0])
-    # baseline DOF-steps/s at the proxy mesh (its per-DOF throughput only
-    # degrades at larger N, so this denominator is conservative)
-    proxy_value = n_dofs_proxy * steps_proxy / proxy_elapsed
+    proxy_value = int(p_proxy.u0.shape[0]) * steps_proxy / proxy_elapsed
     log(f"proxy (mesh {proxy_ms}) {steps_proxy} steps: {proxy_elapsed:.1f}s")
 
     out = {
-        "metric": f"KPP-RV DOF-steps/sec/chip (N={n_dofs}, {res.num_steps} steps, {dtype})",
+        "metric": f"KPP-RV DOF-steps/sec/chip (N={n_dofs}, "
+                  f"{p.num_steps}-step trajectories, {dtype}, "
+                  f"amortized per-call overhead)",
         "value": round(value, 1),
         "unit": "DOF-steps/s",
         "vs_baseline": round(value / proxy_value, 2),
     }
+    if found:
+        out["l2rel_vs_f64_anchor"] = round(rel, 6)
     if os.environ.get("BENCH_SWEEP"):
-        # optional mesh-size sweep (same per-mesh validated configs)
         sweep = {}
         for ms in (32, 64, 128, 256):
             if ms == mesh_size:
                 sweep[str(ms)] = round(value / 1e6, 2)
                 continue
-            c2 = kpp.KPPConfig(
-                mesh_size=ms, dtype=dtype,
-                modified_newton=(ms <= 64), cg_iters=10,
-                newton_iters=2 if ms <= 64 else 3,
-                newton_linear_iters=8 if ms <= 64 else 10,
-            ) if dtype == "float32" else kpp.KPPConfig(
-                mesh_size=ms, dtype=dtype)
-            p2 = kpp.build(c2)
-            if dtype == "float32" and not os.environ.get("BENCH_NO_FUSED"):
-                import dataclasses as _dc
-
-                p2.cfg = _dc.replace(p2.cfg, use_pallas=True)
-            r2 = p2.solve()
-            jax.block_until_ready(r2.u)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                r2 = p2.solve()
-                jax.block_until_ready(r2.u)
-                best = min(best, time.perf_counter() - t0)
-            sweep[str(ms)] = round(
-                int(p2.u0.shape[0]) * r2.num_steps / best / 1e6, 2)
+            p2 = build(ms)
+            ps2, u2 = _measure(p2, jnp, jax)
+            rel2, found2 = _accuracy(u2, ms)
+            if found2 and rel2 > ACCURACY_GATE:
+                sweep[str(ms)] = f"ACCURACY FAIL {rel2:.1e}"
+                continue
+            sweep[str(ms)] = round(int(p2.u0.shape[0]) / ps2 / 1e6, 2)
         out["sweep_M_dofsteps_per_s"] = sweep
     print(json.dumps(out))
 

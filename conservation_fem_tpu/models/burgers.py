@@ -59,6 +59,12 @@ class BurgersConfig:
     cg_iters: int | None = None
     newton_iters: int | None = None
     newton_linear_iters: int = 8
+    # "cheby": dot-free inner solves (see HyperbolicConfig). Jacobi-mass
+    # spectra widen with degree (measured: P1 [.5,2], P2 [.39,2.06],
+    # P3 [.29,2.01]) — bounds default per degree in build()
+    inner_solver: str = "bicgstab"
+    cheby_mass_bounds: tuple | None = None
+    cheby_lin_bounds: tuple | None = None
 
 
 def initial_condition_bump(x, y):
@@ -157,6 +163,13 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
         ell_matvec_backend=cfg.ell_matvec_backend,
         cg_iters=cfg.cg_iters, newton_iters=cfg.newton_iters,
         newton_linear_iters=cfg.newton_linear_iters,
+        inner_solver=cfg.inner_solver,
+        cheby_mass_bounds=(cfg.cheby_mass_bounds
+                           or {1: (0.5, 2.0), 2: (0.35, 2.1),
+                               3: (0.25, 2.1)}[cfg.degree]),
+        cheby_lin_bounds=(cfg.cheby_lin_bounds
+                          or {1: (0.4, 2.2), 2: (0.3, 2.2),
+                              3: (0.2, 2.2)}[cfg.degree]),
     )
     bc_fn = (
         (lambda pts, t: exact_solution(pts[:, 0], pts[:, 1], t))

@@ -97,3 +97,23 @@ def test_p2_rv_burgers_runs():
         mesh_size=25, degree=2, stabilization="rv", T=0.25))
     res = p.solve()
     assert np.isfinite(np.asarray(res.u)).all()
+
+
+def test_p2_si_fixed_cheby_matches_adaptive():
+    """P2 SI Burgers with fixed-iteration dot-free Chebyshev inner
+    solves (per-degree Jacobi-mass spectral bounds, BurgersConfig
+    defaults) reproduces the adaptive-solver anchor — the Pk pipeline's
+    throughput config is accuracy-gated like the P1 ones."""
+    import numpy as np
+
+    from conservation_fem_tpu.models import burgers
+
+    base = dict(mesh_size=12, degree=2, stabilization="si", smooth_l=4.0,
+                T=0.05, dtype="float64")
+    anchor = np.asarray(burgers.build(burgers.BurgersConfig(**base)).solve().u)
+    cfg = burgers.BurgersConfig(**base, modified_newton=True, cg_iters=12,
+                                newton_iters=2, newton_linear_iters=16,
+                                inner_solver="cheby")
+    u = np.asarray(burgers.build(cfg).solve().u)
+    rel = np.linalg.norm(u - anchor) / np.linalg.norm(anchor)
+    assert rel < 2e-4, rel
