@@ -39,18 +39,32 @@ ACCURACY_GATE = 1e-2     # L2rel vs the f64 anchor (recorded envelope ~4e-3)
 
 
 def _config(kpp, mesh_size, dtype):
-    # accuracy-validated per mesh (tests/test_pallas_fused.py,
-    # tests/test_pallas_tiled.py, golden anchors below):
-    #   <=64: frozen-Jacobian Newton 2 x cheby(16)
-    #   >=128: exact-Jacobian Newton 3 x cheby(20) (frozen diverges past
-    #          CFL ~ 1 — caught by the stagnation guard in round 2)
+    # accuracy-validated per mesh against the committed f64 anchors (the
+    # gate below), at CFL-MATCHED time steps — the reference's own KPP
+    # run is hmax=1/64, dt=0.01 (CFL 0.64, ref Code/KPP/KPP_exact.py:
+    # 75-78); refining the mesh without refining dt pushes CFL past 1
+    # where the CN Jacobian's Jacobi-preconditioned spectrum leaves the
+    # right-half-plane ellipse (measured: CFL 1.28 -> |im| 1.66;
+    # CFL 2.56 -> indefinite), so mesh > 64 scales dt to keep CFL = 0.64
+    # like any practitioner (and like the convergence harness). The
+    # metric is per-step throughput; trajectory length T = 1.0 unchanged.
+    #
+    # Inner solver: frozen-Jacobian Newton 2 x BiCGStab(4). Measured
+    # (mesh 64, amortized): bicgstab 2x4 = 175 us/step @ L2rel 3.8e-3 vs
+    # cheby 2x16 = 201 us @ 1.1e-2 — with the per-launch-overhead myth
+    # corrected, BiCGStab's 2-matvec+dots iteration beats Chebyshev's
+    # dot-free matvec per unit accuracy on-device. The dot-free cheby
+    # path remains REQUIRED for the HBM-tiled kernel (mesh >= 256:
+    # cross-tile dot reductions don't fit the one-pass sweep).
+    dt = 0.01 * min(1.0, 64.0 / mesh_size)
+    tiled = mesh_size >= 256          # past split-kernel VMEM ceiling
     return kpp.KPPConfig(
-        mesh_size=mesh_size, dtype=dtype,
-        modified_newton=(mesh_size <= 64),
-        cg_iters=10,
-        newton_iters=2 if mesh_size <= 64 else 3,
-        newton_linear_iters=16 if mesh_size <= 64 else 20,
-        inner_solver="cheby",
+        mesh_size=mesh_size, dtype=dtype, dt=dt,
+        modified_newton=True,
+        cg_iters=6 if not tiled else 10,
+        newton_iters=2,
+        newton_linear_iters=4 if not tiled else 16,
+        inner_solver="bicgstab" if not tiled else "cheby",
     )
 
 
@@ -74,7 +88,7 @@ def _measure(p, jnp, jax, reps=(1, 4), trials=3):
         return run
 
     times = {}
-    u = None
+    u_single = None
     for R in reps:
         run = runner(R)
         u = run(p._jit_state(), p.u0)
@@ -88,9 +102,14 @@ def _measure(p, jnp, jax, reps=(1, 4), trials=3):
         if not np.isfinite(s):
             raise RuntimeError("bench solve produced non-finite values")
         times[R] = best
+        if R == 1:
+            # the accuracy anchor is the SINGLE-trajectory end state;
+            # higher R chains R full solves (timing only)
+            u_single = np.asarray(u)
     per_step = (times[reps[1]] - times[reps[0]]) / (
         (reps[1] - reps[0]) * p.num_steps)
-    return per_step, np.asarray(u)
+    assert u_single is not None, "reps must include R=1 for the accuracy gate"
+    return per_step, u_single
 
 
 def _accuracy(u, mesh_size):

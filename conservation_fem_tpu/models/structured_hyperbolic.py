@@ -157,10 +157,13 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
                      * self.u0.dtype.itemsize)
         if per_field <= 270 * 2**10:
             return "single"
+        if per_field <= 1100 * 2**10:
+            # VMEM-resident split kernel beats the HBM-tiled kernel while
+            # the fields fit (mesh 128: split ~1.5 ms vs tiled 3.0 ms —
+            # HBM re-reads the Jacobian planes every Chebyshev iteration)
+            return "split"
         if cfg.inner_solver == "cheby":
             return "tiled"
-        if per_field <= 1100 * 2**10:
-            return "split"
         return None
 
     def _fused_pallas_ok(self):

@@ -85,9 +85,9 @@ def main():
     for ms in meshes:
         cfg = kpp.KPPConfig(
             mesh_size=ms, dtype="float32",
-            modified_newton=(ms <= 64), cg_iters=10,
-            newton_iters=2 if ms <= 64 else 3,
-            newton_linear_iters=16 if ms <= 64 else 20,
+            dt=0.01 * min(1.0, 64.0 / ms),     # CFL-matched (see bench.py)
+            modified_newton=True, cg_iters=10,
+            newton_iters=2, newton_linear_iters=16,
             inner_solver="cheby")
         p = kpp.build(cfg)
         p.cfg = dc.replace(p.cfg, use_pallas=True)
