@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from conservation_fem_tpu.models.scalar_hyperbolic import HyperbolicProblem
 from conservation_fem_tpu.ops import assembly, blocked
 from conservation_fem_tpu.ops import stabilization as stab
+from conservation_fem_tpu.ops.bc import constrain_residual
 from conservation_fem_tpu.ops.helpers import get_nodal_h
+from conservation_fem_tpu.ops.krylov import jacobi_preconditioner
 
 
 class BlockedHyperbolicProblem(HyperbolicProblem):
@@ -35,6 +37,8 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
         self._area_flat = self.plan.area_b.reshape(-1)
         self._grads_flat = self.plan.grads_b.reshape(-1, 3, 2)
         self.M_ell = self.M          # kept for the h_cg mass projection
+        self._L_mass = assembly.local_mass(self._area_flat).reshape(
+            self.plan.blocks, self.plan.C, 3, 3)
         self.M = self._assemble(assembly.local_mass(self._area_flat))
 
     # -- layout plumbing -----------------------------------------------------
@@ -86,6 +90,59 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
         return self._assemble(assembly.local_flux_jacobian(
             self._area_flat, self._grads_flat, uc.reshape(-1, 3),
             self.flux_prime))
+
+    def _local_keps(self, eps):
+        """(blocks, C, 3, 3) per-cell eps-stiffness locals (not assembled)."""
+        p = self.plan
+        ec = blocked.gather_cells(p, eps)
+        return assembly.local_eps_stiffness(
+            self._area_flat, self._grads_flat,
+            ec.reshape(-1, 3)).reshape(p.blocks, p.C, 3, 3)
+
+    def _local_flux_jacobian(self, u):
+        p = self.plan
+        uc = blocked.gather_cells(p, u)
+        return assembly.local_flux_jacobian(
+            self._area_flat, self._grads_flat, uc.reshape(-1, 3),
+            self.flux_prime).reshape(p.blocks, p.C, 3, 3)
+
+    def _newton_cn(self, u_n, eps, g):
+        """Matrix-free CN Newton: the per-step operators stay as per-cell
+        3x3 locals applied via gather->einsum->scatter
+        (ops/blocked.local_apply) instead of being assembled to windowed
+        form. Same math as the base solve (ref Code/KPP/KPP_NodeRV.py:
+        149-163); cuts the step from ~32 GFLOP (two ~16 GFLOP one-hot
+        assembly contractions) to ~55 MFLOP per operator application."""
+        if not self.cfg.blocked_matrix_free:
+            return super()._newton_cn(u_n, eps, g)
+        p = self.plan
+        dt = self.dt
+        bc = self.mesh.boundary_mask
+        L_keps = self._local_keps(eps)
+        L_cn = self._L_mass + 0.5 * dt * L_keps   # M + dt/2 Keps, local form
+        N_un = self._nonlinear_rhs(u_n)
+        M_mv = lambda x: blocked.spmv(p, self.M, x)   # assembled once
+        K_mv = lambda x: blocked.local_apply(p, L_keps, x)
+        Keps_un = K_mv(u_n)
+
+        def residual(v):
+            F = (
+                M_mv(v - u_n)
+                + 0.5 * dt * (self._nonlinear_rhs(v) + N_un)
+                + 0.5 * dt * (K_mv(v) + Keps_un)
+            )
+            return constrain_residual(F, v, g, bc)
+
+        def jacobian(u):
+            L_J = L_cn + 0.5 * dt * self._local_flux_jacobian(u)
+            J_mv = lambda v: blocked.local_apply(p, L_J, v)
+            matvec = lambda v: jnp.where(bc, v, J_mv(jnp.where(bc, 0.0, v)))
+            J_diag = blocked.local_diag(p, L_J)
+            pre = jacobi_preconditioner(jnp.where(bc, 1.0, J_diag))
+            return matvec, pre
+
+        u_init = jnp.where(bc, g, u_n)
+        return self._newton_dispatch(residual, jacobian, u_init)
 
     def _epsilon(self, u_n, RH):
         cfg = self.cfg

@@ -59,6 +59,8 @@ class KPPConfig:
     # banded/blocked meshes built here are RCM-reordered automatically;
     # caller-provided host_mesh must already be RCM-ordered.
     ell_matvec_backend: str = "gather"
+    # blocked backend: matrix-free per-step operators (see HyperbolicConfig)
+    blocked_matrix_free: bool = True
     dtype: str = "float64"
     record_metrics: bool = False
     # "auto": stencil backend on structured meshes (gather-free, ~10x step
@@ -113,6 +115,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         newton_linear_iters=cfg.newton_linear_iters,
         inner_solver=cfg.inner_solver,
         ell_matvec_backend=cfg.ell_matvec_backend,
+        blocked_matrix_free=cfg.blocked_matrix_free,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
     )
     if cfg.ell_matvec_backend == "blocked":

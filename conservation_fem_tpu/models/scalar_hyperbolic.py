@@ -99,6 +99,14 @@ class HyperbolicConfig:
     # "banded" (RCM diagonals, gather-free; 3.2x faster on TPU — requires an
     # RCM-ordered mesh for a small bandwidth)
     ell_matvec_backend: str = "gather"
+    # blocked backend only: apply the per-step operators (eps-stiffness,
+    # flux Jacobian) MATRIX-FREE from per-cell 3x3 locals
+    # (ops/blocked.local_apply, ~55 MFLOP/matvec) instead of materializing
+    # the windowed operator via the two-sided one-hot contraction
+    # (~16 GFLOP/assembly at the reference-mesh size — measured MXU-bound
+    # at ~half the step's 32 GFLOP). Identical contributions, summation
+    # order differs by roundoff (tests/test_blocked.py asserts 1e-12).
+    blocked_matrix_free: bool = True
     dtype: str = "float64"
     record_metrics: bool = False
 
@@ -278,6 +286,14 @@ class HyperbolicProblem:
             return matvec, pre
 
         u_init = jnp.where(bc, g, u_n)
+        return self._newton_dispatch(residual, jacobian, u_init)
+
+    def _newton_dispatch(self, residual, jacobian, u_init):
+        """Shared solver-selection tail of the CN Newton solve: fixed
+        straight-line iterations (TPU throughput path) or adaptive
+        while-loop Newton, per config. Backends that build their own
+        residual/jacobian operators (e.g. the matrix-free blocked path)
+        call this directly."""
         if self.cfg.newton_iters is not None:
             return newton_fixed(
                 residual, u_init,
@@ -289,7 +305,7 @@ class HyperbolicProblem:
                 linear_solver=self.cfg.inner_solver,
                 cheby_bounds=self.cfg.cheby_lin_bounds,
             )
-        res = newton_solve(
+        return newton_solve(
             residual, u_init,
             rtol=self.cfg.newton_rtol, atol=self.cfg.newton_atol,
             max_it=self.cfg.newton_max_it,
@@ -298,7 +314,6 @@ class HyperbolicProblem:
             jacobian_fn=jacobian,
             freeze_jacobian=self.cfg.modified_newton,
         )
-        return res
 
     def _smooth(self, u):
         """Post-solve patch smoothing (ref Exact_Burger_SI.py:193)."""

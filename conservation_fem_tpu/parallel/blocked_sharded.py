@@ -213,6 +213,35 @@ class DistributedBlocked:
                 return assemble(assembly.local_flux_jacobian(
                     area_f, grads_f, uc, fprime))
 
+            # matrix-free twins (cfg.blocked_matrix_free): per-cell 3x3
+            # locals applied gather->einsum->scatter, never assembled to
+            # windowed form (cf. ops/blocked.local_apply — the windowed
+            # one-hot assembly is ~16 GFLOP at the reference-mesh size).
+            # SPMD-safe as-is: cells are duplicated into every block that
+            # owns one of their nodes, gathers read halo'd windows, and
+            # scatter_vec writes only the device's own rows.
+            def local_apply(L, x):
+                uc = gather_cells(x)                    # (Lb*C, 3)
+                yc = jnp.einsum("cad,cd->ca", L, uc)
+                return scatter_vec(yc)
+
+            def local_diag(L):
+                return scatter_vec(jnp.einsum("caa->ca", L))
+
+            def local_keps(eps):
+                return assembly.local_eps_stiffness(
+                    area_f, grads_f, gather_cells(eps))
+
+            def local_jac(x):
+                return assembly.local_flux_jacobian(
+                    area_f, grads_f, gather_cells(x), fprime)
+
+            def c_op(mv):
+                def wrapped(x):
+                    x_in = jnp.where(pin, 0.0, x)
+                    return jnp.where(pin, x, mv(x_in))
+                return wrapped
+
             u = u2.reshape(-1)
             uo = uo2.reshape(-1)
             uoo = uoo2.reshape(-1)
@@ -270,19 +299,32 @@ class DistributedBlocked:
             eps = jnp.where(validf, eps, 0.0)
 
             # 3. Newton CN with u|bc = g(x, t)
-            Kc = keps_mat(eps)
             N_un = nl_rhs(u)
-            Kc_un = spmv(Kc, u)
-            base = Mb + 0.5 * dt * Kc
             g2 = bc_value(pts.reshape(-1, 2), t)
+            if cfg.blocked_matrix_free:
+                L_keps = local_keps(eps)
+                L_cn = assembly.local_mass(area_f) + 0.5 * dt * L_keps
+                K_mv = lambda v: local_apply(L_keps, v)
+                Kc_un = K_mv(u)
+                K_apply = K_mv
+            else:
+                Kc = keps_mat(eps)
+                Kc_un = spmv(Kc, u)
+                base = Mb + 0.5 * dt * Kc
+                K_apply = lambda v: spmv(Kc, v)
 
             def residual(v):
                 F = (spmv(Mb, v - u)
                      + 0.5 * dt * (nl_rhs(v) + N_un)
-                     + 0.5 * dt * (spmv(Kc, v) + Kc_un))
+                     + 0.5 * dt * (K_apply(v) + Kc_un))
                 return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
 
             def jacobian(v):
+                if cfg.blocked_matrix_free:
+                    L_J = L_cn + 0.5 * dt * local_jac(v)
+                    pre = jacobi_preconditioner(
+                        jnp.where(pin, 1.0, local_diag(L_J)))
+                    return c_op(lambda x: local_apply(L_J, x)), pre
                 J = base + 0.5 * dt * jac_mat(v)
                 pre = jacobi_preconditioner(
                     jnp.where(pin, 1.0, diag_of(J)))

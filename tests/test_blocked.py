@@ -99,6 +99,22 @@ def test_eps_stiffness_match(setup):
     assert rel(blocked.spmv(plan, K_blk, x), ell_matvec(m, K_ell, x)) < TOL
 
 
+def test_local_apply_matches_assembled(setup):
+    """Matrix-free local_apply/local_diag == assemble_matrix + spmv/diag_of
+    to summation-order roundoff (the matrix-free CN Newton path's basis)."""
+    hm, m, plan, x = setup
+    fprime = lambda u: jnp.stack([jnp.cos(u), -jnp.sin(u)], axis=-1)
+    uc = blocked.gather_cells(plan, x)
+    L = assembly.local_flux_jacobian(
+        plan.area_b.reshape(-1), plan.grads_b.reshape(-1, 3, 2),
+        uc.reshape(-1, 3), fprime).reshape(plan.blocks, plan.C, 3, 3)
+    D = blocked.assemble_matrix(plan, L)
+    y = jnp.asarray(np.random.default_rng(7).standard_normal(hm.n_nodes))
+    assert rel(blocked.local_apply(plan, L, y),
+               blocked.spmv(plan, D, y)) < TOL
+    assert rel(blocked.local_diag(plan, L), blocked.diag_of(plan, D)) < TOL
+
+
 def test_bc_matrix_match(setup):
     hm, m, plan, x = setup
     K_ell = ell_with_bc(m, assembly.assemble_stiffness(m), m.boundary_mask)

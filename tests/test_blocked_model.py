@@ -42,6 +42,16 @@ def test_blocked_si_matches_gather(rcm_mesh):
     assert np.max(np.abs(u_b - u_g)) < 1e-9
 
 
+def test_matrix_free_matches_assembled(rcm_mesh):
+    """The default matrix-free CN Newton (local_apply) vs the windowed
+    assembled operators: same contributions, roundoff-only divergence."""
+    u_mf = _run(rcm_mesh, ell_matvec_backend="blocked",
+                blocked_matrix_free=True)
+    u_as = _run(rcm_mesh, ell_matvec_backend="blocked",
+                blocked_matrix_free=False)
+    assert np.max(np.abs(u_mf - u_as)) < 1e-9
+
+
 def test_fixed_iteration_solvers_match_adaptive(rcm_mesh):
     u_ad = _run(rcm_mesh, ell_matvec_backend="blocked")
     u_fx = _run(rcm_mesh, ell_matvec_backend="blocked",
