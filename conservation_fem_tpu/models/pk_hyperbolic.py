@@ -11,6 +11,7 @@ so only the assembly calls change.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from conservation_fem_tpu.models.scalar_hyperbolic import (
@@ -56,16 +57,22 @@ class PkHyperbolicProblem(HyperbolicProblem):
     @property
     def h_cg(self):
         if self._h_cg is None:
-            self._h_cg = get_nodal_h_pk(self.mesh, self.M)
+            val = get_nodal_h_pk(self.mesh, self.M)
+            if isinstance(val, jax.core.Tracer):
+                return val      # mid-trace: never cache (tracer leak)
+            self._h_cg = val
         return self._h_cg
 
     @property
     def K_bc(self):
         if self._K_bc is None and self.cfg.stabilization == "si":
-            self._K_bc = _ell_with_bc(
+            val = _ell_with_bc(
                 self.mesh, apk.assemble_stiffness(self.mesh),
                 self.mesh.boundary_mask,
             )
+            if isinstance(val, jax.core.Tracer):
+                return val      # mid-trace: never cache (tracer leak)
+            self._K_bc = val
         return self._K_bc
 
     def _nonlinear_rhs(self, u):

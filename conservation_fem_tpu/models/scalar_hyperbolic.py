@@ -160,15 +160,34 @@ class HyperbolicProblem:
         """Nodal h (mass-solve projection), computed lazily — the stencil
         backend never touches the ELL version (uniform-mesh h is exact)."""
         if self._h_cg is None:
-            self._h_cg = get_nodal_h(self.mesh, mass_ell=self.M)
+            val = get_nodal_h(self.mesh, mass_ell=self.M)
+            if isinstance(val, jax.core.Tracer):
+                return val      # mid-trace: never cache (tracer leak)
+            self._h_cg = val
         return self._h_cg
 
     @property
     def K_bc(self):
         if self._K_bc is None and self.cfg.stabilization == "si":
             K = assembly.assemble_stiffness(self.mesh)
-            self._K_bc = ell_with_bc(self.mesh, K, self.mesh.boundary_mask)
+            val = ell_with_bc(self.mesh, K, self.mesh.boundary_mask)
+            if isinstance(val, jax.core.Tracer):
+                return val      # mid-trace: never cache (tracer leak)
+            self._K_bc = val
         return self._K_bc
+
+    def _force_lazy_operators(self):
+        """Force the lazily-built static operators BEFORE tracing. Computed
+        inside a jit trace they (a) cache outer-trace tracers that poison
+        any later re-trace and (b) get inlined into the scan BODY — the
+        h_cg mass CG solve and the bc-stiffness assembly then re-execute
+        every time step (this was silently part of every ELL/Pk per-step
+        cost until round 3). The stencil backend overrides this to a no-op
+        (its kernels use sd coefficient fields, not the ELL operators)."""
+        if self.cfg.stabilization in ("rv", "si"):
+            _ = self.h_cg
+        if self.cfg.stabilization == "si":
+            _ = self.K_bc
 
     def _init_lattice(self, coords, space_like):
         """Lattice-stencil application backend (ops/lattice.py): dofs on a
@@ -328,7 +347,10 @@ class HyperbolicProblem:
     # traced regions in `with problem.bound_jit_state(state): ...`.
 
     def _jit_state(self):
-        """Pytree of device buffers to pass through jit (None = nothing)."""
+        """Pytree of device buffers to pass through jit (None = nothing).
+        Always called OUTSIDE the traced region — also the hook that
+        forces lazy operators onto the device before tracing starts."""
+        self._force_lazy_operators()
         return None
 
     def _bind_jit_state(self, state):

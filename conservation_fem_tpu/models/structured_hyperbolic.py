@@ -54,6 +54,10 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             self._K_bc_coef = st.stiffness_bc_coef(self.sd)
         return self
 
+    def _force_lazy_operators(self):
+        """No-op: the stencil kernels use sd coefficient fields; the ELL
+        h_cg/K_bc would be dead weight on this backend."""
+
     # -- 2D pipeline ---------------------------------------------------------
 
     def _residual_bdf2_2d(self, u2, uo2, uoo2):

@@ -1,30 +1,21 @@
 """Time the blocked unstructured KPP step on the reference gmsh mesh (TPU).
 
-Compares gather / blocked backends and validates the blocked
-fixed-iteration f32 solution against an adaptive tight-tolerance run.
+Round-3 edition: amortized repeat-difference timing (timeharness —
+cancels the ~30 ms per-Python-call tunnel constant that inflated the
+round-2 1.56 ms/step figure), and the matrix-free per-step operators
+(blocked_matrix_free, ops/blocked.local_apply) vs the windowed assembled
+path. Accuracy: fixed-iteration f32 vs an adaptive tight-tolerance run.
+
+Usage: python scripts/bench_blocked.py          (runs on the TPU)
 """
 
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def run(p):
-    import jax
-
-    res = p.solve()
-    jax.block_until_ready(res.u)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        res = p.solve()
-        jax.block_until_ready(res.u)
-        best = min(best, time.perf_counter() - t0)
-    return best / p.num_steps, np.asarray(res.u)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -32,40 +23,40 @@ def main():
 
     ge._enable_compile_cache()
 
+    from timeharness import measure_per_step
+
     from conservation_fem_tpu.models import kpp
 
     common = dict(mesh_source=kpp.KPP_REFERENCE_H5, dtype="float32",
-                  backend="ell")
+                  backend="ell", ell_matvec_backend="blocked")
+    fixed = dict(modified_newton=True, cg_iters=10, newton_iters=3,
+                 newton_linear_iters=8)
 
-    t_g, u_g = run(kpp.build(kpp.KPPConfig(
-        krylov_rtol=1e-5, newton_linear_rtol=1e-3, modified_newton=True,
-        **common)))
-    print(f"gather adaptive:   {t_g*1e3:8.2f} ms/step", flush=True)
+    def bench(label, **kw):
+        p = kpp.build(kpp.KPPConfig(**{**common, **kw}))
+        per_step, _ = measure_per_step(p, verbose=True)
+        n = int(p.u0.shape[0])
+        print(f"{label:42s} {per_step*1e6:8.1f} us/step  "
+              f"{n/per_step/1e6:8.2f} M DOF-steps/s", flush=True)
+        return p
 
-    t_b, u_b = run(kpp.build(kpp.KPPConfig(
-        krylov_rtol=1e-5, newton_linear_rtol=1e-3, modified_newton=True,
-        ell_matvec_backend="blocked", **common)))
-    print(f"blocked adaptive:  {t_b*1e3:8.2f} ms/step", flush=True)
+    bench("blocked adaptive (assembled)",
+          krylov_rtol=1e-5, newton_linear_rtol=1e-3, modified_newton=True,
+          blocked_matrix_free=False)
+    bench("blocked adaptive (matrix-free)",
+          krylov_rtol=1e-5, newton_linear_rtol=1e-3, modified_newton=True)
+    bench("blocked fixed (assembled)", blocked_matrix_free=False, **fixed)
+    p_f = bench("blocked fixed (matrix-free)", **fixed)
 
-    for (cgi, ni, li) in [(10, 4, 8), (12, 3, 10), (8, 3, 6), (12, 2, 12)]:
-        t_f, u_f = run(kpp.build(kpp.KPPConfig(
-            modified_newton=True, cg_iters=cgi, newton_iters=ni,
-            newton_linear_iters=li, ell_matvec_backend="blocked", **common)))
-        ok = np.isfinite(u_f).all() and 0.5 < u_f.min() and u_f.max() < 12.0
-        print(f"blocked fixed cg={cgi} n={ni} l={li}: {t_f*1e3:8.2f} ms/step"
-              f"  sane={ok} range=[{u_f.min():.3f},{u_f.max():.3f}]",
-              flush=True)
-
-    # accuracy: fixed f32 blocked vs adaptive tight f32 blocked (same mesh)
-    t_a, u_a = run(kpp.build(kpp.KPPConfig(
-        krylov_rtol=1e-6, newton_linear_rtol=1e-4,
-        ell_matvec_backend="blocked", **common)))
-    print(f"blocked adaptive tight: {t_a*1e3:8.2f} ms/step", flush=True)
-    t_f, u_f = run(kpp.build(kpp.KPPConfig(
-        modified_newton=True, cg_iters=12, newton_iters=3,
-        newton_linear_iters=10, ell_matvec_backend="blocked", **common)))
-    print(f"fixed-vs-adaptive Linf: {np.abs(u_f - u_a).max():.3e}"
-          f"  (field range {u_a.min():.3f}..{u_a.max():.3f})")
+    # accuracy: fixed matrix-free f32 vs adaptive tight f32 (same mesh)
+    p_a = kpp.build(kpp.KPPConfig(
+        krylov_rtol=1e-6, newton_linear_rtol=1e-4, **common))
+    u_a = np.asarray(p_a.solve().u)
+    u_f = np.asarray(p_f.solve().u)
+    ok = np.isfinite(u_f).all() and 0.5 < u_f.min() and u_f.max() < 12.0
+    print(f"fixed-vs-adaptive Linf: {np.abs(u_f - u_a).max():.3e}  "
+          f"sane={ok}  (field range {u_a.min():.3f}..{u_a.max():.3f})",
+          flush=True)
 
 
 if __name__ == "__main__":

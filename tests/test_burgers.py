@@ -117,3 +117,27 @@ def test_p2_si_fixed_cheby_matches_adaptive():
     u = np.asarray(burgers.build(cfg).solve().u)
     rel = np.linalg.norm(u - anchor) / np.linalg.norm(anchor)
     assert rel < 2e-4, rel
+
+
+def test_lazy_operators_concrete_after_solve():
+    """h_cg/K_bc must be forced OUTSIDE jit traces. Before round 3 they
+    were first touched inside the solve trace: the cache kept a leaked
+    tracer (poisoning any later re-trace with UnexpectedTracerError) and
+    their builds — a CG mass solve + bc-stiffness assembly — were inlined
+    into the scan body, silently re-executing every time step."""
+    import jax
+
+    p = burgers.build(burgers.BurgersConfig(
+        mesh_size=8, degree=2, stabilization="si", T=0.05))
+    p.solve()
+    assert not isinstance(p._h_cg, jax.core.Tracer)
+    assert not isinstance(p._K_bc, jax.core.Tracer)
+
+    # a second, structurally different trace must not see stale tracers
+    @jax.jit
+    def one_step(state, u0):
+        with p.bound_jit_state(state):
+            return p.step((u0, u0, u0), p.dt)[0][0]
+
+    u = one_step(p._jit_state(), p.u0)
+    assert np.isfinite(np.asarray(u)).all()
