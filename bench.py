@@ -217,7 +217,10 @@ def main():
         out["l2rel_vs_f64_anchor"] = round(rel, 6)
     if os.environ.get("BENCH_SWEEP"):
         sweep = {}
-        for ms in (32, 64, 128, 256):
+        sw = os.environ["BENCH_SWEEP"]
+        meshes = ([int(x) for x in sw.split(",")] if "," in sw
+                  else (32, 64, 128, 256))
+        for ms in meshes:
             if ms == mesh_size:
                 sweep[str(ms)] = round(value / 1e6, 2)
                 continue

@@ -59,8 +59,9 @@ class KPPConfig:
     # banded/blocked meshes built here are RCM-reordered automatically;
     # caller-provided host_mesh must already be RCM-ordered.
     ell_matvec_backend: str = "gather"
-    # blocked backend: matrix-free per-step operators (see HyperbolicConfig)
-    blocked_matrix_free: bool = True
+    # blocked backend: matrix-free per-step operators (see HyperbolicConfig;
+    # default off — the assembled windowed path is 4x faster on TPU)
+    blocked_matrix_free: bool = False
     dtype: str = "float64"
     record_metrics: bool = False
     # "auto": stencil backend on structured meshes (gather-free, ~10x step

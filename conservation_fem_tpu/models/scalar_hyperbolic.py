@@ -101,12 +101,15 @@ class HyperbolicConfig:
     ell_matvec_backend: str = "gather"
     # blocked backend only: apply the per-step operators (eps-stiffness,
     # flux Jacobian) MATRIX-FREE from per-cell 3x3 locals
-    # (ops/blocked.local_apply, ~55 MFLOP/matvec) instead of materializing
-    # the windowed operator via the two-sided one-hot contraction
-    # (~16 GFLOP/assembly at the reference-mesh size — measured MXU-bound
-    # at ~half the step's 32 GFLOP). Identical contributions, summation
-    # order differs by roundoff (tests/test_blocked.py asserts 1e-12).
-    blocked_matrix_free: bool = True
+    # (ops/blocked.local_apply) instead of materializing the windowed
+    # operator via the two-sided one-hot contraction. Identical
+    # contributions, summation order differs by roundoff
+    # (tests/test_blocked.py asserts 1e-12). Default OFF: measured on the
+    # reference gmsh mesh (v5e), each one-hot matvec streams the
+    # Gcell+Sv operators from HBM (~67 us marginal) while an assembled
+    # window spmv is 3.7 us — with ~30 matvecs/step the assembled path
+    # wins 4x (1.36 vs 5.9 ms/step) despite its 2 GEMM assemblies.
+    blocked_matrix_free: bool = False
     dtype: str = "float64"
     record_metrics: bool = False
 

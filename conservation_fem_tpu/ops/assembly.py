@@ -53,7 +53,7 @@ def _quad_basis():
 
 def local_mass(area):
     """(M,) -> (M,3,3) local mass matrices."""
-    base = (jnp.ones((3, 3)) + jnp.eye(3)) / 12.0
+    base = ((jnp.ones((3, 3)) + jnp.eye(3)) / 12.0).astype(area.dtype)
     return area[:, None, None] * base[None]
 
 
@@ -151,7 +151,7 @@ def assemble_directional_convection(mesh: MeshArrays):
 
 def lumped_mass(mesh: MeshArrays):
     """Row-sum lumped mass vector (N,)."""
-    cell_vals = mesh.area[:, None] * (jnp.ones(3) / 3.0)
+    cell_vals = mesh.area[:, None] * (jnp.ones(3, mesh.area.dtype) / 3.0)
     return scatter_vector(mesh, cell_vals)
 
 

@@ -187,9 +187,20 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
     diag_eye[np.arange(nb), np.arange(nb) + B] = 1.0
 
     f = lambda x: jnp.asarray(x, dtype)
+    # One-hot operators hold exact 0/1 values — bfloat16 represents them
+    # exactly, and on the TPU MXU every dot rounds its operands to bf16
+    # anyway (default matmul precision), so storing them at half the HBM
+    # bytes changes nothing numerically while halving the dominant
+    # streams (Gcell+Sv+Rrow+Ccol = 437 MB f32 on the reference mesh —
+    # the measured cost of gathers and the assembly GEMM is their
+    # bandwidth). For f64 compute they stay f32: promotion into a f64
+    # einsum is exact, keeping the 1e-12 ELL-identity tests intact.
+    oh_dtype = (jnp.bfloat16 if jnp.dtype(dtype) == jnp.float32
+                else jnp.float32)
+    oh = lambda x: jnp.asarray(x, oh_dtype)
     return BlockedPlan(
         n=n, nb=nb, B=B, blocks=blocks, W=W, Wpad=Wpad, C=C, pad_hi=pad_hi,
-        Gcell=f(Gcell), Sv=f(Sv), Rrow=f(Rrow), Ccol=f(Ccol),
+        Gcell=oh(Gcell), Sv=oh(Sv), Rrow=oh(Rrow), Ccol=oh(Ccol),
         A_bool=jnp.asarray(A), A_float=f(A),
         area_b=f(area_b), grads_b=f(grads_b),
         bc_row=jnp.asarray(bc_row), bc_win=jnp.asarray(bc_win),
@@ -242,33 +253,68 @@ def diag_of(plan: BlockedPlan, D):
     return unblock(plan, d[:, : plan.nb])
 
 
+def _oh_apply(A, x, contract_dim, out_dtype):
+    """Batched one-hot GEMV y[b, free] = sum_k A[b, ..k..] x[b, k],
+    contracting A's `contract_dim` with x's dim 1 (batch dim 0).
+
+    When A is stored bf16 (f32 compute), x is rounded to bf16 so BOTH
+    MXU operand streams stay at half width — numerically identical to
+    the f32 einsum on TPU, whose default matmul precision rounds every
+    dot operand to bf16 anyway. For wider A (f64 compute) this is a
+    plain einsum-equivalent dot with exact promotion."""
+    if A.dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    else:
+        out_dtype = jnp.promote_types(A.dtype, x.dtype)
+        A = A.astype(out_dtype)
+        x = x.astype(out_dtype)
+    return jax.lax.dot_general(
+        A, x, (((contract_dim,), (1,)), ((0,), (0,))),
+        preferred_element_type=out_dtype)
+
+
 def gather_cells(plan: BlockedPlan, x):
     """u[cells] in blocked layout: (blocks, C, 3); padded cells give 0."""
     w = windows(plan, x)
-    uc = jnp.einsum("bsw,bw->bs", plan.Gcell, w)
+    uc = _oh_apply(plan.Gcell, w, 2, x.dtype)        # "bsw,bw->bs"
     return uc.reshape(plan.blocks, plan.C, 3)
 
 
 def scatter_cell_vectors(plan: BlockedPlan, vals):
     """(blocks, C, 3) local vectors -> (n,) nodal accumulation."""
     v = vals.reshape(plan.blocks, 3 * plan.C)
-    return unblock(plan, jnp.einsum("bsn,bs->bn", plan.Sv, v))
+    y = _oh_apply(plan.Sv, v, 1, vals.dtype)         # "bsn,bs->bn"
+    return unblock(plan, y)
+
+
+def assemble_from_onehots(Rrow, Ccol, v, out_dtype):
+    """out[b,r,w] = sum_s Rrow[b,s,r] v[b,s] Ccol[b,s,w] — the two-sided
+    one-hot assembly GEMM, shared with the sharded twin. bf16 one-hots
+    keep both GEMM streams at half HBM width (see _oh_apply)."""
+    if Rrow.dtype == jnp.bfloat16:
+        lhs = Rrow * v[:, :, None].astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            lhs, Ccol, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=out_dtype)
+    return jnp.einsum("bsr,bsw->brw", Rrow * v[:, :, None], Ccol)
 
 
 def assemble_matrix(plan: BlockedPlan, cellmats):
     """(blocks, C, 3, 3) local matrices -> (blocks, nb, Wpad) operator."""
     v = cellmats.reshape(plan.blocks, 9 * plan.C)
-    return jnp.einsum("bsr,bsw->brw", plan.Rrow * v[:, :, None], plan.Ccol)
+    return assemble_from_onehots(plan.Rrow, plan.Ccol, v, cellmats.dtype)
 
 
 def local_apply(plan: BlockedPlan, L, x):
     """Matrix-free operator application y = A(L) x from per-cell local
     matrices L (blocks, C, 3, 3): gather x to cells, apply the 3x3 locals,
     scatter back. Same contributions as assemble_matrix+spmv (summation
-    order differs by roundoff only — tests assert 1e-12 f64 identity), but
-    ~55 MFLOP per matvec at the reference-mesh size vs the ~16 GFLOP
-    windowed assembly — the per-step assembly was ~half the step's FLOPs
-    (measured 31.9 GFLOP/step, MXU-bound at ~24 TFLOP/s)."""
+    order differs by roundoff only — tests assert 1e-12 f64 identity).
+    FLOP-cheap but HBM-expensive on TPU: every call re-streams Gcell+Sv
+    (~67 us marginal on the reference mesh vs 3.7 us for an assembled
+    window spmv), so it only pays when an operator is applied a couple of
+    times; per-step Krylov operators are faster assembled
+    (HyperbolicConfig.blocked_matrix_free, default off)."""
     uc = gather_cells(plan, x)                       # (blocks, C, 3)
     yc = jnp.einsum("zcad,zcd->zca", L, uc)
     return scatter_cell_vectors(plan, yc)

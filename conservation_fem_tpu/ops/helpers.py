@@ -21,7 +21,8 @@ def get_nodal_h(mesh: MeshArrays, mass_ell=None, rtol=1e-14):
 
     rhs b_a = sum_cells h_k * int_cell phi_a = sum_cells h_k * area/3.
     """
-    rhs_cell = (mesh.h_cell * mesh.area / 3.0)[:, None] * jnp.ones(3)
+    rhs_cell = ((mesh.h_cell * mesh.area / 3.0)[:, None]
+                * jnp.ones(3, mesh.h_cell.dtype))
     b = assembly.scatter_vector(mesh, rhs_cell)
     if mass_ell is None:
         mass_ell = assembly.assemble_mass(mesh)

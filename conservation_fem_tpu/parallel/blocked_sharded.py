@@ -31,6 +31,7 @@ from jax import shard_map
 from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 from conservation_fem_tpu.ops import assembly
+from conservation_fem_tpu.ops import blocked as blocked_ops
 from conservation_fem_tpu.ops.krylov import (cg, cg_fixed, chebyshev_fixed,
                                              jacobi_preconditioner)
 from conservation_fem_tpu.ops.newton import newton_fixed, newton_solve
@@ -181,16 +182,18 @@ class DistributedBlocked:
 
             def gather_cells(x):
                 w = self._windows(x)
-                return jnp.einsum("bsw,bw->bs", Gcell, w).reshape(-1, 3)
+                return blocked_ops._oh_apply(
+                    Gcell, w, 2, self.dtype).reshape(-1, 3)
 
             def scatter_vec(vals):
                 v = vals.reshape(Lb, 3 * plan.C)
-                return jnp.einsum("bsn,bs->bn", Sv, v).reshape(-1)
+                return blocked_ops._oh_apply(
+                    Sv, v, 1, self.dtype).reshape(-1)
 
             def assemble(local_mats):
                 v = local_mats.reshape(Lb, 9 * plan.C)
-                return jnp.einsum(
-                    "bsr,bsw->brw", Rrow * v[:, :, None], Ccol)
+                return blocked_ops.assemble_from_onehots(
+                    Rrow, Ccol, v, self.dtype)
 
             def patch_reduce(x, reducer, pad_val):
                 w = self._windows(jnp.where(validf, x, pad_val))

@@ -46,6 +46,8 @@ def main():
     bench("blocked adaptive (matrix-free)",
           krylov_rtol=1e-5, newton_linear_rtol=1e-3, modified_newton=True)
     bench("blocked fixed (assembled)", blocked_matrix_free=False, **fixed)
+    bench("blocked fixed n=2 (assembled)", blocked_matrix_free=False,
+          **{**fixed, "newton_iters": 2})
     p_f = bench("blocked fixed (matrix-free)", **fixed)
 
     # accuracy: fixed matrix-free f32 vs adaptive tight f32 (same mesh)

@@ -68,3 +68,15 @@ def test_distributed_blocked_fast_solvers_match():
     rel = (np.linalg.norm(u_single - u_adaptive)
            / np.linalg.norm(u_adaptive))
     assert rel < 2e-3, rel
+
+
+def test_distributed_blocked_matrix_free_matches():
+    """The matrix-free per-step operators (blocked_matrix_free=True,
+    non-default: assembled windows are faster on TPU but the matrix-free
+    path stays supported) match single-device at 1e-9."""
+    p = _build(blocked_matrix_free=True)
+    u_single = np.asarray(p.solve().u)
+    u_dist = DistributedBlocked(
+        _build(blocked_matrix_free=True), _dmesh(4)).solve()
+    d = np.abs(u_dist - u_single).max()
+    assert d < 1e-9, d
