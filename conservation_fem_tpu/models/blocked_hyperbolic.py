@@ -69,27 +69,35 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
         return self._K_bc
 
     # -- step pieces in blocked form ------------------------------------------
+    # All hot quadratures run COMPONENTWISE on (blocks, C) planes
+    # (ops/blocked.*_components): the (M, 6)/(M, 3, 2) shaped kernels of
+    # ops/assembly pay 21-64x lane padding on TPU — measured ~45% of the
+    # blocked step before the rewrite.
+
+    @property
+    def _fpxy(self):
+        """Componentwise flux derivative (fpx, fpy). Models attach
+        flux_prime_xy after build (kpp.py / burgers.py); fall back to
+        slicing the stacked flux_prime (correct, lane-padded)."""
+        xy = getattr(self, "flux_prime_xy", None)
+        if xy is not None:
+            return xy
+        return (lambda v: self.flux_prime(v)[..., 0],
+                lambda v: self.flux_prime(v)[..., 1])
 
     def _nonlinear_rhs(self, u):
-        p = self.plan
-        uc = blocked.gather_cells(p, u)
-        r = assembly.local_convection_rhs(
-            self._area_flat, self._grads_flat, uc.reshape(-1, 3),
-            self.flux_prime).reshape(p.blocks, p.C, 3)
-        return blocked.scatter_cell_vectors(p, r)
+        fpx, fpy = self._fpxy
+        return blocked.conv_rhs_components(self.plan, u, fpx, fpy)
 
     def _assemble_keps(self, eps):
-        p = self.plan
-        ec = blocked.gather_cells(p, eps)
-        return self._assemble(assembly.local_eps_stiffness(
-            self._area_flat, self._grads_flat, ec.reshape(-1, 3)))
+        return blocked.assemble_matrix_components(
+            self.plan, blocked.eps_locals_components(self.plan, eps))
 
     def _assemble_flux_jacobian(self, u):
-        p = self.plan
-        uc = blocked.gather_cells(p, u)
-        return self._assemble(assembly.local_flux_jacobian(
-            self._area_flat, self._grads_flat, uc.reshape(-1, 3),
-            self.flux_prime))
+        fpx, fpy = self._fpxy
+        return blocked.assemble_matrix_components(
+            self.plan,
+            blocked.flux_jacobian_locals_components(self.plan, u, fpx, fpy))
 
     def _local_keps(self, eps):
         """(blocks, C, 3, 3) per-cell eps-stiffness locals (not assembled)."""

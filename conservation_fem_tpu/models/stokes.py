@@ -373,13 +373,17 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
 
     def _bicg(op, b, x0, precond):
         if ki is not None:
-            return bicgstab_fixed(op, b, x0=x0, precond=precond, iters=ki)
+            # unroll=False: three ki-iteration solves per step fully
+            # unrolled OOM-kill the remote XLA compile helper; fori_loop
+            # compiles the body once at identical on-device throughput
+            return bicgstab_fixed(op, b, x0=x0, precond=precond, iters=ki,
+                                  unroll=False)
         return bicgstab(op, b, x0=x0, precond=precond, rtol=cfg.krylov_rtol)
 
     def _cg(op, b, x0, precond, mass=False):
         if ki is not None:
             return cg_fixed(op, b, x0=x0, precond=precond,
-                            iters=min(8, ki) if mass else ki)
+                            iters=min(8, ki) if mass else ki, unroll=False)
         return cg(op, b, x0=x0, precond=precond, rtol=cfg.krylov_rtol)
 
     # -- backend-selected Krylov drivers (dof-space vectors in and out) ------

@@ -65,6 +65,8 @@ class BlockedPlan:
     A_float: object  # same as 0/1 float
     area_b: object  # (blocks, C)
     grads_b: object  # (blocks, C, 3, 2)
+    gx3: object     # (blocks, 3, C) basis-gradient x components
+    gy3: object     # (blocks, 3, C)
     bc_row: object  # (blocks, nb) bool
     bc_win: object  # (blocks, Wpad) bool (global column is bc)
     diag_eye: object  # (nb, Wpad) 1 at (r, r+B)
@@ -73,7 +75,7 @@ class BlockedPlan:
 
 _PLAN_ARRAY_FIELDS = (
     "Gcell", "Sv", "Rrow", "Ccol", "A_bool", "A_float", "area_b", "grads_b",
-    "bc_row", "bc_win", "diag_eye", "patch_deg",
+    "gx3", "gy3", "bc_row", "bc_win", "diag_eye", "patch_deg",
 )
 _PLAN_STATIC_FIELDS = ("n", "nb", "B", "blocks", "W", "Wpad", "C", "pad_hi")
 
@@ -152,15 +154,19 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
         out[bb, ss, idx[bb, ss]] = 1.0
         return out
 
-    Gcell = onehot(wpos.reshape(blocks, 3 * C), in_win.reshape(blocks, 3 * C),
-                   Wpad)
-    Sv = onehot(np.where(own, rpos, 0).reshape(blocks, 3 * C),
-                own.reshape(blocks, 3 * C), nb)
-    # contributions s = 9c + 3a + a2: row from node a, column from node a2
-    r9 = np.repeat(rpos, 3, axis=2).reshape(blocks, 9 * C)      # (b, c,a,a2->r of a)
-    own9 = np.repeat(own, 3, axis=2).reshape(blocks, 9 * C)
-    w9 = np.tile(wpos, (1, 1, 3)).reshape(blocks, 9 * C)        # col of a2
-    inw9 = np.tile(in_win, (1, 1, 3)).reshape(blocks, 9 * C)
+    # COMPONENT-MAJOR contribution ordering: s = a*C + c (vectors) and
+    # s9 = (3a + a2)*C + c (matrices). On TPU an (S, 3)-interleaved layout
+    # forces 3-lane (padded to 128) arrays through every quadrature op —
+    # component-major keeps all cell fields as clean (blocks, C) planes
+    # (see gather_components / the *_cw kernels below).
+    cm = lambda arr: arr.transpose(0, 2, 1).reshape(blocks, -1)
+    Gcell = onehot(cm(wpos), cm(in_win), Wpad)
+    Sv = onehot(cm(np.where(own, rpos, 0)), cm(own), nb)
+    # contributions (c, 3a + a2): row from node a, column from node a2
+    r9 = cm(np.repeat(rpos, 3, axis=2))             # r of a at slot 3a+a2
+    own9 = cm(np.repeat(own, 3, axis=2))
+    w9 = cm(np.tile(wpos, (1, 1, 3)))               # col of a2
+    inw9 = cm(np.tile(in_win, (1, 1, 3)))
     both = own9 & inw9
     Rrow = onehot(np.where(both, r9, 0), both, nb)
     Ccol = onehot(np.where(both, w9, 0), both, Wpad)
@@ -203,6 +209,8 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
         Gcell=oh(Gcell), Sv=oh(Sv), Rrow=oh(Rrow), Ccol=oh(Ccol),
         A_bool=jnp.asarray(A), A_float=f(A),
         area_b=f(area_b), grads_b=f(grads_b),
+        gx3=f(grads_b[:, :, :, 0].transpose(0, 2, 1)),
+        gy3=f(grads_b[:, :, :, 1].transpose(0, 2, 1)),
         bc_row=jnp.asarray(bc_row), bc_win=jnp.asarray(bc_win),
         diag_eye=f(diag_eye), patch_deg=f(patch_deg),
     )
@@ -273,18 +281,32 @@ def _oh_apply(A, x, contract_dim, out_dtype):
         preferred_element_type=out_dtype)
 
 
-def gather_cells(plan: BlockedPlan, x):
-    """u[cells] in blocked layout: (blocks, C, 3); padded cells give 0."""
+def gather_components(plan: BlockedPlan, x):
+    """u[cells] componentwise: (blocks, 3, C); padded cells give 0.
+
+    The native form of the component-major one-hots — each local basis
+    slot a is a clean (blocks, C) lane plane, so quadrature kernels never
+    touch 3-lane-wide arrays (which TPU pads to 128 lanes)."""
     w = windows(plan, x)
     uc = _oh_apply(plan.Gcell, w, 2, x.dtype)        # "bsw,bw->bs"
-    return uc.reshape(plan.blocks, plan.C, 3)
+    return uc.reshape(plan.blocks, 3, plan.C)
+
+
+def scatter_components(plan: BlockedPlan, v3):
+    """(blocks, 3, C) componentwise local vectors -> (n,) accumulation."""
+    v = v3.reshape(plan.blocks, 3 * plan.C)
+    y = _oh_apply(plan.Sv, v, 1, v3.dtype)           # "bsn,bs->bn"
+    return unblock(plan, y)
+
+
+def gather_cells(plan: BlockedPlan, x):
+    """u[cells] in blocked layout: (blocks, C, 3); padded cells give 0."""
+    return gather_components(plan, x).transpose(0, 2, 1)
 
 
 def scatter_cell_vectors(plan: BlockedPlan, vals):
     """(blocks, C, 3) local vectors -> (n,) nodal accumulation."""
-    v = vals.reshape(plan.blocks, 3 * plan.C)
-    y = _oh_apply(plan.Sv, v, 1, vals.dtype)         # "bsn,bs->bn"
-    return unblock(plan, y)
+    return scatter_components(plan, vals.transpose(0, 2, 1))
 
 
 def assemble_from_onehots(Rrow, Ccol, v, out_dtype):
@@ -299,10 +321,17 @@ def assemble_from_onehots(Rrow, Ccol, v, out_dtype):
     return jnp.einsum("bsr,bsw->brw", Rrow * v[:, :, None], Ccol)
 
 
+def assemble_matrix_components(plan: BlockedPlan, L9):
+    """(blocks, 9, C) componentwise locals (slot 3a+b = row a, col b) ->
+    (blocks, nb, Wpad) assembled operator."""
+    v = L9.reshape(plan.blocks, 9 * plan.C)
+    return assemble_from_onehots(plan.Rrow, plan.Ccol, v, L9.dtype)
+
+
 def assemble_matrix(plan: BlockedPlan, cellmats):
     """(blocks, C, 3, 3) local matrices -> (blocks, nb, Wpad) operator."""
-    v = cellmats.reshape(plan.blocks, 9 * plan.C)
-    return assemble_from_onehots(plan.Rrow, plan.Ccol, v, cellmats.dtype)
+    return assemble_matrix_components(
+        plan, cellmats.transpose(0, 2, 3, 1).reshape(plan.blocks, 9, plan.C))
 
 
 def local_apply(plan: BlockedPlan, L, x):
@@ -318,6 +347,109 @@ def local_apply(plan: BlockedPlan, L, x):
     uc = gather_cells(plan, x)                       # (blocks, C, 3)
     yc = jnp.einsum("zcad,zcd->zca", L, uc)
     return scatter_cell_vectors(plan, yc)
+
+
+# ---------------------------------------------------------------------------
+# componentwise quadrature kernels (the blocked-path hot quadratures)
+#
+# Twins of assembly.local_convection_rhs / local_eps_stiffness /
+# local_flux_jacobian operating on (blocks, C) component planes instead of
+# (M, 3)/(M, Q)-shaped arrays. Same math, same Dunavant rule; the point is
+# layout: TPU pads the trailing (lane) dim to 128, so every (M, 6)
+# quad-point array costs 21x its data and every (M, 3, 2) gradient 64x —
+# measured, these small-trailing-dim quadratures were ~45% of the blocked
+# KPP step. Componentwise planes keep lanes at C (a 128-multiple-friendly
+# cell count). Summation order differs from the (M,3) kernels only within
+# einsum reductions (identity tests hold at 1e-12 f64).
+# ---------------------------------------------------------------------------
+
+
+def _quad_consts(dtype):
+    # host NumPy throughout (callable mid-trace: _quad_basis() would emit
+    # traced ops on the module constants and leak tracers)
+    from conservation_fem_tpu.ops import assembly
+
+    pts = np.asarray(assembly._DUN4_P, np.float64)           # (Q, 2)
+    x, y = pts[:, 0], pts[:, 1]
+    phi = np.stack([1.0 - x - y, x, y], axis=1)              # (Q, 3)
+    qw = np.asarray(assembly._DUN4_W, np.float64) * 0.5      # ref area 1/2
+    return phi, qw
+
+
+def conv_rhs_components(plan: BlockedPlan, u, fpx, fpy):
+    """N(u)_a = int (f'(u_h) . grad u_h) phi_a dx -> (n,) nodal vector.
+
+    Componentwise twin of assembly.convection_rhs_flux (ref
+    Code/KPP/KPP_NodeRV.py:53-55 velocity_field / the convection form);
+    fpx/fpy are the componentwise flux derivative (models expose
+    flux_prime_xy)."""
+    phi, qw = _quad_consts(u.dtype)
+    f = lambda c: jnp.asarray(c, u.dtype)
+    uc = gather_components(plan, u)                  # (blocks, 3, C)
+    ua = [uc[:, a] for a in range(3)]
+    gx = [plan.gx3[:, a] for a in range(3)]
+    gy = [plan.gy3[:, a] for a in range(3)]
+    gu_x = sum(ua[a] * gx[a] for a in range(3))
+    gu_y = sum(ua[a] * gy[a] for a in range(3))
+    r = [0.0, 0.0, 0.0]
+    for q in range(phi.shape[0]):
+        u_q = sum(f(phi[q, a]) * ua[a] for a in range(3))
+        conv_q = fpx(u_q) * gu_x + fpy(u_q) * gu_y
+        for a in range(3):
+            r[a] = r[a] + f(qw[q] * phi[q, a]) * conv_q
+    area2 = 2.0 * plan.area_b
+    v3 = jnp.stack([area2 * r[a] for a in range(3)], axis=1)
+    return scatter_components(plan, v3)
+
+
+def eps_locals_components(plan: BlockedPlan, eps):
+    """eps-weighted stiffness locals -> (blocks, 9, C) (slot 3a+b).
+
+    Twin of assembly.local_eps_stiffness: L_ab = area * mean(eps_cell)
+    * (g_a . g_b)."""
+    ec = gather_components(plan, eps)                # (blocks, 3, C)
+    scale = plan.area_b * (ec[:, 0] + ec[:, 1] + ec[:, 2]) / 3.0
+    gx, gy = plan.gx3, plan.gy3
+    rows = [scale * (gx[:, a] * gx[:, b] + gy[:, a] * gy[:, b])
+            for a in range(3) for b in range(3)]
+    return jnp.stack(rows, axis=1)
+
+
+def flux_jacobian_locals_components(plan: BlockedPlan, u, fpx, fpy):
+    """Jacobian locals of the convection rhs -> (blocks, 9, C).
+
+    Twin of assembly.local_flux_jacobian:
+      J_ab = int [ (f''(u).grad u) phi_b + f'(u).grad phi_b ] phi_a dx
+    with f'' from elementwise jvp of fpx/fpy."""
+    phi, qw = _quad_consts(u.dtype)
+    f = lambda c: jnp.asarray(c, u.dtype)
+    uc = gather_components(plan, u)
+    ua = [uc[:, a] for a in range(3)]
+    gx = [plan.gx3[:, a] for a in range(3)]
+    gy = [plan.gy3[:, a] for a in range(3)]
+    gu_x = sum(ua[a] * gx[a] for a in range(3))
+    gu_y = sum(ua[a] * gy[a] for a in range(3))
+    L = [[0.0] * 3 for _ in range(3)]
+    for q in range(phi.shape[0]):
+        u_q = sum(f(phi[q, a]) * ua[a] for a in range(3))
+        one = jnp.ones_like(u_q)
+        fx_v, fx_d = jax.jvp(fpx, (u_q,), (one,))
+        fy_v, fy_d = jax.jvp(fpy, (u_q,), (one,))
+        t1 = fx_d * gu_x + fy_d * gu_y
+        for a in range(3):
+            wphia = f(qw[q] * phi[q, a])
+            for b in range(3):
+                L[a][b] = L[a][b] + wphia * (
+                    t1 * f(phi[q, b]) + fx_v * gx[b] + fy_v * gy[b])
+    area2 = 2.0 * plan.area_b
+    return jnp.stack([area2 * L[a][b]
+                      for a in range(3) for b in range(3)], axis=1)
+
+
+def diag_from_locals_components(plan: BlockedPlan, L9):
+    """Operator diagonal from (blocks, 9, C) locals: scatter of L_aa."""
+    v3 = jnp.stack([L9[:, 0], L9[:, 4], L9[:, 8]], axis=1)
+    return scatter_components(plan, v3)
 
 
 def local_diag(plan: BlockedPlan, L):

@@ -121,6 +121,25 @@ def bicgstab(
     return KrylovResult(x, k, rnorm, rnorm <= tol)
 
 
+def _fixed_loop(body, carry, iters, unroll):
+    """Run ``body(i, carry) -> carry`` a static number of times.
+
+    unroll=True emits straight-line XLA (round-2 default); unroll=False
+    uses lax.fori_loop — same math, but the body is compiled ONCE, which
+    keeps heavily-unrolled programs (e.g. Stokes krylov_iters=25 x 3
+    solves) from OOMing the remote XLA compile service. Round-3 timing
+    (RESULTS.md "timing-model correction") showed on-device loop
+    iterations are ~free — the round-2 "~270 us per while-iteration" was
+    the per-Python-call tunnel constant — so fori_loop matches unrolled
+    throughput on every measured path.
+    """
+    if unroll:
+        for i in range(iters):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, iters, body, carry)
+
+
 def cg_fixed(
     matvec: Callable,
     b,
@@ -129,17 +148,13 @@ def cg_fixed(
     precond: Callable = _identity,
     x0=None,
     dot: Callable = jnp.vdot,
+    unroll: bool = True,
 ) -> KrylovResult:
-    """CG with a FIXED unrolled iteration count (straight-line, no
-    lax.while_loop).
+    """CG with a FIXED iteration count (no adaptive stopping reduction).
 
-    Rationale (measured, v5e over the axon runtime): each while_loop
-    iteration carries a ~270 us launch/sync overhead regardless of body
-    cost, so a 10-iteration adaptive CG costs ~3 ms even when every SpMV is
-    ~10 us. Unrolling emits straight-line XLA that pipelines freely; the
-    same solve runs ~30x faster. Use on throughput paths where the needed
-    iteration count is known (validated against the adaptive solver);
-    accuracy-gated f64 paths keep the adaptive `cg`.
+    Use on throughput paths where the needed iteration count is known
+    (validated against the adaptive solver); accuracy-gated f64 paths
+    keep the adaptive `cg`. See _fixed_loop for unroll semantics.
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x) if x0 is not None else b
@@ -147,7 +162,9 @@ def cg_fixed(
     p = z
     rz = dot(r, z)
     tiny = jnp.asarray(1e-300 if b.dtype == jnp.float64 else 1e-30, b.dtype)
-    for _ in range(iters):
+
+    def body(_, c):
+        x, r, p, rz = c
         Ap = matvec(p)
         pAp = dot(p, Ap)
         alpha = rz / jnp.where(jnp.abs(pAp) > 0, pAp, tiny)
@@ -158,8 +175,9 @@ def cg_fixed(
         z = precond(r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz > 0, rz, tiny)
-        p = z + beta * p
-        rz = rz_new
+        return (x, r, z + beta * p, rz_new)
+
+    x, r, p, rz = _fixed_loop(body, (x, r, p, rz), iters, unroll)
     rnorm = jnp.sqrt(dot(r, r))
     return KrylovResult(x, jnp.int32(iters), rnorm, jnp.asarray(True))
 
@@ -172,8 +190,9 @@ def bicgstab_fixed(
     precond: Callable = _identity,
     x0=None,
     dot: Callable = jnp.vdot,
+    unroll: bool = True,
 ) -> KrylovResult:
-    """BiCGStab with a FIXED unrolled iteration count (see cg_fixed).
+    """BiCGStab with a FIXED iteration count (see cg_fixed / _fixed_loop).
 
     Breakdown-safe: when a denominator underflows (exact convergence), the
     remaining iterations take zero-length steps instead of producing NaNs.
@@ -187,9 +206,8 @@ def bicgstab_fixed(
         ok = jnp.abs(den) > tiny
         return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
 
-    p = r
-    rho = dot(rhat, r)
-    for _ in range(iters):
+    def body(_, c):
+        x, r, p, rho = c
         phat = precond(p)
         v = matvec(phat)
         alpha = safe_div(rho, dot(rhat, v))
@@ -202,7 +220,9 @@ def bicgstab_fixed(
         rho_new = dot(rhat, r)
         beta = safe_div(rho_new, rho) * safe_div(alpha, omega)
         p = r + beta * (p - omega * v)
-        rho = rho_new
+        return (x, r, p, rho_new)
+
+    x, r, p, rho = _fixed_loop(body, (x, r, r, dot(rhat, r)), iters, unroll)
     rnorm = jnp.sqrt(dot(r, r))
     return KrylovResult(x, jnp.int32(iters), rnorm, jnp.asarray(True))
 
@@ -216,6 +236,7 @@ def chebyshev_fixed(
     lmax: float,
     precond: Callable = _identity,
     x0=None,
+    unroll: bool = True,
 ) -> KrylovResult:
     """Preconditioned Chebyshev semi-iteration — ZERO inner products.
 
@@ -245,14 +266,18 @@ def chebyshev_fixed(
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x) if x0 is not None else b
     d = precond(r) / f(theta)
-    rho = 1.0 / sigma1
-    for _ in range(iters):
+
+    def body(_, c):
+        x, r, d, rho = c
         x = x + d
         r = r - matvec(d)
         z = precond(r)
-        rho_new = 1.0 / (2.0 * sigma1 - rho)
-        d = f(rho_new * rho) * d + f(2.0 * rho_new / delta) * z
-        rho = rho_new
+        rho_new = 1.0 / (f(2.0 * sigma1) - rho)
+        d = rho_new * rho * d + rho_new * f(2.0 / delta) * z
+        return (x, r, d, rho_new)
+
+    x, r, d, rho = _fixed_loop(body, (x, r, d, f(1.0 / sigma1)), iters,
+                               unroll)
     return KrylovResult(x, jnp.int32(iters), jnp.asarray(jnp.inf, b.dtype),
                         jnp.asarray(True))
 

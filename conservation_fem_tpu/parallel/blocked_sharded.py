@@ -180,18 +180,24 @@ class DistributedBlocked:
                 d = jnp.diagonal(D, offset=B, axis1=1, axis2=2)
                 return d[:, :nb].reshape(-1)
 
+            # the one-hots are COMPONENT-MAJOR (s = a*C + c, see
+            # ops/blocked.make_blocked_plan); these wrappers keep the
+            # (cells, 3)-interleaved view the assembly.local_* kernels eat
             def gather_cells(x):
                 w = self._windows(x)
-                return blocked_ops._oh_apply(
-                    Gcell, w, 2, self.dtype).reshape(-1, 3)
+                uc = blocked_ops._oh_apply(Gcell, w, 2, self.dtype)
+                return uc.reshape(Lb, 3, plan.C).transpose(
+                    0, 2, 1).reshape(-1, 3)
 
             def scatter_vec(vals):
-                v = vals.reshape(Lb, 3 * plan.C)
+                v = vals.reshape(Lb, plan.C, 3).transpose(
+                    0, 2, 1).reshape(Lb, 3 * plan.C)
                 return blocked_ops._oh_apply(
                     Sv, v, 1, self.dtype).reshape(-1)
 
             def assemble(local_mats):
-                v = local_mats.reshape(Lb, 9 * plan.C)
+                v = local_mats.reshape(Lb, plan.C, 3, 3).transpose(
+                    0, 2, 3, 1).reshape(Lb, 9 * plan.C)
                 return blocked_ops.assemble_from_onehots(
                     Rrow, Ccol, v, self.dtype)
 
