@@ -39,6 +39,7 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
         self.M_ell = self.M          # kept for the h_cg mass projection
         self._L_mass = assembly.local_mass(self._area_flat).reshape(
             self.plan.blocks, self.plan.C, 3, 3)
+        self._L_mass9 = blocked.mass_locals_components(self.plan)
         self.M = self._assemble(assembly.local_mass(self._area_flat))
 
     # -- layout plumbing -----------------------------------------------------
@@ -115,14 +116,22 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
             self.flux_prime).reshape(p.blocks, p.C, 3, 3)
 
     def _newton_cn(self, u_n, eps, g):
-        """Matrix-free CN Newton: the per-step operators stay as per-cell
-        3x3 locals applied via gather->einsum->scatter
-        (ops/blocked.local_apply) instead of being assembled to windowed
-        form. Same math as the base solve (ref Code/KPP/KPP_NodeRV.py:
-        149-163); cuts the step from ~32 GFLOP (two ~16 GFLOP one-hot
-        assembly contractions) to ~55 MFLOP per operator application."""
+        """Blocked CN Newton. Default (assembled): the eps-stiffness is
+        NEVER assembled — its action K_eps v rides in the same
+        gather/quadrature/scatter pass as the convection rhs
+        (ops/blocked.conv_plus_locals_rhs_components), and the Newton
+        Jacobian J = M + dt/2 (K_eps + C'(u)) is assembled from the SUMMED
+        locals in ONE one-hot GEMM (assembly is linear in the locals;
+        identity with the split form is summation-order roundoff). Same
+        math as the base solve (ref Code/KPP/KPP_NodeRV.py:149-163); cuts
+        one of the two per-step windowed-assembly GEMMs.
+
+        blocked_matrix_free=True keeps even the Jacobian as per-cell
+        locals applied via gather->einsum->scatter (ops/blocked.
+        local_apply) — FLOP-cheap but each matvec re-streams the one-hots
+        from HBM, so it pays only when operators are applied few times."""
         if not self.cfg.blocked_matrix_free:
-            return super()._newton_cn(u_n, eps, g)
+            return self._newton_cn_assembled(u_n, eps, g)
         p = self.plan
         dt = self.dt
         bc = self.mesh.boundary_mask
@@ -146,6 +155,36 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
             J_mv = lambda v: blocked.local_apply(p, L_J, v)
             matvec = lambda v: jnp.where(bc, v, J_mv(jnp.where(bc, 0.0, v)))
             J_diag = blocked.local_diag(p, L_J)
+            pre = jacobi_preconditioner(jnp.where(bc, 1.0, J_diag))
+            return matvec, pre
+
+        u_init = jnp.where(bc, g, u_n)
+        return self._newton_dispatch(residual, jacobian, u_init)
+
+    def _newton_cn_assembled(self, u_n, eps, g):
+        """Assembled-Jacobian blocked Newton (default; see _newton_cn)."""
+        p = self.plan
+        dt = self.dt
+        bc = self.mesh.boundary_mask
+        fpx, fpy = self._fpxy
+        L_keps = blocked.eps_locals_components(p, eps)
+        L_cn = self._L_mass9 + 0.5 * dt * L_keps
+        NK = lambda v: blocked.conv_plus_locals_rhs_components(
+            p, v, fpx, fpy, L_keps)
+        NK_un = NK(u_n)
+        M_mv = lambda x: blocked.spmv(p, self.M, x)
+
+        def residual(v):
+            F = M_mv(v - u_n) + 0.5 * dt * (NK(v) + NK_un)
+            return constrain_residual(F, v, g, bc)
+
+        def jacobian(u):
+            L_J = L_cn + 0.5 * dt * \
+                blocked.flux_jacobian_locals_components(p, u, fpx, fpy)
+            J = blocked.assemble_matrix_components(p, L_J)
+            matvec = lambda v: jnp.where(bc, v, blocked.spmv(
+                p, J, jnp.where(bc, 0.0, v)))
+            J_diag = blocked.diag_of(p, J)
             pre = jacobi_preconditioner(jnp.where(bc, 1.0, J_diag))
             return matvec, pre
 
@@ -180,15 +219,17 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
         if self.cfg.stabilization == "si":
             _ = self.K_bc
         return {"plan": self.plan, "M": self.M, "K_bc": self._K_bc,
-                "h_cg": self._h_cg}
+                "h_cg": self._h_cg, "L_mass9": self._L_mass9}
 
     def _bind_jit_state(self, state):
-        token = (self.plan, self.M, self._K_bc, self._h_cg)
+        token = (self.plan, self.M, self._K_bc, self._h_cg, self._L_mass9)
         self.plan = state["plan"]
         self.M = state["M"]
         self._K_bc = state["K_bc"]
         self._h_cg = state["h_cg"]
+        self._L_mass9 = state["L_mass9"]
         return token
 
     def _restore_jit_state(self, token):
-        self.plan, self.M, self._K_bc, self._h_cg = token
+        (self.plan, self.M, self._K_bc, self._h_cg,
+         self._L_mass9) = token

@@ -63,6 +63,7 @@ class BurgersConfig:
     # spectra widen with degree (measured: P1 [.5,2], P2 [.39,2.06],
     # P3 [.29,2.01]) — bounds default per degree in build()
     inner_solver: str = "bicgstab"
+    newton_final_residual: bool = True  # see HyperbolicConfig
     cheby_mass_bounds: tuple | None = None
     cheby_lin_bounds: tuple | None = None
 
@@ -164,6 +165,7 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
         cg_iters=cfg.cg_iters, newton_iters=cfg.newton_iters,
         newton_linear_iters=cfg.newton_linear_iters,
         inner_solver=cfg.inner_solver,
+        newton_final_residual=cfg.newton_final_residual,
         cheby_mass_bounds=(cfg.cheby_mass_bounds
                            or {1: (0.5, 2.0), 2: (0.35, 2.1),
                                3: (0.25, 2.1)}[cfg.degree]),
@@ -178,13 +180,23 @@ def build(cfg: BurgersConfig | None = None, host_mesh: Mesh | None = None, **kw)
     )
     ic_fn = initial_condition if cfg.ic == "riemann" else initial_condition_bump
     if cfg.degree > 1:
-        from conservation_fem_tpu.models.pk_hyperbolic import PkHyperbolicProblem
+        if cfg.ell_matvec_backend == "blocked":
+            from conservation_fem_tpu.models.blocked_pk_hyperbolic import \
+                BlockedPkHyperbolicProblem
 
-        return PkHyperbolicProblem(
+            cls = BlockedPkHyperbolicProblem
+        else:
+            from conservation_fem_tpu.models.pk_hyperbolic import \
+                PkHyperbolicProblem
+
+            cls = PkHyperbolicProblem
+        prob = cls(
             hcfg, host_mesh, cfg.degree,
             flux_prime=flux_prime, flux_prime_norm=flux_prime_norm,
             bc_value=bc_fn, u0_fn=ic_fn, dt=dt, num_steps=num_steps,
         )
+        prob.flux_prime_xy = flux_prime_xy
+        return prob
     prob = HyperbolicProblem(
         hcfg, host_mesh,
         flux_prime=flux_prime,

@@ -53,6 +53,7 @@ class KPPConfig:
     newton_iters: int | None = None
     newton_linear_iters: int = 8
     inner_solver: str = "bicgstab"  # "cheby": dot-free inner solves
+    newton_final_residual: bool = True  # see HyperbolicConfig
     # unstructured operator application (h5/gmsh meshes): "gather" (XLA
     # gather ELL), "banded" (RCM diagonals), or "blocked" (blocked-window
     # dense MXU ops + RCM, ops/blocked.py — the fast unstructured path).
@@ -115,6 +116,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         cg_iters=cfg.cg_iters, newton_iters=cfg.newton_iters,
         newton_linear_iters=cfg.newton_linear_iters,
         inner_solver=cfg.inner_solver,
+        newton_final_residual=cfg.newton_final_residual,
         ell_matvec_backend=cfg.ell_matvec_backend,
         blocked_matrix_free=cfg.blocked_matrix_free,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,

@@ -32,7 +32,7 @@ class PkHyperbolicProblem(HyperbolicProblem):
         self.cfg = cfg
         self.host_mesh = host_mesh
         self.degree = degree
-        self.space = build_space(host_mesh, degree)
+        self.space = self._make_space(host_mesh, degree)
         dtype = jnp.dtype(cfg.dtype)
         sp = self.space.device_arrays(dtype)
         self.mesh = sp            # duck-typed: patch/boundary/diag fields
@@ -53,6 +53,10 @@ class PkHyperbolicProblem(HyperbolicProblem):
 
             self._init_lattice(_np.asarray(self.space.dof_coords), sp)
         self._solve_jit = None
+
+    def _make_space(self, host_mesh, degree):
+        """Space construction hook (the blocked subclass RCM-permutes)."""
+        return build_space(host_mesh, degree)
 
     @property
     def h_cg(self):

@@ -84,6 +84,11 @@ class HyperbolicConfig:
     # padded. Chebyshev uses 1 matvec/iter vs BiCGStab's 2 — double
     # newton_linear_iters for matvec parity.
     inner_solver: str = "bicgstab"       # bicgstab | cheby
+    # skip the residual evaluation at the final Newton iterate (fixed-
+    # iteration path only): the eval feeds only the converged flag — one
+    # whole quadrature pass per step; the flag then reports the residual
+    # before the last correction (still a stagnation signal)
+    newton_final_residual: bool = True
     cheby_mass_bounds: tuple = (0.5, 2.0)
     cheby_lin_bounds: tuple = (0.4, 2.2)
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
@@ -326,6 +331,7 @@ class HyperbolicProblem:
                 rtol=self.cfg.newton_rtol, atol=self.cfg.newton_atol,
                 linear_solver=self.cfg.inner_solver,
                 cheby_bounds=self.cfg.cheby_lin_bounds,
+                final_residual=self.cfg.newton_final_residual,
             )
         return newton_solve(
             residual, u_init,

@@ -71,13 +71,14 @@ class BlockedPlan:
     bc_win: object  # (blocks, Wpad) bool (global column is bc)
     diag_eye: object  # (nb, Wpad) 1 at (r, r+B)
     patch_deg: object  # (blocks, nb) float: patch size incl self (>=1)
+    nd: int = 3     # local dofs per cell (3 = P1; Pk plans use BlockedPkPlan)
 
 
 _PLAN_ARRAY_FIELDS = (
     "Gcell", "Sv", "Rrow", "Ccol", "A_bool", "A_float", "area_b", "grads_b",
     "gx3", "gy3", "bc_row", "bc_win", "diag_eye", "patch_deg",
 )
-_PLAN_STATIC_FIELDS = ("n", "nb", "B", "blocks", "W", "Wpad", "C", "pad_hi")
+_PLAN_STATIC_FIELDS = ("n", "nb", "B", "blocks", "W", "Wpad", "C", "pad_hi", "nd")
 
 
 def _plan_flatten(p):
@@ -97,17 +98,16 @@ def _plan_unflatten(aux, children):
 jax.tree_util.register_pytree_node(BlockedPlan, _plan_flatten, _plan_unflatten)
 
 
-def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPlan:
-    """Build the plan (host NumPy, runs once per mesh).
+def _plan_struct(n, cells, cols, pmask, bc, nb, build_rc=True):
+    """Structural (degree-agnostic) part of a blocked plan from a dof map:
+    window geometry, per-block cell lists, component-major one-hot
+    operators, patch adjacency and bc masks — all host NumPy.
 
-    The mesh should be RCM-ordered (ops/mesh.reorder_mesh(rcm_permutation))
-    so the bandwidth B — and with it every one-hot operator — stays
-    O(sqrt(N)).
-    """
-    n = mesh.n_nodes
-    cells = np.asarray(mesh.cells, dtype=np.int64)
-    cols = mesh.patch_cols
-    pmask = mesh.patch_mask
+    cells: (M, nd) dof indices per cell (nd = 3 for P1, 6 for P2, ...).
+    build_rc=False skips the 9C-wide Rrow/Ccol assembly one-hots (the
+    factored assembly in assemble_matrix_components only needs Gcell/Sv;
+    Pk plans never build them)."""
+    nd = cells.shape[1]
     offs = cols - np.arange(n)[:, None]
     B = int(np.abs(offs[pmask]).max())
     blocks = -(-n // nb)
@@ -119,15 +119,14 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
     pad_hi = (blocks + k_chunks - 1) * nb - B - n
     assert pad_hi >= 0
 
-    # --- per-block cell lists (a cell joins every block owning >=1 node) ---
-    cell_blk = cells // nb                       # (M,3)
-    m_idx = np.repeat(np.arange(cells.shape[0]), 3)
+    # --- per-block cell lists (a cell joins every block owning >=1 dof) ---
+    cell_blk = cells // nb                       # (M,nd)
+    m_idx = np.repeat(np.arange(cells.shape[0]), nd)
     pairs = np.unique(np.stack([cell_blk.reshape(-1), m_idx], 1), axis=0)
     blk_of, m_of = pairs[:, 0], pairs[:, 1]
     counts = np.bincount(blk_of, minlength=blocks)
     C = int(-(-counts.max() // 8) * 8)           # pad to sublane multiple
     cell_id = np.full((blocks, C), -1, dtype=np.int64)
-    slot = np.concatenate([np.arange(c) for c in counts]) if len(blk_of) else []
     # pairs are sorted by (blk, m); per-block slots are consecutive
     off = np.concatenate([[0], np.cumsum(counts)])
     slot = np.arange(len(blk_of)) - off[blk_of]
@@ -135,41 +134,41 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
     valid = cell_id >= 0
     safe_id = np.where(valid, cell_id, 0)
 
-    area_b = np.where(valid, mesh.area[safe_id], 0.0)
-    grads_b = np.where(valid[:, :, None, None], mesh.grads[safe_id], 0.0)
-
     # --- one-hot operators ---
     win_start = (np.arange(blocks) * nb - B)[:, None, None]   # (blocks,1,1)
-    nodes = np.where(valid[:, :, None], cells[safe_id], -10**9)  # (blocks,C,3)
+    nodes = np.where(valid[:, :, None], cells[safe_id], -10**9)  # (b,C,nd)
     wpos = nodes - win_start                                  # window coord
     rpos = nodes - (np.arange(blocks) * nb)[:, None, None]    # local row
     own = (rpos >= 0) & (rpos < nb) & valid[:, :, None]
     in_win = (wpos >= 0) & (wpos < W) & valid[:, :, None]
-    assert bool(in_win[valid].all()), "cell node outside its block window"
+    assert bool(in_win[valid].all()), "cell dof outside its block window"
 
     def onehot(idx, mask, width):
-        """(blocks, S) index + mask -> (blocks, S, width) one-hot f32/f64."""
+        """(blocks, S) index + mask -> (blocks, S, width) one-hot f32."""
         out = np.zeros((blocks, idx.shape[1], width), dtype=np.float32)
         bb, ss = np.nonzero(mask)
         out[bb, ss, idx[bb, ss]] = 1.0
         return out
 
     # COMPONENT-MAJOR contribution ordering: s = a*C + c (vectors) and
-    # s9 = (3a + a2)*C + c (matrices). On TPU an (S, 3)-interleaved layout
-    # forces 3-lane (padded to 128) arrays through every quadrature op —
-    # component-major keeps all cell fields as clean (blocks, C) planes
-    # (see gather_components / the *_cw kernels below).
+    # s2 = (nd*a + a2)*C + c (matrices). On TPU an (S, nd)-interleaved
+    # layout forces nd-lane (padded to 128) arrays through every
+    # quadrature op — component-major keeps all cell fields as clean
+    # (blocks, C) planes (see gather_components / the *_components
+    # kernels below).
     cm = lambda arr: arr.transpose(0, 2, 1).reshape(blocks, -1)
     Gcell = onehot(cm(wpos), cm(in_win), Wpad)
     Sv = onehot(cm(np.where(own, rpos, 0)), cm(own), nb)
-    # contributions (c, 3a + a2): row from node a, column from node a2
-    r9 = cm(np.repeat(rpos, 3, axis=2))             # r of a at slot 3a+a2
-    own9 = cm(np.repeat(own, 3, axis=2))
-    w9 = cm(np.tile(wpos, (1, 1, 3)))               # col of a2
-    inw9 = cm(np.tile(in_win, (1, 1, 3)))
-    both = own9 & inw9
-    Rrow = onehot(np.where(both, r9, 0), both, nb)
-    Ccol = onehot(np.where(both, w9, 0), both, Wpad)
+    Rrow = Ccol = None
+    if build_rc:
+        # contributions (c, nd*a + a2): row from dof a, column from dof a2
+        r2 = cm(np.repeat(rpos, nd, axis=2))        # r of a at slot nd*a+a2
+        own2 = cm(np.repeat(own, nd, axis=2))
+        w2 = cm(np.tile(wpos, (1, 1, nd)))          # col of a2
+        inw2 = cm(np.tile(in_win, (1, 1, nd)))
+        both = own2 & inw2
+        Rrow = onehot(np.where(both, r2, 0), both, nb)
+        Ccol = onehot(np.where(both, w2, 0), both, Wpad)
 
     # --- patch adjacency in window coords ---
     A = np.zeros((blocks, nb, Wpad), dtype=bool)
@@ -183,7 +182,6 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
     A[bb, rr, wcol[bb, rr, kk]] = True
     patch_deg = np.maximum(A.sum(axis=2), 1).astype(np.float64)
 
-    bc = mesh.boundary_mask
     bc_row = np.where(row_ok, bc[safe_rows], False)
     wg = (np.arange(blocks) * nb - B)[:, None] + np.arange(Wpad)[None, :]
     in_range = (wg >= 0) & (wg < n)
@@ -191,6 +189,27 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
 
     diag_eye = np.zeros((nb, Wpad))
     diag_eye[np.arange(nb), np.arange(nb) + B] = 1.0
+
+    return dict(n=n, nd=nd, nb=nb, B=B, blocks=blocks, W=W, Wpad=Wpad,
+                C=C, pad_hi=pad_hi, valid=valid, safe_id=safe_id,
+                Gcell=Gcell, Sv=Sv, Rrow=Rrow, Ccol=Ccol, A=A,
+                patch_deg=patch_deg, bc_row=bc_row, bc_win=bc_win,
+                diag_eye=diag_eye)
+
+
+def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPlan:
+    """Build the P1 plan (host NumPy, runs once per mesh).
+
+    The mesh should be RCM-ordered (ops/mesh.reorder_mesh(rcm_permutation))
+    so the bandwidth B — and with it every one-hot operator — stays
+    O(sqrt(N)).
+    """
+    st = _plan_struct(mesh.n_nodes, np.asarray(mesh.cells, dtype=np.int64),
+                      mesh.patch_cols, mesh.patch_mask, mesh.boundary_mask,
+                      nb)
+    valid, safe_id = st["valid"], st["safe_id"]
+    area_b = np.where(valid, mesh.area[safe_id], 0.0)
+    grads_b = np.where(valid[:, :, None, None], mesh.grads[safe_id], 0.0)
 
     f = lambda x: jnp.asarray(x, dtype)
     # One-hot operators hold exact 0/1 values — bfloat16 represents them
@@ -205,14 +224,16 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
                 else jnp.float32)
     oh = lambda x: jnp.asarray(x, oh_dtype)
     return BlockedPlan(
-        n=n, nb=nb, B=B, blocks=blocks, W=W, Wpad=Wpad, C=C, pad_hi=pad_hi,
-        Gcell=oh(Gcell), Sv=oh(Sv), Rrow=oh(Rrow), Ccol=oh(Ccol),
-        A_bool=jnp.asarray(A), A_float=f(A),
+        n=st["n"], nb=nb, B=st["B"], blocks=st["blocks"], W=st["W"],
+        Wpad=st["Wpad"], C=st["C"], pad_hi=st["pad_hi"],
+        Gcell=oh(st["Gcell"]), Sv=oh(st["Sv"]),
+        Rrow=oh(st["Rrow"]), Ccol=oh(st["Ccol"]),
+        A_bool=jnp.asarray(st["A"]), A_float=f(st["A"]),
         area_b=f(area_b), grads_b=f(grads_b),
         gx3=f(grads_b[:, :, :, 0].transpose(0, 2, 1)),
         gy3=f(grads_b[:, :, :, 1].transpose(0, 2, 1)),
-        bc_row=jnp.asarray(bc_row), bc_win=jnp.asarray(bc_win),
-        diag_eye=f(diag_eye), patch_deg=f(patch_deg),
+        bc_row=jnp.asarray(st["bc_row"]), bc_win=jnp.asarray(st["bc_win"]),
+        diag_eye=f(st["diag_eye"]), patch_deg=f(st["patch_deg"]),
     )
 
 
@@ -289,12 +310,12 @@ def gather_components(plan: BlockedPlan, x):
     touch 3-lane-wide arrays (which TPU pads to 128 lanes)."""
     w = windows(plan, x)
     uc = _oh_apply(plan.Gcell, w, 2, x.dtype)        # "bsw,bw->bs"
-    return uc.reshape(plan.blocks, 3, plan.C)
+    return uc.reshape(plan.blocks, plan.nd, plan.C)
 
 
 def scatter_components(plan: BlockedPlan, v3):
-    """(blocks, 3, C) componentwise local vectors -> (n,) accumulation."""
-    v = v3.reshape(plan.blocks, 3 * plan.C)
+    """(blocks, nd, C) componentwise local vectors -> (n,) accumulation."""
+    v = v3.reshape(plan.blocks, plan.nd * plan.C)
     y = _oh_apply(plan.Sv, v, 1, v3.dtype)           # "bsn,bs->bn"
     return unblock(plan, y)
 
@@ -323,9 +344,29 @@ def assemble_from_onehots(Rrow, Ccol, v, out_dtype):
 
 def assemble_matrix_components(plan: BlockedPlan, L9):
     """(blocks, 9, C) componentwise locals (slot 3a+b = row a, col b) ->
-    (blocks, nb, Wpad) assembled operator."""
-    v = L9.reshape(plan.blocks, 9 * plan.C)
-    return assemble_from_onehots(plan.Rrow, plan.Ccol, v, L9.dtype)
+    (blocks, nb, Wpad) assembled operator.
+
+    Uses the FACTORED contraction: the 9C-wide Rrow/Ccol one-hots are
+    component tiles of Sv/Gcell (row(s) for slot (3a+b)C+c is Sv's
+    component-a one-hot; col(s) is Gcell's component-b), so
+      D = sum_b dot(T_b, Gc_b)  with  T_b = sum_a Sv_a * L_ab
+    runs as 3 GEMMs with 3x fewer MACs and ~30% less HBM than the single
+    9C-wide GEMM (T folds the row-component sum elementwise). Same
+    contributions; summation order differs by roundoff."""
+    C, nd, dt_ = plan.C, plan.nd, L9.dtype
+    bf = plan.Sv.dtype == jnp.bfloat16
+    L = L9.astype(jnp.bfloat16) if bf else L9
+    Sv = plan.Sv if bf else plan.Sv.astype(dt_)
+    Gc = plan.Gcell if bf else plan.Gcell.astype(dt_)
+    out = 0.0
+    for b in range(nd):
+        T = sum(Sv[:, a * C:(a + 1) * C] * L[:, nd * a + b][:, :, None]
+                for a in range(nd))                   # (blocks, C, nb)
+        out = out + jax.lax.dot_general(
+            T, Gc[:, b * C:(b + 1) * C],
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=dt_)               # (blocks, nb, Wpad)
+    return out
 
 
 def assemble_matrix(plan: BlockedPlan, cellmats):
@@ -399,6 +440,44 @@ def conv_rhs_components(plan: BlockedPlan, u, fpx, fpy):
             r[a] = r[a] + f(qw[q] * phi[q, a]) * conv_q
     area2 = 2.0 * plan.area_b
     v3 = jnp.stack([area2 * r[a] for a in range(3)], axis=1)
+    return scatter_components(plan, v3)
+
+
+def mass_locals_components(plan: BlockedPlan, dtype=None):
+    """P1 mass locals -> (blocks, 9, C): L_ab = area * (1 + delta_ab)/12
+    (twin of assembly.local_mass in component-major slot order 3a+b)."""
+    area = plan.area_b if dtype is None else plan.area_b.astype(dtype)
+    rows = [area * ((2.0 if a == b else 1.0) / 12.0)
+            for a in range(3) for b in range(3)]
+    return jnp.stack(rows, axis=1)
+
+
+def conv_plus_locals_rhs_components(plan: BlockedPlan, u, fpx, fpy, L9):
+    """(N(u) + A(L9) u)_a in ONE gather/scatter pass -> (n,).
+
+    The CN residual needs the eps-stiffness ACTION K_eps v alongside the
+    convection quadrature N(v); both read the same gathered cell values,
+    so fusing them saves the whole windowed Keps assembly GEMM (the
+    operator form is never needed: the Newton Jacobian is assembled from
+    the summed LOCALS instead, see blocked_hyperbolic._newton_cn)."""
+    phi, qw = _quad_consts(u.dtype)
+    f = lambda c: jnp.asarray(c, u.dtype)
+    uc = gather_components(plan, u)                  # (blocks, 3, C)
+    ua = [uc[:, a] for a in range(3)]
+    gx = [plan.gx3[:, a] for a in range(3)]
+    gy = [plan.gy3[:, a] for a in range(3)]
+    gu_x = sum(ua[a] * gx[a] for a in range(3))
+    gu_y = sum(ua[a] * gy[a] for a in range(3))
+    r = [0.0, 0.0, 0.0]
+    for q in range(phi.shape[0]):
+        u_q = sum(f(phi[q, a]) * ua[a] for a in range(3))
+        conv_q = fpx(u_q) * gu_x + fpy(u_q) * gu_y
+        for a in range(3):
+            r[a] = r[a] + f(qw[q] * phi[q, a]) * conv_q
+    area2 = 2.0 * plan.area_b
+    v3 = jnp.stack(
+        [area2 * r[a] + sum(L9[:, 3 * a + b] * ua[b] for b in range(3))
+         for a in range(3)], axis=1)
     return scatter_components(plan, v3)
 
 

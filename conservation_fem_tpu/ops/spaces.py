@@ -368,6 +368,18 @@ def build_space(mesh: Mesh, degree: int, quad_exactness: int | None = None,
             bmask_tmp[idx] = True
         dof_coords[bmask_tmp] = boundary_projector(dof_coords[bmask_tmp])
 
+    qp, qw = quadrature(quad_exactness or 2 * k)
+    phi, dphi = tabulate_basis(k, qp)
+    return _finalize_space(mesh, k, dof_coords, cell_dofs, boundary_mask,
+                           qp, qw, phi, dphi)
+
+
+def _finalize_space(mesh, k, dof_coords, cell_dofs, boundary_mask,
+                    qp, qw, phi, dphi) -> FunctionSpace:
+    """Adjacency, cell slots and scatter permutations from the dof map —
+    shared by build_space and permute_dofs."""
+    ndof = dof_coords.shape[0]
+    M, nloc = cell_dofs.shape
     patch_cols, patch_mask, diag_slot, K = _build_adjacency(ndof, cell_dofs)
 
     # cell slots
@@ -387,9 +399,6 @@ def build_space(mesh: Mesh, degree: int, quad_exactness: int | None = None,
     vec_perm = np.argsort(vec_target, kind="stable")
     vec_segs = vec_target[vec_perm]
 
-    qp, qw = quadrature(quad_exactness or 2 * k)
-    phi, dphi = tabulate_basis(k, qp)
-
     return FunctionSpace(
         mesh=mesh, degree=k, dof_coords=dof_coords, cell_dofs=cell_dofs,
         boundary_mask=boundary_mask, patch_cols=patch_cols,
@@ -397,3 +406,37 @@ def build_space(mesh: Mesh, degree: int, quad_exactness: int | None = None,
         mat_perm=mat_perm, mat_segs=mat_segs, vec_perm=vec_perm,
         vec_segs=vec_segs, quad_pts=qp, quad_w=qw, phi=phi, dphi=dphi,
     )
+
+
+def rcm_dof_permutation(space: FunctionSpace) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering (old -> new) of the space's DOF
+    adjacency graph. The native dof numbering (vertices, then edge dofs,
+    then interior) has O(n) matrix bandwidth; RCM brings it back to
+    O(sqrt(n)) so the blocked-window backend's one-hot operators stay
+    small (cf. ops/mesh.rcm_permutation for the P1 mesh version)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    cd = space.cell_dofs
+    rows = np.repeat(cd, cd.shape[1], axis=1).reshape(-1)
+    cols = np.tile(cd, (1, cd.shape[1])).reshape(-1)
+    A = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                      shape=(space.ndof, space.ndof)).tocsr()
+    order = reverse_cuthill_mckee(A, symmetric_mode=True)
+    perm = np.empty(space.ndof, dtype=np.int64)
+    perm[order] = np.arange(space.ndof)
+    return perm
+
+
+def permute_dofs(space: FunctionSpace, perm: np.ndarray) -> FunctionSpace:
+    """Renumber the space's dofs by perm (old -> new); rebuilds adjacency
+    and scatter permutations. Cell-indexed data (quadrature geometry,
+    areas) is unaffected; dof-indexed fields are permuted consistently, so
+    solutions computed on the permuted space equal inverse-permuted
+    solutions of the original (to summation-order roundoff)."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return _finalize_space(
+        space.mesh, space.degree, space.dof_coords[inv],
+        perm[space.cell_dofs], space.boundary_mask[inv],
+        space.quad_pts, space.quad_w, space.phi, space.dphi)

@@ -48,6 +48,13 @@ def main():
     bench("blocked fixed (assembled)", blocked_matrix_free=False, **fixed)
     bench("blocked fixed n=2 (assembled)", blocked_matrix_free=False,
           **{**fixed, "newton_iters": 2})
+    bench("blocked fixed n=2 trim (no final resid)",
+          blocked_matrix_free=False,
+          **{**fixed, "newton_iters": 2, "newton_final_residual": False})
+    bench("blocked fixed n=2 trim cheby",
+          blocked_matrix_free=False, inner_solver="cheby",
+          **{**fixed, "newton_iters": 2, "newton_linear_iters": 8,
+             "cg_iters": 5, "newton_final_residual": False})
     p_f = bench("blocked fixed (matrix-free)", **fixed)
 
     # accuracy: fixed matrix-free f32 vs adaptive tight f32 (same mesh)

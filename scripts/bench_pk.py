@@ -46,10 +46,19 @@ def main():
         p_fx = bench("lattice fixed-cheby", modified_newton=True,
                      cg_iters=12, newton_iters=2, newton_linear_iters=10,
                      inner_solver="cheby")
+        bench("blocked adaptive", krylov_rtol=1e-5,
+              newton_linear_rtol=1e-3, modified_newton=True,
+              ell_matvec_backend="blocked")
+        p_bf = bench("blocked fixed-cheby", modified_newton=True,
+                     cg_iters=12, newton_iters=2, newton_linear_iters=10,
+                     inner_solver="cheby", newton_final_residual=False,
+                     ell_matvec_backend="blocked")
         u_a = np.asarray(p_ad.solve().u)
         u_f = np.asarray(p_fx.solve().u)
+        u_b = np.asarray(p_bf.solve().u)[np.argsort(p_bf.dof_perm)]
         print(f"mesh {ms} fixed-vs-adaptive Linf: "
-              f"{np.abs(u_f - u_a).max():.3e}  "
+              f"{np.abs(u_f - u_a).max():.3e}  blocked-vs-adaptive: "
+              f"{np.abs(u_b - u_a).max():.3e}  "
               f"(range {u_a.min():.3f}..{u_a.max():.3f})", flush=True)
 
 

@@ -58,6 +58,10 @@ def main():
         blocked_matrix_free=False)
     run("fixed n=3 f32", newton_iters=3, blocked_matrix_free=False, **fixed)
     run("fixed n=2 f32", newton_iters=2, blocked_matrix_free=False, **fixed)
+    run("fixed n=2 cheby trim f32", newton_iters=2,
+        blocked_matrix_free=False, modified_newton=True, cg_iters=6,
+        newton_linear_iters=12, inner_solver="cheby",
+        newton_final_residual=False)
 
 
 if __name__ == "__main__":
