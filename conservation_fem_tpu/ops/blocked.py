@@ -417,30 +417,17 @@ def _quad_consts(dtype):
     return phi, qw
 
 
-def conv_rhs_components(plan: BlockedPlan, u, fpx, fpy):
+def conv_rhs_components(plan: BlockedPlan, u, fpx, fpy, gather=None,
+                        scatter=None):
     """N(u)_a = int (f'(u_h) . grad u_h) phi_a dx -> (n,) nodal vector.
 
     Componentwise twin of assembly.convection_rhs_flux (ref
     Code/KPP/KPP_NodeRV.py:53-55 velocity_field / the convection form);
     fpx/fpy are the componentwise flux derivative (models expose
-    flux_prime_xy)."""
-    phi, qw = _quad_consts(u.dtype)
-    f = lambda c: jnp.asarray(c, u.dtype)
-    uc = gather_components(plan, u)                  # (blocks, 3, C)
-    ua = [uc[:, a] for a in range(3)]
-    gx = [plan.gx3[:, a] for a in range(3)]
-    gy = [plan.gy3[:, a] for a in range(3)]
-    gu_x = sum(ua[a] * gx[a] for a in range(3))
-    gu_y = sum(ua[a] * gy[a] for a in range(3))
-    r = [0.0, 0.0, 0.0]
-    for q in range(phi.shape[0]):
-        u_q = sum(f(phi[q, a]) * ua[a] for a in range(3))
-        conv_q = fpx(u_q) * gu_x + fpy(u_q) * gu_y
-        for a in range(3):
-            r[a] = r[a] + f(qw[q] * phi[q, a]) * conv_q
-    area2 = 2.0 * plan.area_b
-    v3 = jnp.stack([area2 * r[a] for a in range(3)], axis=1)
-    return scatter_components(plan, v3)
+    flux_prime_xy). gather/scatter: sharded overrides (halo'd windows on
+    a per-device local plan view)."""
+    return conv_plus_locals_rhs_components(plan, u, fpx, fpy, None,
+                                           gather, scatter)
 
 
 def mass_locals_components(plan: BlockedPlan, dtype=None):
@@ -452,7 +439,8 @@ def mass_locals_components(plan: BlockedPlan, dtype=None):
     return jnp.stack(rows, axis=1)
 
 
-def conv_plus_locals_rhs_components(plan: BlockedPlan, u, fpx, fpy, L9):
+def conv_plus_locals_rhs_components(plan: BlockedPlan, u, fpx, fpy,
+                                    L9=None, gather=None, scatter=None):
     """(N(u) + A(L9) u)_a in ONE gather/scatter pass -> (n,).
 
     The CN residual needs the eps-stiffness ACTION K_eps v alongside the
@@ -462,7 +450,9 @@ def conv_plus_locals_rhs_components(plan: BlockedPlan, u, fpx, fpy, L9):
     the summed LOCALS instead, see blocked_hyperbolic._newton_cn)."""
     phi, qw = _quad_consts(u.dtype)
     f = lambda c: jnp.asarray(c, u.dtype)
-    uc = gather_components(plan, u)                  # (blocks, 3, C)
+    gather = gather or (lambda v: gather_components(plan, v))
+    scatter = scatter or (lambda v3: scatter_components(plan, v3))
+    uc = gather(u)                                   # (blocks, 3, C)
     ua = [uc[:, a] for a in range(3)]
     gx = [plan.gx3[:, a] for a in range(3)]
     gy = [plan.gy3[:, a] for a in range(3)]
@@ -476,17 +466,20 @@ def conv_plus_locals_rhs_components(plan: BlockedPlan, u, fpx, fpy, L9):
             r[a] = r[a] + f(qw[q] * phi[q, a]) * conv_q
     area2 = 2.0 * plan.area_b
     v3 = jnp.stack(
-        [area2 * r[a] + sum(L9[:, 3 * a + b] * ua[b] for b in range(3))
+        [area2 * r[a]
+         + (sum(L9[:, 3 * a + b] * ua[b] for b in range(3))
+            if L9 is not None else 0.0)
          for a in range(3)], axis=1)
-    return scatter_components(plan, v3)
+    return scatter(v3)
 
 
-def eps_locals_components(plan: BlockedPlan, eps):
+def eps_locals_components(plan: BlockedPlan, eps, gather=None):
     """eps-weighted stiffness locals -> (blocks, 9, C) (slot 3a+b).
 
     Twin of assembly.local_eps_stiffness: L_ab = area * mean(eps_cell)
     * (g_a . g_b)."""
-    ec = gather_components(plan, eps)                # (blocks, 3, C)
+    gather = gather or (lambda v: gather_components(plan, v))
+    ec = gather(eps)                                 # (blocks, 3, C)
     scale = plan.area_b * (ec[:, 0] + ec[:, 1] + ec[:, 2]) / 3.0
     gx, gy = plan.gx3, plan.gy3
     rows = [scale * (gx[:, a] * gx[:, b] + gy[:, a] * gy[:, b])
@@ -494,7 +487,8 @@ def eps_locals_components(plan: BlockedPlan, eps):
     return jnp.stack(rows, axis=1)
 
 
-def flux_jacobian_locals_components(plan: BlockedPlan, u, fpx, fpy):
+def flux_jacobian_locals_components(plan: BlockedPlan, u, fpx, fpy,
+                                    gather=None):
     """Jacobian locals of the convection rhs -> (blocks, 9, C).
 
     Twin of assembly.local_flux_jacobian:
@@ -502,7 +496,8 @@ def flux_jacobian_locals_components(plan: BlockedPlan, u, fpx, fpy):
     with f'' from elementwise jvp of fpx/fpy."""
     phi, qw = _quad_consts(u.dtype)
     f = lambda c: jnp.asarray(c, u.dtype)
-    uc = gather_components(plan, u)
+    gather = gather or (lambda v: gather_components(plan, v))
+    uc = gather(u)
     ua = [uc[:, a] for a in range(3)]
     gx = [plan.gx3[:, a] for a in range(3)]
     gy = [plan.gy3[:, a] for a in range(3)]

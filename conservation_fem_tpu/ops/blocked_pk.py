@@ -133,10 +133,14 @@ def _tabs(plan: BlockedPkPlan, dtype):
     return phi, qw, f
 
 
-def _cell_fields(plan: BlockedPkPlan, u):
-    """Gathered components + per-q values/gradients of a dof vector."""
+def _cell_fields(plan: BlockedPkPlan, u, gather=None):
+    """Gathered components + per-q values/gradients of a dof vector.
+
+    gather: override for sharded callers (halo'd windows instead of the
+    plan's global window extraction) — returns (blocks, nd, C)."""
     phi, qw, f = _tabs(plan, u.dtype)
-    uc = blocked.gather_components(plan, u)          # (blocks, nd, C)
+    gather = gather or (lambda v: blocked.gather_components(plan, v))
+    uc = gather(u)                                   # (blocks, nd, C)
     ua = [uc[:, a] for a in range(plan.nd)]
     u_q, gux_q, guy_q = [], [], []
     for q in range(plan.Q):
@@ -146,13 +150,16 @@ def _cell_fields(plan: BlockedPkPlan, u):
     return ua, u_q, gux_q, guy_q
 
 
-def pk_conv_plus_locals_rhs(plan: BlockedPkPlan, u, fpx, fpy, L=None):
+def pk_conv_plus_locals_rhs(plan: BlockedPkPlan, u, fpx, fpy, L=None,
+                            gather=None, scatter=None):
     """(N(u) [+ A(L) u])_a -> (n,): the convection quadrature
     (assembly_pk.convection_rhs_flux) with an optional fused local-matrix
-    action (cf. blocked.conv_plus_locals_rhs_components)."""
+    action (cf. blocked.conv_plus_locals_rhs_components). gather/scatter:
+    sharded overrides (see _cell_fields)."""
     phi, qw, f = _tabs(plan, u.dtype)
     nd = plan.nd
-    ua, u_q, gux_q, guy_q = _cell_fields(plan, u)
+    scatter = scatter or (lambda v3: blocked.scatter_components(plan, v3))
+    ua, u_q, gux_q, guy_q = _cell_fields(plan, u, gather)
     conv = [fpx(u_q[q]) * gux_q[q] + fpy(u_q[q]) * guy_q[q]
             for q in range(plan.Q)]
     v3 = []
@@ -162,7 +169,7 @@ def pk_conv_plus_locals_rhs(plan: BlockedPkPlan, u, fpx, fpy, L=None):
         if L is not None:
             r = r + sum(L[:, nd * a + b] * ua[b] for b in range(nd))
         v3.append(r)
-    return blocked.scatter_components(plan, jnp.stack(v3, axis=1))
+    return scatter(jnp.stack(v3, axis=1))
 
 
 def pk_mass_locals(plan: BlockedPkPlan, dtype=jnp.float32):
@@ -187,11 +194,12 @@ def pk_stiffness_locals(plan: BlockedPkPlan, dtype=jnp.float32):
     return jnp.stack(rows, axis=1).astype(dtype)
 
 
-def pk_eps_locals(plan: BlockedPkPlan, eps):
+def pk_eps_locals(plan: BlockedPkPlan, eps, gather=None):
     """eps-weighted stiffness locals (assembly_pk.assemble_eps_stiffness)."""
     phi, qw, f = _tabs(plan, eps.dtype)
     nd = plan.nd
-    ec = blocked.gather_components(plan, eps)
+    gather = gather or (lambda v: blocked.gather_components(plan, v))
+    ec = gather(eps)
     e_q = [sum(f(phi[q, c]) * ec[:, c] for c in range(nd))
            for q in range(plan.Q)]
     rows = [sum(f(qw[q]) * plan.detjq[:, q] * e_q[q]
@@ -202,12 +210,12 @@ def pk_eps_locals(plan: BlockedPkPlan, eps):
     return jnp.stack(rows, axis=1)
 
 
-def pk_flux_jacobian_locals(plan: BlockedPkPlan, u, fpx, fpy):
+def pk_flux_jacobian_locals(plan: BlockedPkPlan, u, fpx, fpy, gather=None):
     """Jacobian locals of the convection rhs
     (assembly_pk.assemble_flux_jacobian vals)."""
     phi, qw, f = _tabs(plan, u.dtype)
     nd = plan.nd
-    ua, u_q, gux_q, guy_q = _cell_fields(plan, u)
+    ua, u_q, gux_q, guy_q = _cell_fields(plan, u, gather)
     fx_v, fx_d, fy_v, fy_d, t1 = [], [], [], [], []
     for q in range(plan.Q):
         one = jnp.ones_like(u_q[q])

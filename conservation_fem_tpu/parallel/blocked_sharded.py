@@ -71,8 +71,6 @@ class DistributedBlocked:
 
         self.Gcell_s = padb(plan.Gcell)
         self.Sv_s = padb(plan.Sv)
-        self.Rrow_s = padb(plan.Rrow)
-        self.Ccol_s = padb(plan.Ccol)
         self.Abool_s = padb(plan.A_bool, False)
         self.area_s = padb(plan.area_b)
         self.grads_s = padb(plan.grads_b)
@@ -149,16 +147,26 @@ class DistributedBlocked:
         Lb = self.Lb
         axis = self.axis
         fprime = p.flux_prime
+        fpx, fpy = p._fpxy
         fprime_norm = p.flux_prime_norm
         bc_value = p.bc_value
-        phi = assembly._quad_basis().astype(self.dtype)
-        qw = (assembly._DUN4_W * 0.5).astype(self.dtype)
 
-        def step_local(Mb, Kbc, Gcell, Sv, Rrow, Ccol, Abool, area_b,
+        def step_local(Mb, Kbc, Gcell, Sv, Abool, area_b,
                        grads_b, bc_row, patch_deg, diag_eye, h2, pts,
                        valid2, u2, uo2, uoo2, t):
             area_f = area_b.reshape(-1)
             grads_f = grads_b.reshape(-1, 3, 2)
+            # LOCAL VIEW of the plan for the componentwise kernels (the
+            # same code as the single-device step — identical summation
+            # order, only the window gather is the halo'd one)
+            import dataclasses as _dc
+            lplan = _dc.replace(
+                plan, blocks=Lb, Gcell=Gcell, Sv=Sv, area_b=area_b,
+                grads_b=grads_b,
+                gx3=grads_b[:, :, :, 0].transpose(0, 2, 1),
+                gy3=grads_b[:, :, :, 1].transpose(0, 2, 1),
+                Rrow=None, Ccol=None, A_bool=None, A_float=None,
+                bc_row=None, bc_win=None, diag_eye=None, patch_deg=None)
             pin2 = bc_row | ~valid2
             pin = pin2.reshape(-1)
             bc = bc_row.reshape(-1)
@@ -180,47 +188,35 @@ class DistributedBlocked:
                 d = jnp.diagonal(D, offset=B, axis1=1, axis2=2)
                 return d[:, :nb].reshape(-1)
 
-            # the one-hots are COMPONENT-MAJOR (s = a*C + c, see
-            # ops/blocked.make_blocked_plan); these wrappers keep the
-            # (cells, 3)-interleaved view the assembly.local_* kernels eat
-            def gather_cells(x):
+            def gather3(x):
+                """halo'd window gather -> (Lb, 3, C) component planes"""
                 w = self._windows(x)
                 uc = blocked_ops._oh_apply(Gcell, w, 2, self.dtype)
-                return uc.reshape(Lb, 3, plan.C).transpose(
-                    0, 2, 1).reshape(-1, 3)
+                return uc.reshape(Lb, 3, plan.C)
 
-            def scatter_vec(vals):
-                v = vals.reshape(Lb, plan.C, 3).transpose(
-                    0, 2, 1).reshape(Lb, 3 * plan.C)
+            def scatter3(v3):
+                v = v3.reshape(Lb, 3 * plan.C)
                 return blocked_ops._oh_apply(
                     Sv, v, 1, self.dtype).reshape(-1)
 
-            def assemble(local_mats):
-                v = local_mats.reshape(Lb, plan.C, 3, 3).transpose(
-                    0, 2, 3, 1).reshape(Lb, 9 * plan.C)
-                return blocked_ops.assemble_from_onehots(
-                    Rrow, Ccol, v, self.dtype)
+            # (cells, 3)-interleaved views for the assembly.local_*
+            # kernels of the matrix-free branch
+            def gather_cells(x):
+                return gather3(x).transpose(0, 2, 1).reshape(-1, 3)
+
+            def scatter_vec(vals):
+                return scatter3(vals.reshape(Lb, plan.C, 3).transpose(
+                    0, 2, 1))
 
             def patch_reduce(x, reducer, pad_val):
                 w = self._windows(jnp.where(validf, x, pad_val))
                 v = jnp.where(Abool, w[:, None, :], pad_val)
                 return reducer(v, axis=2).reshape(-1)
 
-            def nl_rhs(x):
-                uc = gather_cells(x)
-                r = assembly.local_convection_rhs(area_f, grads_f, uc,
-                                                 fprime)
-                return scatter_vec(r)
-
-            def keps_mat(eps):
-                ec = gather_cells(eps)
-                return assemble(assembly.local_eps_stiffness(
-                    area_f, grads_f, ec))
-
-            def jac_mat(x):
-                uc = gather_cells(x)
-                return assemble(assembly.local_flux_jacobian(
-                    area_f, grads_f, uc, fprime))
+            def nl_rhs(x, L9=None):
+                return blocked_ops.conv_plus_locals_rhs_components(
+                    lplan, x, fpx, fpy, L9, gather=gather3,
+                    scatter=scatter3)
 
             # matrix-free twins (cfg.blocked_matrix_free): per-cell 3x3
             # locals applied gather->einsum->scatter, never assembled to
@@ -308,36 +304,49 @@ class DistributedBlocked:
             eps = jnp.where(validf, eps, 0.0)
 
             # 3. Newton CN with u|bc = g(x, t)
-            N_un = nl_rhs(u)
             g2 = bc_value(pts.reshape(-1, 2), t)
             if cfg.blocked_matrix_free:
+                N_un = nl_rhs(u)
                 L_keps = local_keps(eps)
                 L_cn = assembly.local_mass(area_f) + 0.5 * dt * L_keps
                 K_mv = lambda v: local_apply(L_keps, v)
                 Kc_un = K_mv(u)
-                K_apply = K_mv
-            else:
-                Kc = keps_mat(eps)
-                Kc_un = spmv(Kc, u)
-                base = Mb + 0.5 * dt * Kc
-                K_apply = lambda v: spmv(Kc, v)
 
-            def residual(v):
-                F = (spmv(Mb, v - u)
-                     + 0.5 * dt * (nl_rhs(v) + N_un)
-                     + 0.5 * dt * (K_apply(v) + Kc_un))
-                return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
+                def residual(v):
+                    F = (spmv(Mb, v - u)
+                         + 0.5 * dt * (nl_rhs(v) + N_un)
+                         + 0.5 * dt * (K_mv(v) + Kc_un))
+                    return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
 
-            def jacobian(v):
-                if cfg.blocked_matrix_free:
+                def jacobian(v):
                     L_J = L_cn + 0.5 * dt * local_jac(v)
                     pre = jacobi_preconditioner(
                         jnp.where(pin, 1.0, local_diag(L_J)))
                     return c_op(lambda x: local_apply(L_J, x)), pre
-                J = base + 0.5 * dt * jac_mat(v)
-                pre = jacobi_preconditioner(
-                    jnp.where(pin, 1.0, diag_of(J)))
-                return c_mv(J), pre
+            else:
+                # Keps-free: the eps-stiffness action rides inside the
+                # convection quadrature pass; the Jacobian is assembled
+                # from SUMMED locals in one factored contraction — the
+                # exact single-device scheme (blocked_hyperbolic
+                # ._newton_cn_assembled), so f32 trajectories agree.
+                L_keps = blocked_ops.eps_locals_components(
+                    lplan, eps, gather=gather3)
+                L_cn = (blocked_ops.mass_locals_components(lplan)
+                        + 0.5 * dt * L_keps)
+                NK_un = nl_rhs(u, L_keps)
+
+                def residual(v):
+                    F = (spmv(Mb, v - u)
+                         + 0.5 * dt * (nl_rhs(v, L_keps) + NK_un))
+                    return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
+
+                def jacobian(v):
+                    L_J = L_cn + 0.5 * dt *                         blocked_ops.flux_jacobian_locals_components(
+                            lplan, v, fpx, fpy, gather=gather3)
+                    J = blocked_ops.assemble_matrix_components(lplan, L_J)
+                    pre = jacobi_preconditioner(
+                        jnp.where(pin, 1.0, diag_of(J)))
+                    return c_mv(J), pre
 
             u_init = jnp.where(pin, jnp.where(bc, g2, 0.0), u)
             if cfg.newton_iters is not None:
@@ -351,7 +360,8 @@ class DistributedBlocked:
                     freeze_jacobian=cfg.modified_newton,
                     rtol=cfg.newton_rtol, atol=cfg.newton_atol,
                     dot=pdot, linear_solver=cfg.inner_solver,
-                    cheby_bounds=cfg.cheby_lin_bounds)
+                    cheby_bounds=cfg.cheby_lin_bounds,
+                    final_residual=cfg.newton_final_residual)
             else:
                 res = newton_solve(
                     residual, u_init,
@@ -377,7 +387,6 @@ class DistributedBlocked:
             in_specs=(
                 P(ax, None, None), P(ax, None, None),   # Mb, Kbc
                 P(ax, None, None), P(ax, None, None),   # Gcell, Sv
-                P(ax, None, None), P(ax, None, None),   # Rrow, Ccol
                 P(ax, None, None),                       # Abool
                 P(ax, None), P(ax, None, None, None),    # area_b, grads_b
                 P(ax, None), P(ax, None),                # bc_row, patch_deg
@@ -400,7 +409,7 @@ class DistributedBlocked:
             def body(carry, t):
                 u, uo, uoo = carry
                 return step(self.M_s, self.Kbc_s, self.Gcell_s, self.Sv_s,
-                            self.Rrow_s, self.Ccol_s, self.Abool_s,
+                            self.Abool_s,
                             self.area_s, self.grads_s, self.bcrow_s,
                             self.patchdeg_s, self.diag_eye, self.h_s,
                             self.pts_s, self.valid_s, u, uo, uoo, t), None
