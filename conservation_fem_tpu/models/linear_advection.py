@@ -71,7 +71,12 @@ class AdvectionConfig:
     rv_cell_scatter: str = "last"
     krylov_rtol: float = 1e-12
     # "banded": RCM-diagonal operator application (gather-free; requires an
-    # RCM-ordered mesh — build with reorder_mesh(rcm_permutation(m)))
+    # RCM-ordered mesh — build with reorder_mesh(rcm_permutation(m)));
+    # "blocked": blocked-window dense MXU ops (ops/blocked.py — the fast
+    # TPU path for the reference's unstructured gmsh meshes; build()
+    # RCM-reorders the mesh automatically, so solutions live in RCM
+    # numbering). rv_cell with blocked raises (its last-cell-wins scatter
+    # is order-dependent; use gather or the distributed "max" variant).
     ell_matvec_backend: str = "gather"
     dtype: str = "float64"
 
@@ -107,23 +112,54 @@ class AdvectionProblem:
     h_cg: object         # nodal h (rv/si variants) or None
     K_bc: object         # bc-applied ELL stiffness (si variant) or None
     u0: object           # (N,) initial condition
+    # blocked backend (ell_matvec_backend="blocked"): window-form twins.
+    # The plan is a DATA field (registered pytree) so its one-hot buffers
+    # ride through jit as arguments, not compile-payload constants.
+    blkplan: object = None
+    M_w: object = None   # (blocks, nb, Wpad) mass windows
+    C_w: object = None   # convection windows
+    Kbc_w: object = None  # bc-applied stiffness windows (si)
 
 
 jax.tree_util.register_dataclass(
     AdvectionProblem,
-    data_fields=["mesh", "w", "M", "C", "h_cg", "K_bc", "u0"],
+    data_fields=["mesh", "w", "M", "C", "h_cg", "K_bc", "u0",
+                 "blkplan", "M_w", "C_w", "Kbc_w"],
     meta_fields=["cfg", "host_mesh", "dt", "num_steps", "bplan"],
 )
 
 
-def _linear_op(p, A_ell):
-    """(matvec, diag) honoring the configured application backend."""
+def _linear_op(p, A):
+    """(matvec, diag) honoring the configured application backend.
+    A: ELL (n, K) or — blocked backend — window form (blocks, nb, Wpad)."""
+    if A.ndim == 3:
+        from conservation_fem_tpu.ops import blocked
+
+        return (lambda x: blocked.spmv(p.blkplan, A, x),
+                blocked.diag_of(p.blkplan, A))
     if p.bplan is not None:
         from conservation_fem_tpu.ops.banded import banded_matvec, ell_to_banded
 
-        band = ell_to_banded(p.bplan, A_ell)
+        band = ell_to_banded(p.bplan, A_ell := A)
         return (lambda x: banded_matvec(band, x)), band[p.bplan.bandwidth]
-    return (lambda x: ell_matvec(p.mesh, A_ell, x)), ell_diag(p.mesh, A_ell)
+    return (lambda x: ell_matvec(p.mesh, A, x)), ell_diag(p.mesh, A)
+
+
+def _ops_MC(p):
+    """The (mass, convection) operators in the backend's fast form."""
+    if p.blkplan is not None:
+        return p.M_w, p.C_w
+    return p.M, p.C
+
+
+def _asm_keps(p, eps):
+    """eps-weighted stiffness in the backend's operator form."""
+    if p.blkplan is not None:
+        from conservation_fem_tpu.ops import blocked
+
+        return blocked.assemble_matrix_components(
+            p.blkplan, blocked.eps_locals_components(p.blkplan, eps))
+    return assembly.assemble_eps_stiffness(p.mesh, eps)
 
 
 def build(cfg: AdvectionConfig, host_mesh: Mesh | None = None) -> AdvectionProblem:
@@ -136,6 +172,16 @@ def build(cfg: AdvectionConfig, host_mesh: Mesh | None = None) -> AdvectionProbl
             host_mesh = rectangle_mesh((0, 0), (1, 1), nx=cfg.mesh_size)
         else:
             raise ValueError(f"unknown domain {cfg.domain!r}")
+    if cfg.ell_matvec_backend == "blocked":
+        if cfg.stabilization == "rv_cell":
+            raise NotImplementedError(
+                "rv_cell's last-cell-wins scatter is cell-order-dependent "
+                "and has no window form; use the gather backend (or the "
+                "distributed path's order-independent scatter='max')")
+        from conservation_fem_tpu.ops.mesh import (reorder_mesh,
+                                                   rcm_permutation)
+
+        host_mesh = reorder_mesh(host_mesh, rcm_permutation(host_mesh))
     m = host_mesh.device_arrays(dtype)
     w = velocity(m.points)
     # reference quirk: matrix inf-norm = max |wx_i| + |wy_i|
@@ -157,9 +203,28 @@ def build(cfg: AdvectionConfig, host_mesh: Mesh | None = None) -> AdvectionProbl
         from conservation_fem_tpu.ops.banded import make_banded_plan
 
         bplan = make_banded_plan(host_mesh)
+    blkplan = M_w = C_w = Kbc_w = None
+    if cfg.ell_matvec_backend == "blocked":
+        from conservation_fem_tpu.ops import blocked
+
+        blkplan = blocked.make_blocked_plan(host_mesh, dtype=dtype)
+        area_f = blkplan.area_b.reshape(-1)
+        grads_f = blkplan.grads_b.reshape(-1, 3, 2)
+        rs = lambda L: L.reshape(blkplan.blocks, blkplan.C, 3, 3)
+        M_w = blocked.assemble_matrix(blkplan, rs(assembly.local_mass(
+            area_f)))
+        wc = jnp.stack([blocked.gather_cells(blkplan, w[:, 0]),
+                        blocked.gather_cells(blkplan, w[:, 1])],
+                       axis=-1).reshape(-1, 3, 2)
+        C_w = blocked.assemble_matrix(blkplan, rs(
+            assembly.local_convection(area_f, grads_f, wc)))
+        if cfg.stabilization == "si":
+            Kbc_w = blocked.apply_bc_matrix(blkplan, blocked.assemble_matrix(
+                blkplan, rs(assembly.local_stiffness(area_f, grads_f))))
     return AdvectionProblem(
         cfg=cfg, host_mesh=host_mesh, dt=dt, num_steps=num_steps, bplan=bplan,
         mesh=m, w=w, M=M, C=C, h_cg=h_cg, K_bc=K_bc, u0=u0,
+        blkplan=blkplan, M_w=M_w, C_w=C_w, Kbc_w=Kbc_w,
     )
 
 
@@ -173,12 +238,13 @@ def _cn_solve(p: AdvectionProblem, Keps, u_n, rtol):
     (M + dt/2 C + dt/2 Keps) u = (M - dt/2 C - dt/2 Keps) u_n, u|bc = 0."""
     m, dt = p.mesh, p.dt
     bc = m.boundary_mask
+    M_op, C_op = _ops_MC(p)
     if Keps is None:
-        A = p.M + 0.5 * dt * p.C
-        B = p.M - 0.5 * dt * p.C
+        A = M_op + 0.5 * dt * C_op
+        B = M_op - 0.5 * dt * C_op
     else:
-        A = p.M + 0.5 * dt * p.C + 0.5 * dt * Keps
-        B = p.M - 0.5 * dt * p.C - 0.5 * dt * Keps
+        A = M_op + 0.5 * dt * C_op + 0.5 * dt * Keps
+        B = M_op - 0.5 * dt * C_op - 0.5 * dt * Keps
     A_mv, A_diag = _linear_op(p, A)
     B_mv, _ = _linear_op(p, B)
     b = jnp.where(bc, 0.0, B_mv(u_n))
@@ -194,8 +260,9 @@ def _residual_bdf1(p: AdvectionProblem, u_n, u_old, rtol):
     (ref RV_cell.py:169-174: LinearProblem(u v dx, ..., bcs=[bc]))."""
     m = p.mesh
     bc = m.boundary_mask
-    M_mv, M_diag = _linear_op(p, p.M)
-    C_mv, _ = _linear_op(p, p.C)
+    M_op, C_op = _ops_MC(p)
+    M_mv, M_diag = _linear_op(p, M_op)
+    C_mv, _ = _linear_op(p, C_op)
     rhs = M_mv((u_n - u_old) / p.dt) + C_mv(u_n)
     rhs = jnp.where(bc, 0.0, rhs)
     diag = jnp.where(bc, 1.0, M_diag)
@@ -214,10 +281,17 @@ def _step_rv_node(p: AdvectionProblem, carry, _):
     u_n, u_old = carry
     cfg = p.cfg
     Rh = _residual_bdf1(p, u_n, u_old, cfg.krylov_rtol)
-    eps = stab.rv_epsilon_linear(
-        p.mesh, cfg.Cvel, cfg.CRV, u_n, u_n, p.w, Rh, p.h_cg
-    )
-    Keps = assembly.assemble_eps_stiffness(p.mesh, eps)
+    if p.blkplan is not None:
+        from conservation_fem_tpu.ops import blocked
+
+        eps = blocked.rv_epsilon_linear(
+            p.blkplan, cfg.Cvel, cfg.CRV, u_n, u_n,
+            jnp.linalg.norm(p.w, axis=1), Rh, p.h_cg)
+    else:
+        eps = stab.rv_epsilon_linear(
+            p.mesh, cfg.Cvel, cfg.CRV, u_n, u_n, p.w, Rh, p.h_cg
+        )
+    Keps = _asm_keps(p, eps)
     uh, _ = _cn_solve(p, Keps, u_n, cfg.krylov_rtol)
     return (uh, u_n), None
 
@@ -251,8 +325,9 @@ def _residual_bdf1_nobc(p: AdvectionProblem, u_n, u_old, rtol):
     RV_node.py source applies bcs to this solve, ref RV_node.py:215, which
     does NOT reproduce the stored data — provenance established in round 2)."""
     m = p.mesh
-    M_mv, M_diag = _linear_op(p, p.M)
-    C_mv, _ = _linear_op(p, p.C)
+    M_op, C_op = _ops_MC(p)
+    M_mv, M_diag = _linear_op(p, M_op)
+    C_mv, _ = _linear_op(p, C_op)
     rhs = M_mv((u_n - u_old) / p.dt) + C_mv(u_n)
     res = cg(M_mv, rhs, precond=jacobi_preconditioner(M_diag), rtol=rtol)
     return res.x
@@ -267,7 +342,7 @@ def _step_rv_node_simple(p: AdvectionProblem, carry, _):
     cfg = p.cfg
     Rh = _residual_bdf1_nobc(p, u_n, u_old, cfg.krylov_rtol)
     eps = stab.rv_epsilon_linear_simple(cfg.Cvel, cfg.CRV, p.w, Rh, u_n, p.h_cg)
-    Keps = assembly.assemble_eps_stiffness(p.mesh, eps)
+    Keps = _asm_keps(p, eps)
     uh, _ = _cn_solve(p, Keps, u_n, cfg.krylov_rtol)
     return (uh, u_n), None
 
@@ -276,10 +351,17 @@ def _step_si(p: AdvectionProblem, carry, _):
     u_n, u_old = carry
     cfg = p.cfg
     beta = jnp.linalg.norm(p.w, axis=1)
-    eps = stab.si_epsilon(
-        p.mesh, cfg.Cm, p.K_bc, u_n, beta, p.h_cg, eps_floor=cfg.si_eps
-    ).epsilon
-    Keps = assembly.assemble_eps_stiffness(p.mesh, eps)
+    if p.blkplan is not None:
+        from conservation_fem_tpu.ops import blocked
+
+        alpha = blocked.si_alpha(p.blkplan, p.Kbc_w, u_n,
+                                 eps_floor=cfg.si_eps)
+        eps = stab.sigmoid_activation(alpha) * cfg.Cm * p.h_cg * beta
+    else:
+        eps = stab.si_epsilon(
+            p.mesh, cfg.Cm, p.K_bc, u_n, beta, p.h_cg, eps_floor=cfg.si_eps
+        ).epsilon
+    Keps = _asm_keps(p, eps)
     uh, _ = _cn_solve(p, Keps, u_n, cfg.krylov_rtol)
     return (uh, u_n), None
 
@@ -290,12 +372,15 @@ def _step_rk4(p: AdvectionProblem, carry, _):
     u_n, u_old = carry
     m = p.mesh
     bc = m.boundary_mask
-    diag = jnp.where(bc, 1.0, ell_diag(m, p.M))
+    M_op, C_op = _ops_MC(p)
+    M_mv, M_diag = _linear_op(p, M_op)
+    C_mv, _ = _linear_op(p, C_op)
+    diag = jnp.where(bc, 1.0, M_diag)
     pre = jacobi_preconditioner(diag)
-    op = lambda x: constrained_matvec(m, p.M, x, bc)
+    op = lambda x: jnp.where(bc, x, M_mv(jnp.where(bc, 0.0, x)))
 
     def rhs_stage(u):
-        r = -ell_matvec(m, p.C, u)
+        r = -C_mv(u)
         return jnp.where(bc, 0.0, r)
 
     k1 = cg(op, rhs_stage(u_n), precond=pre, rtol=p.cfg.krylov_rtol).x

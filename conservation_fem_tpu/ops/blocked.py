@@ -591,6 +591,20 @@ def rv_epsilon_nonlinear(plan: BlockedPlan, Cvel, Crv, uh, u_n,
     return jnp.minimum(Cvel * h * beta, Crv * h**2 * jnp.abs(R_i))
 
 
+def rv_epsilon_linear(plan: BlockedPlan, Cvel, Crv, uh, u_n, w_norm, Rh, h):
+    """Window-form twin of stabilization.rv_epsilon_linear
+    (ref Code/Utils/RV.py:92-127); beta_i = |w_i| at the patch owner —
+    the reference's quirk, reproduced (RV.py:113-114)."""
+    abs_term = jnp.abs(uh - uh.mean()).max()
+    u_tilde = patch_max(plan, u_n) - patch_min(plan, u_n)
+    n_i = jnp.abs(u_tilde - abs_term)
+    Rh_i = patch_abs_max(plan, Rh)
+    tiny = jnp.asarray(1e-300 if n_i.dtype == jnp.float64 else 1e-30,
+                       n_i.dtype)
+    R_i = Rh_i / jnp.maximum(n_i, tiny)
+    return jnp.minimum(Cvel * h * w_norm, Crv * h**2 * jnp.abs(R_i))
+
+
 def si_alpha(plan: BlockedPlan, K_D, u, eps_floor=1e-8):
     """Window-form twin of stabilization.si_alpha (ref Code/Utils/SI.py:
     50-61): alpha_i = |sum_j b_ij du_ij| / max(sum_j |b_ij||du_ij|, eps).
