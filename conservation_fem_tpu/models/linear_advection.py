@@ -46,7 +46,9 @@ import numpy as np
 from conservation_fem_tpu.ops import assembly
 from conservation_fem_tpu.ops.bc import constrained_matvec, ell_with_bc
 from conservation_fem_tpu.ops.helpers import get_nodal_h
-from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import (bicgstab, bicgstab_fixed, cg,
+                                             cg_fixed, chebyshev_fixed,
+                                             jacobi_preconditioner)
 from conservation_fem_tpu.ops.mesh import Mesh, MeshArrays, disk_mesh, rectangle_mesh
 from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
 from conservation_fem_tpu.ops import stabilization as stab
@@ -78,6 +80,17 @@ class AdvectionConfig:
     # numbering). rv_cell with blocked raises (its last-cell-wins scatter
     # is order-dependent; use gather or the distributed "max" variant).
     ell_matvec_backend: str = "gather"
+    # fixed-iteration solvers (TPU throughput; None = adaptive to
+    # krylov_rtol). cg_iters: the BDF1-residual mass solve;
+    # krylov_iters: the CN solve. inner_solver="cheby" runs both as
+    # dot-free Chebyshev semi-iterations (mass: Wathen [0.5,2] Jacobi
+    # bounds; CN operator: cheby_cn_bounds — the advection CN matrix
+    # M + dt/2 (C + Keps) is a small skew perturbation of M).
+    cg_iters: int | None = None
+    krylov_iters: int | None = None
+    inner_solver: str = "bicgstab"
+    cheby_mass_bounds: tuple = (0.5, 2.0)
+    cheby_cn_bounds: tuple = (0.4, 2.2)
     dtype: str = "float64"
 
 
@@ -251,7 +264,15 @@ def _cn_solve(p: AdvectionProblem, Keps, u_n, rtol):
     diag = jnp.where(bc, 1.0, A_diag)
     pre = jacobi_preconditioner(diag)
     op = lambda x: jnp.where(bc, x, A_mv(jnp.where(bc, 0.0, x)))
-    res = bicgstab(op, b, x0=u_n, precond=pre, rtol=rtol)
+    ki = p.cfg.krylov_iters
+    if ki is not None and p.cfg.inner_solver == "cheby":
+        res = chebyshev_fixed(op, b, x0=u_n, precond=pre, iters=ki,
+                              lmin=p.cfg.cheby_cn_bounds[0],
+                              lmax=p.cfg.cheby_cn_bounds[1])
+    elif ki is not None:
+        res = bicgstab_fixed(op, b, x0=u_n, precond=pre, iters=ki)
+    else:
+        res = bicgstab(op, b, x0=u_n, precond=pre, rtol=rtol)
     return res.x, res
 
 
@@ -267,8 +288,19 @@ def _residual_bdf1(p: AdvectionProblem, u_n, u_old, rtol):
     rhs = jnp.where(bc, 0.0, rhs)
     diag = jnp.where(bc, 1.0, M_diag)
     op = lambda x: jnp.where(bc, x, M_mv(jnp.where(bc, 0.0, x)))
-    res = cg(op, rhs, precond=jacobi_preconditioner(diag), rtol=rtol)
-    return res.x
+    pre = jacobi_preconditioner(diag)
+    return _mass_solve(p, op, rhs, pre, rtol)
+
+
+def _mass_solve(p, op, rhs, pre, rtol):
+    ci = p.cfg.cg_iters
+    if ci is not None and p.cfg.inner_solver == "cheby":
+        return chebyshev_fixed(op, rhs, precond=pre, iters=ci,
+                               lmin=p.cfg.cheby_mass_bounds[0],
+                               lmax=p.cfg.cheby_mass_bounds[1]).x
+    if ci is not None:
+        return cg_fixed(op, rhs, precond=pre, iters=ci).x
+    return cg(op, rhs, precond=pre, rtol=rtol).x
 
 
 def _step_gfem(p: AdvectionProblem, carry, _):
@@ -329,8 +361,7 @@ def _residual_bdf1_nobc(p: AdvectionProblem, u_n, u_old, rtol):
     M_mv, M_diag = _linear_op(p, M_op)
     C_mv, _ = _linear_op(p, C_op)
     rhs = M_mv((u_n - u_old) / p.dt) + C_mv(u_n)
-    res = cg(M_mv, rhs, precond=jacobi_preconditioner(M_diag), rtol=rtol)
-    return res.x
+    return _mass_solve(p, M_mv, rhs, jacobi_preconditioner(M_diag), rtol)
 
 
 def _step_rv_node_simple(p: AdvectionProblem, carry, _):
@@ -383,10 +414,11 @@ def _step_rk4(p: AdvectionProblem, carry, _):
         r = -C_mv(u)
         return jnp.where(bc, 0.0, r)
 
-    k1 = cg(op, rhs_stage(u_n), precond=pre, rtol=p.cfg.krylov_rtol).x
-    k2 = cg(op, rhs_stage(u_n + 0.5 * p.dt * k1), precond=pre, rtol=p.cfg.krylov_rtol).x
-    k3 = cg(op, rhs_stage(u_n + 0.5 * p.dt * k2), precond=pre, rtol=p.cfg.krylov_rtol).x
-    k4 = cg(op, rhs_stage(u_n + p.dt * k3), precond=pre, rtol=p.cfg.krylov_rtol).x
+    stage = lambda r: _mass_solve(p, op, r, pre, p.cfg.krylov_rtol)
+    k1 = stage(rhs_stage(u_n))
+    k2 = stage(rhs_stage(u_n + 0.5 * p.dt * k1))
+    k3 = stage(rhs_stage(u_n + 0.5 * p.dt * k2))
+    k4 = stage(rhs_stage(u_n + p.dt * k3))
     uh = u_n + p.dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
     uh = jnp.where(bc, 0.0, uh)
     return (uh, u_n), None

@@ -1,0 +1,81 @@
+"""TPU timing: linear advection RV-node on the reference gmsh disk mesh.
+
+The reference's primary workload family (Code/Linear_advection) runs on
+its stored gmsh disk mesh (1011 nodes). Amortized timing (timeharness);
+gather vs blocked backends, adaptive vs fixed-iteration solvers.
+
+Usage: python scripts/bench_advection.py [mesh_size ...] (default: the
+reference Data mesh + a 4x-refined disk)
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_H5 = "/root/reference/Code/Linear_advection/Data/RV/RV_cell.h5"
+
+
+def main():
+    import __graft_entry__ as ge
+
+    ge._enable_compile_cache()
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conservation_fem_tpu.models import linear_advection as la
+    from conservation_fem_tpu.ops.mesh import load_h5_mesh
+
+    host = load_h5_mesh(REF_H5, geometry="Mesh/mesh/geometry",
+                        topology="Mesh/mesh/topology")
+    print(f"reference disk mesh: {host.n_nodes} nodes", flush=True)
+
+    def bench(label, host_mesh, **kw):
+        cfg = la.AdvectionConfig(T=1.0, stabilization="rv_node",
+                                 dtype="float32", **kw)
+        p = la.build(cfg, host_mesh=host_mesh)
+        n = int(p.u0.shape[0])
+
+        def runner(R):
+            @jax.jit
+            def _run(p):
+                def rep(c, _):
+                    u, _err = la._run_scan.__wrapped__("rv_node", p)
+                    return c + u[0] * 1e-30, None
+                c, _ = jax.lax.scan(rep, jnp.zeros((), p.u0.dtype), None,
+                                    length=R)
+                return c
+            return _run
+
+        times = {}
+        for R in (1, 3):
+            f = runner(R)
+            s = float(f(p))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                s = float(f(p))
+                best = min(best, time.perf_counter() - t0)
+            times[R] = best
+        per_step = (times[3] - times[1]) / (2 * p.num_steps)
+        print(f"{label:38s} {per_step*1e6:9.1f} us/step  "
+              f"{n/per_step/1e6:7.2f} M DOF-steps/s "
+              f"({p.num_steps} steps)", flush=True)
+
+    bench("gather adaptive (1e-5)", host, krylov_rtol=1e-5)
+    bench("blocked adaptive (1e-5)", host, krylov_rtol=1e-5,
+          ell_matvec_backend="blocked")
+    bench("blocked fixed (cg10, bicg8)", host, cg_iters=10,
+          krylov_iters=8, ell_matvec_backend="blocked")
+    bench("blocked fixed cheby (cg8, cn12)", host, cg_iters=8,
+          krylov_iters=12, inner_solver="cheby",
+          ell_matvec_backend="blocked")
+
+
+if __name__ == "__main__":
+    main()

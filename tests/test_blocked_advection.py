@@ -28,3 +28,17 @@ def test_blocked_advection_rv_cell_guard():
     with pytest.raises(NotImplementedError):
         la.build(la.AdvectionConfig(stabilization="rv_cell",
                                     ell_matvec_backend="blocked"))
+
+
+def test_blocked_advection_fixed_iteration_solvers():
+    """Fixed-iteration (and dot-free cheby) solver knobs match the
+    adaptive 1e-12 run at their expected inexactness levels."""
+    cfg = dict(mesh_size=8, T=0.1, stabilization="rv_node",
+               dtype="float64", ell_matvec_backend="blocked")
+    ua = np.asarray(la.solve(la.build(la.AdvectionConfig(**cfg))).u)
+    uf = np.asarray(la.solve(la.build(la.AdvectionConfig(
+        **cfg, cg_iters=10, krylov_iters=10))).u)
+    uc = np.asarray(la.solve(la.build(la.AdvectionConfig(
+        **cfg, cg_iters=12, krylov_iters=14, inner_solver="cheby"))).u)
+    assert np.abs(uf - ua).max() < 1e-5
+    assert np.abs(uc - ua).max() < 1e-3
