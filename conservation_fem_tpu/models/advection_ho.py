@@ -31,7 +31,9 @@ import numpy as np
 from conservation_fem_tpu.models.linear_advection import initial_condition, velocity
 from conservation_fem_tpu.ops import assembly_pk as apk
 from conservation_fem_tpu.ops import stabilization as stab
-from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import (bicgstab, bicgstab_fixed, cg,
+                                             cg_fixed, chebyshev_fixed,
+                                             jacobi_preconditioner)
 from conservation_fem_tpu.ops.mesh import Mesh, disk_mesh, rectangle_mesh
 from conservation_fem_tpu.ops.spaces import build_space
 from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
@@ -55,6 +57,17 @@ class HOAdvectionConfig:
     # unit circle so P2/P3 rates are not capped by the polygonal boundary
     # (exceeds the reference, whose gmsh meshes are straight triangles)
     curved_boundary: bool = False
+    # "blocked": blocked-window Pk backend (ops/blocked_pk.py) — RCM dof
+    # permutation, window operators, componentwise per-step assembly; the
+    # fast TPU path (solutions live in the permuted numbering; compare
+    # via spaces.rcm_dof_permutation)
+    ell_matvec_backend: str = "gather"
+    # fixed-iteration solvers (TPU throughput; None = adaptive)
+    cg_iters: int | None = None
+    krylov_iters: int | None = None
+    inner_solver: str = "bicgstab"
+    cheby_mass_bounds: tuple | None = None   # default per degree in build()
+    cheby_cn_bounds: tuple | None = None
     dtype: str = "float64"
 
 
@@ -77,13 +90,36 @@ class HOProblem:
     h_cg: object
     K_bc: object
     u0: object
+    # blocked backend: plan + window operators (data fields: the one-hot
+    # buffers must ride through jit as arguments, cf. linear_advection)
+    blkplan: object = None
+    M_w: object = None
+    C_w: object = None
+    Kbc_w: object = None
 
 
 jax.tree_util.register_dataclass(
     HOProblem,
-    data_fields=["sp", "w", "M", "C", "h_cg", "K_bc", "u0"],
+    data_fields=["sp", "w", "M", "C", "h_cg", "K_bc", "u0",
+                 "blkplan", "M_w", "C_w", "Kbc_w"],
     meta_fields=["cfg", "host_mesh", "space", "dt", "num_steps"],
 )
+
+
+def _ops_MC(p):
+    if p.blkplan is not None:
+        return p.M_w, p.C_w
+    return p.M, p.C
+
+
+def _linear_op(p, A):
+    """(matvec, diag): ELL (n,K) or blocked window (blocks,nb,Wpad) form."""
+    if A.ndim == 3:
+        from conservation_fem_tpu.ops import blocked
+
+        return (lambda x: blocked.spmv(p.blkplan, A, x),
+                blocked.diag_of(p.blkplan, A))
+    return (lambda x: ell_matvec(p.sp, A, x)), ell_diag(p.sp, A)
 
 
 def get_nodal_h_pk(sp, M=None, rtol=1e-14):
@@ -120,6 +156,11 @@ def build(cfg: HOAdvectionConfig | None = None, host_mesh: Mesh | None = None, *
     if cfg.curved_boundary and cfg.domain == "disk":
         projector = lambda p: p / np.linalg.norm(p, axis=1, keepdims=True)
     space = build_space(host_mesh, cfg.degree, boundary_projector=projector)
+    if cfg.ell_matvec_backend == "blocked":
+        from conservation_fem_tpu.ops.spaces import (permute_dofs,
+                                                     rcm_dof_permutation)
+
+        space = permute_dofs(space, rcm_dof_permutation(space))
     dtype = jnp.dtype(cfg.dtype)
     sp = space.device_arrays(dtype)
     w = velocity(sp.dof_coords)
@@ -136,34 +177,74 @@ def build(cfg: HOAdvectionConfig | None = None, host_mesh: Mesh | None = None, *
         K_bc = _ell_with_bc(sp, apk.assemble_stiffness(sp), sp.boundary_mask)
     icfn = ic_discontinuous if cfg.discontinuous_ic else initial_condition
     u0 = icfn(sp.dof_coords[:, 0], sp.dof_coords[:, 1]).astype(dtype)
-    return HOProblem(cfg, host_mesh, space, dt, num_steps, sp, w, M, C, h_cg, K_bc, u0)
+    blkplan = M_w = C_w = Kbc_w = None
+    if cfg.ell_matvec_backend == "blocked":
+        from conservation_fem_tpu.ops import blocked
+        from conservation_fem_tpu.ops import blocked_pk as bpk
+
+        blkplan = bpk.make_blocked_pk_plan(space, dtype=dtype)
+        M_w = blocked.assemble_matrix_components(
+            blkplan, bpk.pk_mass_locals(blkplan, dtype))
+        C_w = blocked.assemble_matrix_components(
+            blkplan, bpk.pk_convection_locals(blkplan, w))
+        if cfg.stabilization == "si":
+            Kbc_w = blocked.apply_bc_matrix(
+                blkplan, blocked.assemble_matrix_components(
+                    blkplan, bpk.pk_stiffness_locals(blkplan, dtype)))
+    return HOProblem(cfg, host_mesh, space, dt, num_steps, sp, w, M, C,
+                     h_cg, K_bc, u0, blkplan, M_w, C_w, Kbc_w)
 
 
 def _cn_solve(p: HOProblem, Keps, u_n):
-    sp, dt = p.sp, p.dt
-    bc = sp.boundary_mask
+    dt = p.dt
+    bc = p.sp.boundary_mask
+    M_op, C_op = _ops_MC(p)
     if Keps is None:
-        A = p.M + 0.5 * dt * p.C
-        B = p.M - 0.5 * dt * p.C
+        A = M_op + 0.5 * dt * C_op
+        B = M_op - 0.5 * dt * C_op
     else:
-        A = p.M + 0.5 * dt * (p.C + Keps)
-        B = p.M - 0.5 * dt * (p.C + Keps)
-    b = jnp.where(bc, 0.0, ell_matvec(sp, B, u_n))
-    diag = jnp.where(bc, 1.0, ell_diag(sp, A))
-    op = lambda x: jnp.where(bc, x, ell_matvec(sp, A, jnp.where(bc, 0.0, x)))
-    return bicgstab(op, b, x0=u_n, precond=jacobi_preconditioner(diag),
-                    rtol=p.cfg.krylov_rtol).x
+        A = M_op + 0.5 * dt * (C_op + Keps)
+        B = M_op - 0.5 * dt * (C_op + Keps)
+    A_mv, A_diag = _linear_op(p, A)
+    B_mv, _ = _linear_op(p, B)
+    b = jnp.where(bc, 0.0, B_mv(u_n))
+    pre = jacobi_preconditioner(jnp.where(bc, 1.0, A_diag))
+    op = lambda x: jnp.where(bc, x, A_mv(jnp.where(bc, 0.0, x)))
+    cfg = p.cfg
+    if cfg.krylov_iters is not None and cfg.inner_solver == "cheby":
+        lo, hi = cfg.cheby_cn_bounds or _CN_BOUNDS[cfg.degree]
+        return chebyshev_fixed(op, b, x0=u_n, precond=pre,
+                               iters=cfg.krylov_iters, lmin=lo, lmax=hi).x
+    if cfg.krylov_iters is not None:
+        return bicgstab_fixed(op, b, x0=u_n, precond=pre,
+                              iters=cfg.krylov_iters).x
+    return bicgstab(op, b, x0=u_n, precond=pre, rtol=cfg.krylov_rtol).x
+
+
+# Jacobi-preconditioned spectra widen with degree (measured on the mass
+# matrix: P1 [.5,2], P2 [.39,2.06], P3 [.29,2.01]; the CN operator is a
+# small dt-skew perturbation)
+_MASS_BOUNDS = {1: (0.5, 2.0), 2: (0.35, 2.1), 3: (0.25, 2.1)}
+_CN_BOUNDS = {1: (0.4, 2.2), 2: (0.3, 2.2), 3: (0.2, 2.2)}
 
 
 def _residual(p: HOProblem, u_n, u_old):
-    sp = p.sp
-    bc = sp.boundary_mask
-    rhs = ell_matvec(sp, p.M, (u_n - u_old) / p.dt) + ell_matvec(sp, p.C, u_n)
+    bc = p.sp.boundary_mask
+    M_op, C_op = _ops_MC(p)
+    M_mv, M_diag = _linear_op(p, M_op)
+    C_mv, _ = _linear_op(p, C_op)
+    rhs = M_mv((u_n - u_old) / p.dt) + C_mv(u_n)
     rhs = jnp.where(bc, 0.0, rhs)
-    diag = jnp.where(bc, 1.0, ell_diag(sp, p.M))
-    op = lambda x: jnp.where(bc, x, ell_matvec(sp, p.M, jnp.where(bc, 0.0, x)))
-    return cg(op, rhs, precond=jacobi_preconditioner(diag),
-              rtol=p.cfg.krylov_rtol).x
+    pre = jacobi_preconditioner(jnp.where(bc, 1.0, M_diag))
+    op = lambda x: jnp.where(bc, x, M_mv(jnp.where(bc, 0.0, x)))
+    cfg = p.cfg
+    if cfg.cg_iters is not None and cfg.inner_solver == "cheby":
+        lo, hi = cfg.cheby_mass_bounds or _MASS_BOUNDS[cfg.degree]
+        return chebyshev_fixed(op, rhs, precond=pre, iters=cfg.cg_iters,
+                               lmin=lo, lmax=hi).x
+    if cfg.cg_iters is not None:
+        return cg_fixed(op, rhs, precond=pre, iters=cfg.cg_iters).x
+    return cg(op, rhs, precond=pre, rtol=cfg.krylov_rtol).x
 
 
 def _step(p: HOProblem, carry, _):
@@ -174,20 +255,43 @@ def _step(p: HOProblem, carry, _):
     else:
         if cfg.stabilization == "si":
             beta = jnp.linalg.norm(p.w, axis=1)
-            eps = stab.si_epsilon(
-                p.sp, cfg.Cm, p.K_bc, u_n, beta, p.h_cg, eps_floor=cfg.si_eps
-            ).epsilon
+            if p.blkplan is not None:
+                from conservation_fem_tpu.ops import blocked
+
+                alpha = blocked.si_alpha(p.blkplan, p.Kbc_w, u_n,
+                                         eps_floor=cfg.si_eps)
+                eps = (stab.sigmoid_activation(alpha)
+                       * cfg.Cm * p.h_cg * beta)
+            else:
+                eps = stab.si_epsilon(
+                    p.sp, cfg.Cm, p.K_bc, u_n, beta, p.h_cg,
+                    eps_floor=cfg.si_eps
+                ).epsilon
         else:
             Rh = _residual(p, u_n, u_old)
             if cfg.stabilization == "rv":
-                eps = stab.rv_epsilon_linear(
-                    p.sp, cfg.Cvel, cfg.CRV, u_n, u_n, p.w, Rh, p.h_cg
-                )
+                if p.blkplan is not None:
+                    from conservation_fem_tpu.ops import blocked
+
+                    eps = blocked.rv_epsilon_linear(
+                        p.blkplan, cfg.Cvel, cfg.CRV, u_n, u_n,
+                        jnp.linalg.norm(p.w, axis=1), Rh, p.h_cg)
+                else:
+                    eps = stab.rv_epsilon_linear(
+                        p.sp, cfg.Cvel, cfg.CRV, u_n, u_n, p.w, Rh, p.h_cg
+                    )
             else:  # rv_simple (ref RV.py:129-142)
                 eps = stab.rv_epsilon_linear_simple(
                     cfg.Cvel, cfg.CRV, p.w, Rh, u_n, p.h_cg
                 )
-        Keps = apk.assemble_eps_stiffness(p.sp, eps)
+        if p.blkplan is not None:
+            from conservation_fem_tpu.ops import blocked
+            from conservation_fem_tpu.ops import blocked_pk as bpk
+
+            Keps = blocked.assemble_matrix_components(
+                p.blkplan, bpk.pk_eps_locals(p.blkplan, eps))
+        else:
+            Keps = apk.assemble_eps_stiffness(p.sp, eps)
     uh = _cn_solve(p, Keps, u_n)
     return (uh, u_n), None
 

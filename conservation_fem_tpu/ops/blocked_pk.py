@@ -241,3 +241,27 @@ def pk_diag_from_locals(plan: BlockedPkPlan, L):
     nd = plan.nd
     v3 = jnp.stack([L[:, nd * a + a] for a in range(nd)], axis=1)
     return blocked.scatter_components(plan, v3)
+
+
+def pk_convection_locals(plan: BlockedPkPlan, w, gather=None):
+    """Convection locals with a Pk vector field w (ndof, 2) ->
+    (blocks, nd^2, C) (assembly_pk.assemble_convection vals:
+    C_ab = int phi_a (w . grad phi_b) dx, w_q interpolated per quad
+    point)."""
+    phi, qw, f = _tabs(plan, w.dtype)
+    nd = plan.nd
+    gather = gather or (lambda v: blocked.gather_components(plan, v))
+    wxc, wyc = gather(w[:, 0]), gather(w[:, 1])      # (blocks, nd, C)
+    wx_q = [sum(f(phi[q, c]) * wxc[:, c] for c in range(nd))
+            for q in range(plan.Q)]
+    wy_q = [sum(f(phi[q, c]) * wyc[:, c] for c in range(nd))
+            for q in range(plan.Q)]
+    rows = []
+    for a in range(nd):
+        for b in range(nd):
+            rows.append(sum(
+                f(qw[q] * phi[q, a]) * plan.detjq[:, q]
+                * (wx_q[q] * plan.gxq[:, q, b]
+                   + wy_q[q] * plan.gyq[:, q, b])
+                for q in range(plan.Q)))
+    return jnp.stack(rows, axis=1)

@@ -42,3 +42,21 @@ def test_blocked_advection_fixed_iteration_solvers():
         **cfg, cg_iters=12, krylov_iters=14, inner_solver="cheby"))).u)
     assert np.abs(uf - ua).max() < 1e-5
     assert np.abs(uc - ua).max() < 1e-3
+
+
+def test_blocked_pk_advection_matches_gather():
+    """Higher-order advection (advection_ho) on the blocked Pk backend
+    matches the gather path over full runs (f64)."""
+    from conservation_fem_tpu.models import advection_ho as ho
+    from conservation_fem_tpu.ops.spaces import (build_space,
+                                                 rcm_dof_permutation)
+
+    for stab_name, deg in [("gfem", 2), ("rv", 2), ("rv_simple", 3),
+                           ("si", 2)]:
+        cfg = dict(mesh_size=6, degree=deg, T=0.05,
+                   stabilization=stab_name, dtype="float64")
+        pg, ug, _ = ho.run(**cfg)
+        pb, ub, _ = ho.run(**cfg, ell_matvec_backend="blocked")
+        perm = rcm_dof_permutation(build_space(pg.host_mesh, deg))
+        d = np.abs(np.asarray(ub) - np.asarray(ug)[np.argsort(perm)]).max()
+        assert d < 1e-10, (stab_name, deg, d)
