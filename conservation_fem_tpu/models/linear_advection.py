@@ -153,7 +153,7 @@ def _linear_op(p, A):
     if p.bplan is not None:
         from conservation_fem_tpu.ops.banded import banded_matvec, ell_to_banded
 
-        band = ell_to_banded(p.bplan, A_ell := A)
+        band = ell_to_banded(p.bplan, A)
         return (lambda x: banded_matvec(band, x)), band[p.bplan.bandwidth]
     return (lambda x: ell_matvec(p.mesh, A, x)), ell_diag(p.mesh, A)
 

@@ -24,6 +24,7 @@ capability on the TPU-native fast path.
 
 from __future__ import annotations
 
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,8 +160,7 @@ class DistributedBlocked:
             # LOCAL VIEW of the plan for the componentwise kernels (the
             # same code as the single-device step — identical summation
             # order, only the window gather is the halo'd one)
-            import dataclasses as _dc
-            lplan = _dc.replace(
+            lplan = dataclasses.replace(
                 plan, blocks=Lb, Gcell=Gcell, Sv=Sv, area_b=area_b,
                 grads_b=grads_b,
                 gx3=grads_b[:, :, :, 0].transpose(0, 2, 1),
