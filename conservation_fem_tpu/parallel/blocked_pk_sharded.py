@@ -43,32 +43,10 @@ class DistributedBlockedPk(DistributedBlocked):
     """Wrap a BlockedPkHyperbolicProblem; solve() matches its API."""
 
     def __init__(self, problem, device_mesh: DeviceMesh, axis: str = "i"):
-        self.p = problem
-        self.dmesh = device_mesh
-        self.axis = axis
+        padb, pad_rows = self._setup_layout(problem, device_mesh, axis)
         plan = problem.plan
-        self.plan = plan
-        n_dev = device_mesh.shape[axis]
-        self.n_dev = n_dev
-        Lb = -(-plan.blocks // n_dev)
-        self.Lb = Lb
-        self.blocks_pad = Lb * n_dev
-        self.rows_local = Lb * plan.nb
-        if n_dev > 1 and self.rows_local < plan.B:
-            raise ValueError(
-                f"bandwidth B={plan.B} exceeds a device's "
-                f"{self.rows_local} rows — use fewer devices")
-        dtype = problem.u0.dtype
-        self.dtype = dtype
-
-        pad_b = self.blocks_pad - plan.blocks
         sh = lambda spec: NamedSharding(device_mesh, spec)
-
-        def padb(a, fill=0.0):
-            a = jnp.asarray(a)
-            widths = [(0, pad_b)] + [(0, 0)] * (a.ndim - 1)
-            out = jnp.pad(a, widths, constant_values=fill)
-            return jax.device_put(out, sh(P(axis, *([None] * (a.ndim - 1)))))
+        total = self.blocks_pad * plan.nb
 
         self.Gcell_s = padb(plan.Gcell)
         self.Sv_s = padb(plan.Sv)
@@ -76,27 +54,12 @@ class DistributedBlockedPk(DistributedBlocked):
         self.detjq_s = padb(plan.detjq)
         self.gxq_s = padb(plan.gxq)
         self.gyq_s = padb(plan.gyq)
-        self.bcrow_s = padb(plan.bc_row, False)
-        self.patchdeg_s = padb(plan.patch_deg, 1.0)
-
-        total = self.blocks_pad * plan.nb
-
-        def pad_rows(vec, fill=0.0):
-            v = jnp.asarray(vec, dtype)
-            v = jnp.pad(v, (0, total - v.shape[0]), constant_values=fill)
-            return jax.device_put(v.reshape(self.blocks_pad, plan.nb),
-                                  sh(P(axis, None)))
-
-        self.valid_s = jax.device_put(
-            (jnp.arange(total) < plan.n).reshape(self.blocks_pad, plan.nb),
-            sh(P(axis, None)))
         self.h_s = pad_rows(problem.h_cg)
         pts = jnp.pad(jnp.asarray(problem._bc_points),
                       ((0, total - plan.n), (0, 0)))
         self.pts_s = jax.device_put(
             pts.reshape(self.blocks_pad, plan.nb, 2),
             sh(P(axis, None, None)))
-        self.u0_s = pad_rows(problem.u0)
         self.M_s = padb(problem.M)
         self.Kbc_s = padb(problem.K_bc
                           if problem.cfg.stabilization == "si"

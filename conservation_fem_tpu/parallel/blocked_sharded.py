@@ -41,7 +41,10 @@ from conservation_fem_tpu.ops.newton import newton_fixed, newton_solve
 class DistributedBlocked:
     """Wrap a BlockedHyperbolicProblem; solve() matches its public API."""
 
-    def __init__(self, problem, device_mesh: DeviceMesh, axis: str = "i"):
+    def _setup_layout(self, problem, device_mesh, axis):
+        """Common block-range partition layout + padding helpers shared
+        with the Pk and advection twins. Returns (padb, pad_rows):
+        block-leading-array and row-vector shard-padding functions."""
         self.p = problem
         self.dmesh = device_mesh
         self.axis = axis
@@ -57,11 +60,10 @@ class DistributedBlocked:
             raise ValueError(
                 f"bandwidth B={plan.B} exceeds a device's {self.rows_local} "
                 "rows — use fewer devices or a larger mesh")
-        dtype = problem.u0.dtype
-        self.dtype = dtype
-
+        self.dtype = problem.u0.dtype
         pad_b = self.blocks_pad - plan.blocks
         sh = lambda spec: NamedSharding(device_mesh, spec)
+        total = self.blocks_pad * plan.nb
 
         def padb(a, fill=0.0):
             """Pad a block-leading array with inert blocks and shard it."""
@@ -70,33 +72,39 @@ class DistributedBlocked:
             out = jnp.pad(a, widths, constant_values=fill)
             return jax.device_put(out, sh(P(axis, *([None] * (a.ndim - 1)))))
 
+        def pad_rows(vec, fill=0.0):
+            v = jnp.asarray(vec, self.dtype)
+            v = jnp.pad(v, (0, total - v.shape[0]), constant_values=fill)
+            return jax.device_put(v.reshape(self.blocks_pad, plan.nb),
+                                  sh(P(axis, None)))
+
+        self.valid_s = jax.device_put(
+            (jnp.arange(total) < plan.n).reshape(self.blocks_pad, plan.nb),
+            sh(P(axis, None)))
+        self.bcrow_s = padb(plan.bc_row, False)
+        self.patchdeg_s = padb(plan.patch_deg, 1.0)
+        self.u0_s = pad_rows(problem.u0)
+        return padb, pad_rows
+
+    def __init__(self, problem, device_mesh: DeviceMesh, axis: str = "i"):
+        padb, pad_rows = self._setup_layout(problem, device_mesh, axis)
+        plan = problem.plan
+        sh = lambda spec: NamedSharding(device_mesh, spec)
+        total = self.blocks_pad * plan.nb
+
         self.Gcell_s = padb(plan.Gcell)
         self.Sv_s = padb(plan.Sv)
         self.Abool_s = padb(plan.A_bool, False)
         self.area_s = padb(plan.area_b)
         self.grads_s = padb(plan.grads_b)
-        self.bcrow_s = padb(plan.bc_row, False)
-        self.patchdeg_s = padb(plan.patch_deg, 1.0)
         # replicated small statics
         self.diag_eye = jax.device_put(plan.diag_eye, sh(P(None, None)))
 
-        total = self.blocks_pad * plan.nb
-
-        def pad_rows(vec, fill=0.0):
-            v = jnp.asarray(vec, dtype)
-            v = jnp.pad(v, (0, total - v.shape[0]), constant_values=fill)
-            return jax.device_put(v.reshape(self.blocks_pad, plan.nb),
-                                  sh(P(axis, None)))
-
         m = problem.mesh
-        self.valid_s = jax.device_put(
-            (jnp.arange(total) < plan.n).reshape(self.blocks_pad, plan.nb),
-            sh(P(axis, None)))
         self.h_s = pad_rows(problem.h_cg)
         pts = jnp.pad(m.points, ((0, total - plan.n), (0, 0)))
         self.pts_s = jax.device_put(
             pts.reshape(self.blocks_pad, plan.nb, 2), sh(P(axis, None, None)))
-        self.u0_s = pad_rows(problem.u0)
         # operators (blocked layout), padded along blocks
         self.M_s = padb(problem.M)
         self.Kbc_s = padb(problem.K_bc if problem.cfg.stabilization == "si"

@@ -60,3 +60,22 @@ def test_blocked_pk_advection_matches_gather():
         perm = rcm_dof_permutation(build_space(pg.host_mesh, deg))
         d = np.abs(np.asarray(ub) - np.asarray(ug)[np.argsort(perm)]).max()
         assert d < 1e-10, (stab_name, deg, d)
+
+
+def test_distributed_blocked_advection_matches():
+    """DistributedBlockedAdvection vs the single-device blocked run."""
+    import jax
+    from jax.sharding import Mesh as DeviceMesh
+
+    from conservation_fem_tpu.parallel.blocked_advection_sharded import \
+        DistributedBlockedAdvection
+
+    dmesh = DeviceMesh(np.array(jax.devices()[:4]), ("i",))
+    for stab_name in ("gfem", "rv_node", "rv_node_simple", "si"):
+        cfg = dict(mesh_size=8, T=0.05, stabilization=stab_name,
+                   dtype="float64", ell_matvec_backend="blocked")
+        u_single = np.asarray(la.solve(la.build(la.AdvectionConfig(**cfg))).u)
+        u_dist = DistributedBlockedAdvection(
+            la.build(la.AdvectionConfig(**cfg)), dmesh).solve()
+        d = np.abs(u_dist - u_single).max()
+        assert d < 1e-9, (stab_name, d)
