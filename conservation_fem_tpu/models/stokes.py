@@ -65,6 +65,11 @@ class StokesConfig:
     # CG; the velocity-mass CG always converges in a few iterations and
     # uses min(8, krylov_iters). None = adaptive to krylov_rtol.
     krylov_iters: int | None = None
+    # pressure-Poisson iteration override: its Jacobi-CG condition grows
+    # ~1/h^2, so ki that converges at nx 32 under-converges at 64+
+    # (measured Linf vs adaptive: 3e-2 at nx32/ki25 but 6e-1 at nx64) —
+    # scale this with nx. None = krylov_iters.
+    krylov_iters_pressure: int | None = None
 
 
 class StokesProblem(NamedTuple):
@@ -380,11 +385,14 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
                                   unroll=False)
         return bicgstab(op, b, x0=x0, precond=precond, rtol=cfg.krylov_rtol)
 
-    def _cg(op, b, x0, precond, mass=False):
-        if ki is not None:
+    def _cg(op, b, x0, precond, mass=False, iters=None):
+        it = iters if iters is not None else ki
+        if it is not None:
             return cg_fixed(op, b, x0=x0, precond=precond,
-                            iters=min(8, ki) if mass else ki, unroll=False)
+                            iters=min(8, it) if mass else it, unroll=False)
         return cg(op, b, x0=x0, precond=precond, rtol=cfg.krylov_rtol)
+
+    kip = cfg.krylov_iters_pressure
 
     # -- backend-selected Krylov drivers (dof-space vectors in and out) ------
     if cfg.backend == "lattice":
@@ -438,7 +446,7 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
 
         def solve_pressure(b2, x0):
             sol = _cg(A2g, lat.to_grid(plan1, b2).reshape(-1),
-                      lat.to_grid(plan1, x0).reshape(-1), pre2g)
+                      lat.to_grid(plan1, x0).reshape(-1), pre2g, iters=kip)
             return lat.from_grid(plan1, sol.x.reshape(plan1.nI, plan1.nJ))
 
         def solve_mass(b3, x0):
@@ -451,7 +459,7 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
             return sol.x.reshape(2, -1)
 
         def solve_pressure(b2, x0):
-            return _cg(A2_op, b2, x0, pre2).x
+            return _cg(A2_op, b2, x0, pre2, iters=kip).x
 
         def solve_mass(b3, x0):
             return _cg(M_op, b3.reshape(-1), x0.reshape(-1), preM,
