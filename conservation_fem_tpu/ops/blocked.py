@@ -57,10 +57,8 @@ class BlockedPlan:
     C: int          # padded cells per block
     pad_hi: int     # right padding of x for window extraction
     # device arrays
-    Gcell: object   # (blocks, 3C, Wpad) one-hot: window -> cell-local u
-    Sv: object      # (blocks, 3C, nb)  one-hot: cell-local vec -> rows
-    Rrow: object    # (blocks, 9C, nb)  one-hot: contribution -> local row
-    Ccol: object    # (blocks, 9C, Wpad) one-hot: contribution -> window col
+    Gcell: object   # (blocks, ndC, Wpad) one-hot: window -> cell-local u
+    Sv: object      # (blocks, ndC, nb)  one-hot: cell-local vec -> rows
     A_bool: object  # (blocks, nb, Wpad) bool patch adjacency (incl self)
     A_float: object  # same as 0/1 float
     area_b: object  # (blocks, C)
@@ -72,6 +70,11 @@ class BlockedPlan:
     diag_eye: object  # (nb, Wpad) 1 at (r, r+B)
     patch_deg: object  # (blocks, nb) float: patch size incl self (>=1)
     nd: int = 3     # local dofs per cell (3 = P1; Pk plans use BlockedPkPlan)
+    # the nd^2C-wide assembly one-hots are DEAD since the factored
+    # assembly (assemble_matrix_components) — kept as always-None fields
+    # for pytree compatibility (~165 MB HBM saved on the reference mesh)
+    Rrow: object = None
+    Ccol: object = None
 
 
 _PLAN_ARRAY_FIELDS = (
@@ -206,7 +209,7 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
     """
     st = _plan_struct(mesh.n_nodes, np.asarray(mesh.cells, dtype=np.int64),
                       mesh.patch_cols, mesh.patch_mask, mesh.boundary_mask,
-                      nb)
+                      nb, build_rc=False)
     valid, safe_id = st["valid"], st["safe_id"]
     area_b = np.where(valid, mesh.area[safe_id], 0.0)
     grads_b = np.where(valid[:, :, None, None], mesh.grads[safe_id], 0.0)
@@ -227,7 +230,7 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
         n=st["n"], nb=nb, B=st["B"], blocks=st["blocks"], W=st["W"],
         Wpad=st["Wpad"], C=st["C"], pad_hi=st["pad_hi"],
         Gcell=oh(st["Gcell"]), Sv=oh(st["Sv"]),
-        Rrow=oh(st["Rrow"]), Ccol=oh(st["Ccol"]),
+        Rrow=None, Ccol=None,
         A_bool=jnp.asarray(st["A"]), A_float=f(st["A"]),
         area_b=f(area_b), grads_b=f(grads_b),
         gx3=f(grads_b[:, :, :, 0].transpose(0, 2, 1)),
@@ -518,12 +521,6 @@ def flux_jacobian_locals_components(plan: BlockedPlan, u, fpx, fpy,
     area2 = 2.0 * plan.area_b
     return jnp.stack([area2 * L[a][b]
                       for a in range(3) for b in range(3)], axis=1)
-
-
-def diag_from_locals_components(plan: BlockedPlan, L9):
-    """Operator diagonal from (blocks, 9, C) locals: scatter of L_aa."""
-    v3 = jnp.stack([L9[:, 0], L9[:, 4], L9[:, 8]], axis=1)
-    return scatter_components(plan, v3)
 
 
 def local_diag(plan: BlockedPlan, L):

@@ -236,12 +236,6 @@ def pk_flux_jacobian_locals(plan: BlockedPkPlan, u, fpx, fpy, gather=None):
     return jnp.stack(rows, axis=1)
 
 
-def pk_diag_from_locals(plan: BlockedPkPlan, L):
-    """Operator diagonal from (blocks, nd^2, C) locals."""
-    nd = plan.nd
-    v3 = jnp.stack([L[:, nd * a + a] for a in range(nd)], axis=1)
-    return blocked.scatter_components(plan, v3)
-
 
 def pk_convection_locals(plan: BlockedPkPlan, w, gather=None):
     """Convection locals with a Pk vector field w (ndof, 2) ->

@@ -482,17 +482,25 @@ def rcm_permutation(mesh: Mesh) -> Array:
     res = native_ext.preprocess_mesh(mesh.n_nodes, mesh.cells)
     if res is not None:
         return res[3].astype(np.int64)
+    return rcm_from_connectivity(mesh.n_nodes, mesh.cells)
+
+
+def rcm_from_connectivity(n: int, conn) -> Array:
+    """Reverse Cuthill-McKee (old -> new) from an (M, nloc) connectivity
+    array — shared by the mesh (P1) and FunctionSpace (Pk dof) paths."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-    rows = np.repeat(mesh.cells, 3, axis=1).reshape(-1)
-    cols = np.tile(mesh.cells, (1, 3)).reshape(-1)
+    conn = np.asarray(conn, dtype=np.int64)
+    nloc = conn.shape[1]
+    rows = np.repeat(conn, nloc, axis=1).reshape(-1)
+    cols = np.tile(conn, (1, nloc)).reshape(-1)
     A = sp.coo_matrix(
-        (np.ones(len(rows)), (rows, cols)), shape=(mesh.n_nodes, mesh.n_nodes)
+        (np.ones(len(rows)), (rows, cols)), shape=(n, n)
     ).tocsr()
     order = reverse_cuthill_mckee(A, symmetric_mode=True)
-    perm = np.empty(mesh.n_nodes, dtype=np.int64)
-    perm[order] = np.arange(mesh.n_nodes)
+    perm = np.empty(n, dtype=np.int64)
+    perm[order] = np.arange(n)
     return perm
 
 

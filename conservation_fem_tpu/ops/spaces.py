@@ -414,18 +414,9 @@ def rcm_dof_permutation(space: FunctionSpace) -> np.ndarray:
     then interior) has O(n) matrix bandwidth; RCM brings it back to
     O(sqrt(n)) so the blocked-window backend's one-hot operators stay
     small (cf. ops/mesh.rcm_permutation for the P1 mesh version)."""
-    import scipy.sparse as sp
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from conservation_fem_tpu.ops.mesh import rcm_from_connectivity
 
-    cd = space.cell_dofs
-    rows = np.repeat(cd, cd.shape[1], axis=1).reshape(-1)
-    cols = np.tile(cd, (1, cd.shape[1])).reshape(-1)
-    A = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
-                      shape=(space.ndof, space.ndof)).tocsr()
-    order = reverse_cuthill_mckee(A, symmetric_mode=True)
-    perm = np.empty(space.ndof, dtype=np.int64)
-    perm[order] = np.arange(space.ndof)
-    return perm
+    return rcm_from_connectivity(space.ndof, space.cell_dofs)
 
 
 def permute_dofs(space: FunctionSpace, perm: np.ndarray) -> FunctionSpace:

@@ -26,6 +26,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from conservation_fem_tpu.ops import stabilization as stab
 import numpy as np
 
 from conservation_fem_tpu.ops.assembly import _DUN4_W, _quad_basis
@@ -265,7 +267,7 @@ def si_epsilon_grid(sd: StructuredData, Cm, K_bc_coef, u2, beta2,
         num = num + b * du
         den = den + jnp.abs(b) * jnp.abs(du)
     alpha = jnp.abs(num) / jnp.maximum(den, eps_floor)
-    psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
+    psi = stab.sigmoid_activation(alpha)
     return psi * Cm * sd.h_cg2 * beta2
 
 

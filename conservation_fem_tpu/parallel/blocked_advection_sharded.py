@@ -26,9 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh as DeviceMesh, PartitionSpec as P
 
 from conservation_fem_tpu.ops import blocked as blocked_ops
+from conservation_fem_tpu.ops import stabilization as stab
 from conservation_fem_tpu.ops.krylov import (bicgstab, bicgstab_fixed, cg,
                                              cg_fixed, chebyshev_fixed,
                                              jacobi_preconditioner)
@@ -177,7 +178,7 @@ class DistributedBlockedAdvection(DistributedBlocked):
                                      jnp.abs(duw))
                     alpha = (num / jnp.maximum(den,
                                                cfg.si_eps)).reshape(-1)
-                    psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
+                    psi = stab.sigmoid_activation(alpha)
                     eps = psi * cfg.Cm * h * wn
                 eps = jnp.where(validf, eps, 0.0)
                 Keps = blocked_ops.assemble_matrix_components(

@@ -33,6 +33,7 @@ from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 from conservation_fem_tpu.ops import assembly
 from conservation_fem_tpu.ops import blocked as blocked_ops
+from conservation_fem_tpu.ops import stabilization as stab
 from conservation_fem_tpu.ops.krylov import (cg, cg_fixed, chebyshev_fixed,
                                              jacobi_preconditioner)
 from conservation_fem_tpu.ops.newton import newton_fixed, newton_solve
@@ -305,7 +306,7 @@ class DistributedBlocked:
                 num = jnp.abs(jnp.einsum("brw,brw->br", Kbc, duw))
                 den = jnp.einsum("brw,brw->br", jnp.abs(Kbc), jnp.abs(duw))
                 alpha = (num / jnp.maximum(den, cfg.si_eps)).reshape(-1)
-                psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
+                psi = stab.sigmoid_activation(alpha)
                 eps = psi * cfg.Cm * h * fprime_norm(u)
             else:
                 eps = jnp.zeros_like(u)

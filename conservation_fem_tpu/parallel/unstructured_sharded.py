@@ -26,6 +26,7 @@ from jax import shard_map
 from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 from conservation_fem_tpu.parallel.partition import Partition, build_partition
+from conservation_fem_tpu.ops import stabilization as stab
 from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
 from conservation_fem_tpu.ops.newton import newton_solve
 
@@ -464,7 +465,7 @@ class DistributedHyperbolic(DistributedUnstructured):
                 den = jnp.where(maskc_, jnp.abs(Kbc) * jnp.abs(dup),
                                 0.0).sum(axis=1)
                 alpha = num / jnp.maximum(den, cfg.si_eps)
-                psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
+                psi = stab.sigmoid_activation(alpha)
                 eps = psi * cfg.Cm * h * fprime_norm(u)
             else:  # gfem
                 eps = jnp.zeros_like(u)
@@ -674,7 +675,7 @@ class DistributedAdvection(DistributedUnstructured):
                 den = jnp.where(maskc_, jnp.abs(Kbc) * jnp.abs(dup),
                                 0.0).sum(axis=1)
                 alpha = num / jnp.maximum(den, cfg.si_eps)
-                psi = 1.0 / (1.0 + jnp.exp(-20.0 * (alpha - 0.5)))
+                psi = stab.sigmoid_activation(alpha)
                 eps = psi * cfg.Cm * h * beta
             elif stabilization == "rv_cell":
                 # cell RV (ref RV_cell.py:169-195): bc-constrained BDF1
