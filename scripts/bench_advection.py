@@ -40,32 +40,37 @@ def main():
                                  dtype="float32", **kw)
         p = la.build(cfg, host_mesh=host_mesh)
         n = int(p.u0.shape[0])
+        step = la._STEPS["rv_node"]
 
-        def runner(R):
+        # CHAINED steps: difference two scan lengths so the per-call
+        # tunnel constant cancels and XLA cannot hoist the loop body
+        # (each step consumes the previous state — cf. timeharness)
+        def runner(nsteps):
             @jax.jit
             def _run(p):
-                def rep(c, _):
-                    u, _err = la._run_scan.__wrapped__("rv_node", p)
-                    return c + u[0] * 1e-30, None
-                c, _ = jax.lax.scan(rep, jnp.zeros((), p.u0.dtype), None,
-                                    length=R)
-                return c
+                from functools import partial as _pt
+                (u, up), _ = jax.lax.scan(_pt(step, p), (p.u0, p.u0),
+                                          None, length=nsteps)
+                return u
             return _run
 
+        n1, n2 = p.num_steps, 3 * p.num_steps
         times = {}
-        for R in (1, 3):
-            f = runner(R)
-            s = float(f(p))
+        for nsteps in (n1, n2):
+            f = runner(nsteps)
+            u = f(p)
+            _ = float(jnp.sum(u))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                s = float(f(p))
+                u = f(p)
+                _ = float(jnp.sum(u))
                 best = min(best, time.perf_counter() - t0)
-            times[R] = best
-        per_step = (times[3] - times[1]) / (2 * p.num_steps)
+            times[nsteps] = best
+        per_step = (times[n2] - times[n1]) / (n2 - n1)
         print(f"{label:38s} {per_step*1e6:9.1f} us/step  "
               f"{n/per_step/1e6:7.2f} M DOF-steps/s "
-              f"({p.num_steps} steps)", flush=True)
+              f"({p.num_steps} steps/run)", flush=True)
 
     bench("gather adaptive (1e-5)", host, krylov_rtol=1e-5)
     bench("blocked adaptive (1e-5)", host, krylov_rtol=1e-5,
