@@ -67,6 +67,15 @@ def main():
           f"sane={ok}  (field range {u_a.min():.3f}..{u_a.max():.3f})",
           flush=True)
 
+    # hard gate vs the committed f64 CPU anchor (cf. bench.py): a
+    # lowering/scheme regression cannot ship a fast-but-wrong number
+    ref = np.load(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "golden", "kpp_rv_anchor_refmesh.npy"))
+    for label, u in (("adaptive", u_a), ("fixed", u_f)):
+        rel = np.linalg.norm(u - ref) / np.linalg.norm(ref)
+        print(f"L2rel vs f64 anchor ({label}): {rel:.3e}", flush=True)
+        assert rel < 1e-2, (label, rel)
+
 
 if __name__ == "__main__":
     main()

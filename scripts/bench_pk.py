@@ -60,6 +60,19 @@ def main():
               f"{np.abs(u_f - u_a).max():.3e}  blocked-vs-adaptive: "
               f"{np.abs(u_b - u_a).max():.3e}  "
               f"(range {u_a.min():.3f}..{u_a.max():.3f})", flush=True)
+        if ms == 32:
+            # hard gate vs the committed f64 CPU anchor (pointwise Linf
+            # at the shock is O(1) for ANY f32 perturbation; L2rel is
+            # the meaningful measure)
+            ref = np.load(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "golden", "burgers_p2si_anchor_mesh32.npy"))
+            for label, u in (("lattice adaptive", u_a),
+                             ("lattice fixed", u_f), ("blocked", u_b)):
+                rel = np.linalg.norm(u - ref) / np.linalg.norm(ref)
+                print(f"mesh 32 L2rel vs f64 anchor ({label}): {rel:.3e}",
+                      flush=True)
+                assert rel < 5e-2, (label, rel)
 
 
 if __name__ == "__main__":
