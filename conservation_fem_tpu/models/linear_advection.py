@@ -186,11 +186,12 @@ def build(cfg: AdvectionConfig, host_mesh: Mesh | None = None) -> AdvectionProbl
         else:
             raise ValueError(f"unknown domain {cfg.domain!r}")
     if cfg.ell_matvec_backend == "blocked":
-        if cfg.stabilization == "rv_cell":
+        if cfg.stabilization == "rv_cell" and cfg.rv_cell_scatter == "last":
             raise NotImplementedError(
                 "rv_cell's last-cell-wins scatter is cell-order-dependent "
-                "and has no window form; use the gather backend (or the "
-                "distributed path's order-independent scatter='max')")
+                "and has no window form; use rv_cell_scatter='max' (the "
+                "order-independent variant the distributed path uses) or "
+                "the gather backend")
         from conservation_fem_tpu.ops.mesh import (reorder_mesh,
                                                    rcm_permutation)
 
@@ -336,6 +337,17 @@ def _step_rv_cell(p: AdvectionProblem, carry, _):
     # global normalization max(u_n - mean(u_n)) — plain max, not inf-norm
     # (ref RV_cell.py:175)
     Rh = Rh / (u_n - u_n.mean()).max()
+    if p.blkplan is not None:
+        from conservation_fem_tpu.ops import blocked
+
+        plan = p.blkplan
+        wn_cell = blocked.gather_components(
+            plan, jnp.linalg.norm(p.w, axis=1)).max(axis=1)
+        eps = blocked.rv_epsilon_cell_max(
+            plan, cfg.Cvel, cfg.CRV, Rh, wn_cell, jnp.ones(plan.n, bool))
+        Keps = _asm_keps(p, eps)
+        uh, _ = _cn_solve(p, Keps, u_n, cfg.krylov_rtol)
+        return (uh, u_n), None
     beta_cell = jnp.linalg.norm(p.w, axis=1)[m.cells].max(axis=1)   # (M,)
     # scatter="last" (default) reproduces the reference's Python cell loop
     # exactly (last cell wins, ref RV_cell.py:193-195); "max" is the

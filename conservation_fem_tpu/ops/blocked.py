@@ -69,6 +69,7 @@ class BlockedPlan:
     bc_win: object  # (blocks, Wpad) bool (global column is bc)
     diag_eye: object  # (nb, Wpad) 1 at (r, r+B)
     patch_deg: object  # (blocks, nb) float: patch size incl self (>=1)
+    h_cell_b: object = None  # (blocks, C) cell diameters (rv_cell)
     nd: int = 3     # local dofs per cell (3 = P1; Pk plans use BlockedPkPlan)
     # the nd^2C-wide assembly one-hots are DEAD since the factored
     # assembly (assemble_matrix_components) — kept as always-None fields
@@ -79,7 +80,7 @@ class BlockedPlan:
 
 _PLAN_ARRAY_FIELDS = (
     "Gcell", "Sv", "Rrow", "Ccol", "A_bool", "A_float", "area_b", "grads_b",
-    "gx3", "gy3", "bc_row", "bc_win", "diag_eye", "patch_deg",
+    "gx3", "gy3", "bc_row", "bc_win", "diag_eye", "patch_deg", "h_cell_b",
 )
 _PLAN_STATIC_FIELDS = ("n", "nb", "B", "blocks", "W", "Wpad", "C", "pad_hi", "nd")
 
@@ -213,6 +214,7 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
     valid, safe_id = st["valid"], st["safe_id"]
     area_b = np.where(valid, mesh.area[safe_id], 0.0)
     grads_b = np.where(valid[:, :, None, None], mesh.grads[safe_id], 0.0)
+    h_cell_b = np.where(valid, np.asarray(mesh.h_cell)[safe_id], 0.0)
 
     f = lambda x: jnp.asarray(x, dtype)
     # One-hot operators hold exact 0/1 values — bfloat16 represents them
@@ -237,6 +239,7 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
         gy3=f(grads_b[:, :, :, 1].transpose(0, 2, 1)),
         bc_row=jnp.asarray(st["bc_row"]), bc_win=jnp.asarray(st["bc_win"]),
         diag_eye=f(st["diag_eye"]), patch_deg=f(st["patch_deg"]),
+        h_cell_b=f(h_cell_b),
     )
 
 
@@ -600,6 +603,25 @@ def rv_epsilon_linear(plan: BlockedPlan, Cvel, Crv, uh, u_n, w_norm, Rh, h):
                        n_i.dtype)
     R_i = Rh_i / jnp.maximum(n_i, tiny)
     return jnp.minimum(Cvel * h * w_norm, Crv * h**2 * jnp.abs(R_i))
+
+
+def rv_epsilon_cell_max(plan: BlockedPlan, Cvel, Crv, residual_node,
+                        beta_cell, valid_node):
+    """Cell-based RV with the order-independent "max" node scatter —
+    window twin of stabilization.rv_epsilon_cell(scatter="max")
+    (ref RV_cell.py:182-195; the reference's last-cell-wins assignment
+    order has no window form — documented deviation shared with
+    parallel/unstructured_sharded.DistributedAdvection).
+
+    beta_cell: (blocks, C) cell wavespeeds; valid_node: (n,) bool of real
+    rows (pads excluded from the max)."""
+    Rc = jnp.abs(gather_components(plan, residual_node)).max(axis=1)
+    eps_k = jnp.minimum(Cvel * plan.h_cell_b * beta_cell,
+                        Crv * plan.h_cell_b**2 * Rc)     # (blocks, C)
+    rep = jnp.concatenate([eps_k] * plan.nd, axis=1)      # (blocks, ndC)
+    own = plan.Sv > jnp.asarray(0.5, plan.Sv.dtype)
+    y = jnp.where(own, rep[:, :, None], -jnp.inf).max(axis=1)
+    return jnp.where(valid_node, unblock(plan, y), 0.0)
 
 
 def si_alpha(plan: BlockedPlan, K_D, u, eps_floor=1e-8):

@@ -25,9 +25,19 @@ def test_blocked_advection_matches_gather(stab):
 
 
 def test_blocked_advection_rv_cell_guard():
+    """last-cell-wins is order-dependent and guarded; the order-
+    independent 'max' scatter has a window form and matches gather."""
     with pytest.raises(NotImplementedError):
         la.build(la.AdvectionConfig(stabilization="rv_cell",
                                     ell_matvec_backend="blocked"))
+    cfg = dict(mesh_size=8, T=0.05, stabilization="rv_cell",
+               rv_cell_scatter="max", dtype="float64")
+    pg = la.build(la.AdvectionConfig(**cfg))
+    pb = la.build(la.AdvectionConfig(**cfg, ell_matvec_backend="blocked"))
+    ug = np.asarray(la.solve(pg).u)
+    ub = np.asarray(la.solve(pb).u)
+    inv = np.argsort(rcm_permutation(pg.host_mesh))
+    assert np.abs(ub - ug[inv]).max() < 1e-11
 
 
 def test_blocked_advection_fixed_iteration_solvers():
