@@ -33,6 +33,17 @@ def main():
     plan = p.plan
     print(f"plan: n={plan.n} nb={plan.nb} B={plan.B} blocks={plan.blocks} "
           f"W={plan.W} Wpad={plan.Wpad} C={plan.C}", flush=True)
+    # Rrow/Ccol are no longer built by make_blocked_plan (dead since the
+    # factored assembly); rebuild them here for the historical GEMM rows
+    from conservation_fem_tpu.ops.blocked import _plan_struct
+    hm = p.host_mesh
+    st = _plan_struct(hm.n_nodes, np.asarray(hm.cells, np.int64),
+                      hm.patch_cols, hm.patch_mask, hm.boundary_mask,
+                      plan.nb, build_rc=True)
+    import dataclasses as _dc
+    plan = _dc.replace(plan,
+                       Rrow=jnp.asarray(st["Rrow"], jnp.bfloat16),
+                       Ccol=jnp.asarray(st["Ccol"], jnp.bfloat16))
     tot = 0.0
     for f in ("Gcell", "Sv", "Rrow", "Ccol"):
         a = getattr(plan, f)
