@@ -195,8 +195,7 @@ def main():
     p_proxy = (p if proxy_ms == mesh_size and dtype == "float64"
                else kpp.build(kpp.KPPConfig(mesh_size=proxy_ms,
                                             dtype=dtype)))
-    proxy = make_kpp_proxy(p_proxy.host_mesh, dt=p.cfg.dt
-                           if hasattr(p.cfg, "dt") else 0.01)
+    proxy = make_kpp_proxy(p_proxy.host_mesh, dt=p.dt)
     u0 = np.asarray(p_proxy.u0, dtype=np.float64)
     proxy.step(u0, u0, u0)
     t0 = time.perf_counter()

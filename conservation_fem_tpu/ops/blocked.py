@@ -225,6 +225,11 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
     # the measured cost of gathers and the assembly GEMM is their
     # bandwidth). For f64 compute they stay f32: promotion into a f64
     # einsum is exact, keeping the 1e-12 ELL-identity tests intact.
+    # CPU caveat: the "MXU rounds operands anyway" equivalence is a TPU
+    # fact; an f32 blocked run on CPU computes through bf16 one-hots and
+    # differs (harmlessly, at ~1e-3) from a plain f32 einsum there. All
+    # identity tests run f64, where one-hots stay f32, so this is by
+    # design — do not accuracy-compare f32 blocked on CPU.
     oh_dtype = (jnp.bfloat16 if jnp.dtype(dtype) == jnp.float32
                 else jnp.float32)
     oh = lambda x: jnp.asarray(x, oh_dtype)

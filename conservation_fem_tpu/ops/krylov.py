@@ -278,8 +278,11 @@ def chebyshev_fixed(
 
     x, r, d, rho = _fixed_loop(body, (x, r, d, f(1.0 / sigma1)), iters,
                                unroll)
-    return KrylovResult(x, jnp.int32(iters), jnp.asarray(jnp.inf, b.dtype),
-                        jnp.asarray(True))
+    # One norm AFTER the sweep (not per-iteration, so the solve itself
+    # stays dot-free) so rnorm/converged carry a real blow-up signal like
+    # the other fixed solvers; XLA DCEs it when the caller drops rnorm.
+    rnorm = jnp.linalg.norm(r)
+    return KrylovResult(x, jnp.int32(iters), rnorm, jnp.isfinite(rnorm))
 
 
 def jacobi_preconditioner(diag):

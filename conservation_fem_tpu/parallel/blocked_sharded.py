@@ -350,8 +350,9 @@ class DistributedBlocked:
                     return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
 
                 def jacobian(v):
-                    L_J = L_cn + 0.5 * dt *                         blocked_ops.flux_jacobian_locals_components(
-                            lplan, v, fpx, fpy, gather=gather3)
+                    L_J = L_cn + 0.5 * dt * (
+                        blocked_ops.flux_jacobian_locals_components(
+                            lplan, v, fpx, fpy, gather=gather3))
                     J = blocked_ops.assemble_matrix_components(lplan, L_J)
                     pre = jacobi_preconditioner(
                         jnp.where(pin, 1.0, diag_of(J)))

@@ -1,0 +1,53 @@
+"""Generate the committed f64 CPU accuracy anchors for bench.py.
+
+Recipe (the same one that produced golden/kpp_rv_anchor_mesh{32,64,128}.npy):
+f64, CPU, adaptive Newton + 1e-12 Krylov (KPPConfig defaults), structured
+mesh (stencil backend via backend="auto"), dt CFL-matched to the bench f32
+run (dt = 0.01 * min(1, 64/mesh)), one full T=1.0 trajectory; the end state
+is stored as f32 (the gate is L2rel ~1e-2, f32 storage is exact enough by
+5 orders).
+
+Usage:  python scripts/make_anchor.py 256      # one mesh
+        python scripts/make_anchor.py 256 512  # several
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conservation_fem_tpu.models import kpp  # noqa: E402
+
+
+def main():
+    meshes = [int(x) for x in sys.argv[1:]] or [256]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
+    for ms in meshes:
+        dt = 0.01 * min(1.0, 64.0 / ms)
+        p = kpp.build(kpp.KPPConfig(mesh_size=ms, dtype="float64", dt=dt,
+                                    krylov_rtol=1e-12))
+        print(f"mesh {ms}: N={p.u0.shape[0]}, dt={dt}, "
+              f"steps={p.num_steps}", flush=True)
+        t0 = time.perf_counter()
+        res = p.solve()
+        u = np.asarray(res.u, dtype=np.float64)
+        el = time.perf_counter() - t0
+        assert np.isfinite(u).all() and 0.5 < u.min() and u.max() < 12.0, \
+            f"anchor sanity failed: range {u.min()}..{u.max()}"
+        path = os.path.join(out_dir, f"kpp_rv_anchor_mesh{ms}.npy")
+        np.save(path, u.astype(np.float32))
+        print(f"  saved {path} in {el:.0f}s; range {u.min():.4f}.."
+              f"{u.max():.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
