@@ -67,9 +67,25 @@ class StokesConfig:
     krylov_iters: int | None = None
     # pressure-Poisson iteration override: its Jacobi-CG condition grows
     # ~1/h^2, so ki that converges at nx 32 under-converges at 64+
-    # (measured Linf vs adaptive: 3e-2 at nx32/ki25 but 6e-1 at nx64) —
-    # scale this with nx. None = krylov_iters.
+    # (measured Linf vs adaptive: 3e-2 at nx32/ki25 but 6e-1 at nx64).
+    # None = auto-scale with nx (auto_kip) whenever krylov_iters is set.
     krylov_iters_pressure: int | None = None
+
+
+def auto_kip(cfg: "StokesConfig") -> int | None:
+    """Fixed pressure-Poisson CG iteration count, scaled with nx.
+
+    kappa(Jacobi-CG on the P1 Poisson) ~ 1/h^2 -> iterations to a fixed
+    tolerance ~ sqrt(kappa) ~ nx. Calibrated on CPU f64 over the full
+    500-step Poiseuille run (scripts/calibrate_stokes_ki.py): 2*nx keeps
+    Linf vs the adaptive 1e-11 solution < 1e-2 at nx 32-64 where 25
+    fixed iterations diverge to 6.4e-1 at nx 64; see RESULTS.md.
+    """
+    if cfg.krylov_iters_pressure is not None:
+        return cfg.krylov_iters_pressure
+    if cfg.krylov_iters is None:
+        return None
+    return max(cfg.krylov_iters, 2 * cfg.nx)
 
 
 class StokesProblem(NamedTuple):
@@ -392,7 +408,7 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
                             iters=min(8, it) if mass else it, unroll=False)
         return cg(op, b, x0=x0, precond=precond, rtol=cfg.krylov_rtol)
 
-    kip = cfg.krylov_iters_pressure
+    kip = auto_kip(cfg)
 
     # -- backend-selected Krylov drivers (dof-space vectors in and out) ------
     if cfg.backend == "lattice":

@@ -334,7 +334,7 @@ def _step_body(L, u, uo, uoo, g, Mc, *, dt, h, Cvel, CRV, tiny,
                fprime_norm, cg_iters, newton_iters, lin_iters,
                freeze_jacobian, residual_scheme, stabilization,
                inner_solver="bicgstab", mass_bounds=(0.5, 2.0),
-               lin_bounds=(0.4, 2.2)):
+               lin_bounds=(0.4, 2.2), abs_term=None):
     """One stabilized time step on traced node-shaped arrays (shared by
     the single-, split-, and multi-step kernels).
 
@@ -358,9 +358,13 @@ def _step_body(L, u, uo, uoo, g, Mc, *, dt, h, Cvel, CRV, tiny,
     else:
         RH = L.cg_fixed(mass_op, rhs, dMinv, cg_iters)
 
-    # 2. RV epsilon (cf. structured.rv_epsilon)
+    # 2. RV epsilon (cf. structured.rv_epsilon). abs_term is the one
+    # GLOBAL reduction of the step; when the buffer is a deep-halo block
+    # of a sharded grid (parallel/structured_fused_sharded.py) the caller
+    # psums it outside and passes it in — everything else below is local.
     if stabilization == "rv":
-        abs_term = jnp.abs(u - jnp.mean(u)).max()
+        if abs_term is None:
+            abs_term = jnp.abs(u - jnp.mean(u)).max()
         u_max = L.patch_reduce(u, jnp.maximum, -np.inf)
         u_min = L.patch_reduce(u, jnp.minimum, np.inf)
         n_i = jnp.abs((u_max - u_min) - abs_term)
@@ -468,6 +472,90 @@ def fused_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
         interpret=bool(interpret),
         **_compiler_params(interpret),
     )(u2, uo2, uoo2, g2, Mc2)
+
+
+def required_halo(cg_iters, newton_iters, lin_iters):
+    """Shift-chain depth of one _step_body step, in rows.
+
+    Every stencil op (plane_mv, cells/scatter, patch_reduce, to_planes)
+    moves information one row; a deep-halo block whose halo width covers
+    the WHOLE step's chain can run the step locally with a single
+    neighbour exchange per step (communication-avoiding — possible only
+    because the Chebyshev inner solver is dot-free). Counted: rhs 2 +
+    mass-cheby cg_iters + eps/Kc chain 4 + per-Newton (lin_iters cheby +
+    conv_planes/residual 4) + slack 6 (audited against _step_body;
+    the sharded identity tests fail loudly if ever undercounted)."""
+    return cg_iters + newton_iters * (lin_iters + 4) + 12
+
+
+def fused_rv_block_step(u2, uo2, uoo2, g2, Mc2, row0, abs_term, *,
+                        n_rows, n_cols, dt, area, h, grads, phi, qw,
+                        Cvel, CRV, fprime, fprime_norm, cg_iters,
+                        newton_iters, lin_iters, freeze_jacobian,
+                        residual_scheme="bdf2", stabilization="rv",
+                        fprime_xy=None, interpret=None,
+                        inner_solver="cheby", mass_bounds=(0.5, 2.0),
+                        lin_bounds=(0.4, 2.2)):
+    """``fused_rv_step`` on a deep-halo row BLOCK of a global
+    (n_rows, n_cols) grid — the per-device kernel of the sharded fused
+    path (parallel/structured_fused_sharded.py).
+
+    u2/uo2/uoo2/g2: (B, n1y) block = owned rows plus >= required_halo()
+    halo rows each side (garbage decays one row per stencil op; the
+    caller slices the owned rows off the result). Mc2: (7, B, n1y)
+    stencil planes for the same rows. row0: () int32 traced — GLOBAL row
+    index of block row 0 (negative above the grid top); bc/cell masks
+    use global indices via _make_lib(row0=...). abs_term: () traced —
+    the step's single global RV reduction, psum'd by the caller.
+
+    cheby-only: a CG/BiCGStab inner solve takes block-local dots, which
+    diverge from the global solve; Chebyshev's three-term recurrence is
+    reduction-free, so the block run is EXACTLY the global algorithm
+    restricted to the block (identity-tested vs fused_rv_step).
+    """
+    if inner_solver != "cheby":
+        raise NotImplementedError(
+            "fused_rv_block_step is communication-avoiding by "
+            "construction: CG/BiCGStab dots would need a psum per "
+            "iteration inside the kernel — use inner_solver='cheby' "
+            "(HyperbolicConfig.inner_solver)")
+    B, n1y = u2.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    dtype = u2.dtype
+    st, h_ = _statics(dtype, dt, area, h, grads, phi, qw)
+    fpx, fpy = _fp_components(fprime, fprime_xy)
+    body_kw = dict(dt=st["dt"], h=h_, Cvel=Cvel, CRV=CRV, tiny=st["tiny"],
+                   fprime_norm=fprime_norm, cg_iters=cg_iters,
+                   newton_iters=newton_iters, lin_iters=lin_iters,
+                   freeze_jacobian=freeze_jacobian,
+                   residual_scheme=residual_scheme,
+                   stabilization=stabilization,
+                   inner_solver=inner_solver, mass_bounds=mass_bounds,
+                   lin_bounds=lin_bounds)
+
+    def kernel(row0_ref, abs_ref, u_ref, uo_ref, uoo_ref, g_ref, Mc_ref,
+               o1):
+        u, uo, uoo, g = u_ref[:], uo_ref[:], uoo_ref[:], g_ref[:]
+        Mc = tuple(Mc_ref[k] for k in range(len(OFFSETS)))
+        L = _make_lib(B, n1y, dtype, fpx=fpx, fpy=fpy,
+                      row0=row0_ref[0], n_rows=n_rows, n_cols=n_cols,
+                      **st)
+        o1[:] = _step_body(L, u, uo, uoo, g, Mc,
+                           abs_term=abs_ref[0], **body_kw)
+
+    sds = jax.ShapeDtypeStruct((B, n1y), dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[sds],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        interpret=bool(interpret),
+        **_compiler_params(interpret),
+    )(jnp.asarray(row0, jnp.int32).reshape(1),
+      jnp.asarray(abs_term, dtype).reshape(1),
+      u2, uo2, uoo2, g2, Mc2)[0]
 
 
 def fused_rv_step_split(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h,

@@ -48,7 +48,13 @@ from conservation_fem_tpu.models.stokes import (
     host_coupling_coo,
 )
 from conservation_fem_tpu.ops import lattice as lat
-from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
+from conservation_fem_tpu.ops.krylov import (
+    bicgstab,
+    bicgstab_fixed,
+    cg,
+    cg_fixed,
+    jacobi_preconditioner,
+)
 from conservation_fem_tpu.ops.spmv import ell_diag
 
 
@@ -297,6 +303,30 @@ class ShardedStokes:
         rtol = cfg.krylov_rtol
         axis = self.axis
 
+        # fixed-iteration throughput twins (cfg.krylov_iters), same as the
+        # single-device make_step: psum dots ride through the custom `dot`;
+        # unroll=False keeps the remote-compile payload bounded. The
+        # pressure solve takes the nx-scaled count (models/stokes.auto_kip).
+        from conservation_fem_tpu.models.stokes import auto_kip
+
+        ki = cfg.krylov_iters
+        kip = auto_kip(cfg)
+
+        def _bicg(op, b, x0, precond, pdot):
+            if ki is not None:
+                return bicgstab_fixed(op, b, x0=x0, precond=precond,
+                                      iters=ki, dot=pdot, unroll=False)
+            return bicgstab(op, b, x0=x0, precond=precond, rtol=rtol,
+                            dot=pdot)
+
+        def _cg(op, b, x0, precond, pdot, mass=False, iters=None):
+            it = iters if iters is not None else ki
+            if it is not None:
+                return cg_fixed(op, b, x0=x0, precond=precond,
+                                iters=min(8, it) if mass else it,
+                                dot=pdot, unroll=False)
+            return cg(op, b, x0=x0, precond=precond, rtol=rtol, dot=pdot)
+
         def step_local(wall, pbc, pbcval, d1, dK, dM,
                        A_pl, R_pl, M_pl, K_pl, DE_pl, B_pl, G_pl,
                        u, pn):
@@ -324,8 +354,7 @@ class ShardedStokes:
 
             pre1 = jacobi_preconditioner(
                 jnp.where(wall, 1.0, d1)[None] * jnp.ones((2, 1, 1), u.dtype))
-            u_star = bicgstab(A1, rhs, x0=u, precond=pre1, rtol=rtol,
-                              dot=pdot).x
+            u_star = _bicg(A1, rhs, u, pre1, pdot).x
 
             # --- step 2: pressure Poisson (coarse grid)
             div = sum(self._extract(pmv2(B_pl[s], self.offB[s], u_star[s]))
@@ -340,7 +369,7 @@ class ShardedStokes:
                 return jnp.where(pbc, x, pmv1(K_pl, self.offK, x_in))
 
             pre2 = jacobi_preconditioner(jnp.where(pbc, 1.0, dK))
-            p_new = cg(A2, b2, x0=pn, precond=pre2, rtol=rtol, dot=pdot).x
+            p_new = _cg(A2, b2, pn, pre2, pdot, iters=kip).x
 
             # --- step 3: velocity correction
             dpe = self._embed(p_new - pn)
@@ -355,8 +384,7 @@ class ShardedStokes:
 
             preM = jacobi_preconditioner(
                 (rho * dM)[None] * jnp.ones((2, 1, 1), u.dtype))
-            u_new = cg(Mop, b3, x0=u_star, precond=preM, rtol=rtol,
-                       dot=pdot).x
+            u_new = _cg(Mop, b3, u_star, preM, pdot, mass=True).x
             return u_new, p_new
 
         @partial(

@@ -163,6 +163,46 @@ def main():
         kpp.KPPConfig(**base, newton_linear_iters=12,
                       inner_solver="cheby"), tile_rows=8))
 
+    # deep-halo block kernel (the per-device kernel of the sharded fused
+    # path, parallel/structured_fused_sharded.py): zero-halo framing of
+    # the whole grid must reproduce the plain step
+    def gate_block():
+        from conservation_fem_tpu.ops.pallas_fused import (
+            fused_rv_block_step, required_halo,
+        )
+
+        cfg = kpp.KPPConfig(**base, newton_linear_iters=12,
+                            inner_solver="cheby")
+        p = kpp.build(cfg)
+        sdp, sh = p.sd, (p.sd.nx + 1, p.sd.ny + 1)
+        t = jnp.asarray(p.dt, p.u0.dtype)
+        (u_x, _, _), _ = p.step((p.u0, p.u0, p.u0), t)
+        D = required_halo(cfg.cg_iters, cfg.newton_iters,
+                          cfg.newton_linear_iters)
+        u2 = p.u0.reshape(sh)
+        g2 = p.bc_value(p.mesh.points, t).reshape(sh)
+        pad = lambda a: jnp.pad(a, ((D, D), (0, 0)))
+        Mc_ext = jnp.pad(sdp.M_coef, ((0, 0), (D, D), (0, 0)))
+        abs_term = jnp.abs(u2 - jnp.mean(u2)).max()
+        u_b = fused_rv_block_step(
+            pad(u2), pad(u2), pad(u2), pad(g2), Mc_ext, -D, abs_term,
+            n_rows=sh[0], n_cols=sh[1], dt=p.dt, area=float(sdp.area),
+            h=float(sdp.h_cg2[0, 0]), grads=np.asarray(sdp.grads),
+            phi=np.asarray(sdp.phi), qw=np.asarray(sdp.qw),
+            Cvel=p.cfg.Cvel, CRV=p.cfg.CRV,
+            fprime=p.flux_prime, fprime_norm=p.flux_prime_norm,
+            fprime_xy=getattr(p, "flux_prime_xy", None),
+            cg_iters=cfg.cg_iters, newton_iters=cfg.newton_iters,
+            lin_iters=cfg.newton_linear_iters,
+            freeze_jacobian=cfg.modified_newton,
+            mass_bounds=p.cfg.cheby_mass_bounds,
+            lin_bounds=p.cfg.cheby_lin_bounds)
+        rel = _l2rel(u_b[D:D + sh[0]].reshape(-1), u_x)
+        assert rel < 1e-3, rel
+        return rel
+
+    _gate("fused_block_deephalo", gate_block)
+
     # ---- 6: blocked P1 einsum backend (bf16 one-hots on TPU) ------------
     def gate_blocked_p1():
         hm = rectangle_mesh((-2, -2), (2, 2), nx=12)

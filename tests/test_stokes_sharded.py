@@ -28,6 +28,20 @@ def test_sharded_matches_single_device(n_dev):
     assert du < 1e-9 and dp < 1e-9, (du, dp)
 
 
+def test_sharded_fixed_solvers_match_single_device():
+    """Fixed-iteration (krylov_iters + auto kip) sharded step == the
+    single-device fixed step: identical algorithm, psum dots — roundoff
+    agreement only."""
+    cfg = dict(nx=10, num_steps=40, T=0.8, krylov_iters=20)
+    p, fd = stokes.build(**cfg)
+    res = stokes.solve((p, fd))
+    sh = ShardedStokes(*stokes.build(**cfg), _dmesh(4))
+    u_d, p_d = sh.solve()
+    du = np.abs(u_d - np.asarray(res.u)).max()
+    dp = np.abs(p_d - np.asarray(res.p)).max()
+    assert du < 1e-9 and dp < 1e-9, (du, dp)
+
+
 def test_sharded_uneven_rows():
     """Row count (nx+1 = 8 coarse rows) not divisible by 3 devices."""
     cfg = dict(nx=7, num_steps=20, T=0.4)
