@@ -77,15 +77,18 @@ def auto_kip(cfg: "StokesConfig") -> int | None:
 
     kappa(Jacobi-CG on the P1 Poisson) ~ 1/h^2 -> iterations to a fixed
     tolerance ~ sqrt(kappa) ~ nx. Calibrated on CPU f64 over the full
-    500-step Poiseuille run (scripts/calibrate_stokes_ki.py): 2*nx keeps
-    Linf vs the adaptive 1e-11 solution < 1e-2 at nx 32-64 where 25
-    fixed iterations diverge to 6.4e-1 at nx 64; see RESULTS.md.
+    500-step Poiseuille run (scripts/calibrate_stokes_ki.py) vs the
+    adaptive 1e-11 solution: at nx 32, (ki=25, kip=2nx) -> Linf 5.0e-3;
+    at nx 64, (ki=60, kip=3nx) -> Linf 6.8e-4 and (ki=40, kip=4nx) ->
+    5.3e-3, while kip=25 diverges to 6.4e-1 — BOTH counts must scale
+    (momentum kappa ~ 1 + dt*mu/h^2 too): set krylov_iters ~ nx and this
+    default provides kip = 3*nx; see RESULTS.md.
     """
     if cfg.krylov_iters_pressure is not None:
         return cfg.krylov_iters_pressure
     if cfg.krylov_iters is None:
         return None
-    return max(cfg.krylov_iters, 2 * cfg.nx)
+    return max(cfg.krylov_iters, 3 * cfg.nx)
 
 
 class StokesProblem(NamedTuple):

@@ -426,6 +426,41 @@ def rectangle_mesh(
     return mesh_from_arrays(points, tris)
 
 
+def irregular_mesh(p0=(0.0, 0.0), p1=(1.0, 1.0), nx: int = 8,
+                   jitter: float = 0.35, seed: int = 0) -> Mesh:
+    """Deterministic genuinely-UNSTRUCTURED rectangle triangulation:
+    interior lattice points jittered by ``jitter * h`` (seeded) and
+    re-triangulated with scipy Delaunay; boundary points stay exact so
+    the domain and Dirichlet detection are unchanged.
+
+    Purpose: arbitrarily-sized stand-ins for gmsh meshes (the reference's
+    unstructured habitat, e.g. Data/KPP_RV.h5 at N=4886) when scaling the
+    unstructured fast paths past the stored mesh — same irregular valence
+    distribution and non-banded sparsity, reproducible across processes
+    (the committed f64 anchors depend on bit-identical meshes).
+    """
+    from scipy.spatial import Delaunay
+
+    x = np.linspace(p0[0], p1[0], nx + 1)
+    y = np.linspace(p0[1], p1[1], nx + 1)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    points = np.stack([X.ravel(), Y.ravel()], axis=1)
+    h = (p1[0] - p0[0]) / nx
+    interior = ((points[:, 0] > p0[0]) & (points[:, 0] < p1[0])
+                & (points[:, 1] > p0[1]) & (points[:, 1] < p1[1]))
+    rng = np.random.default_rng(seed)
+    points[interior] += (rng.uniform(-jitter, jitter,
+                                     (int(interior.sum()), 2)) * h)
+    tris = Delaunay(points).simplices.astype(np.int64)
+    # enforce CCW orientation (positive signed area)
+    p = points[tris]
+    cross = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+             - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0]))
+    flip = cross < 0
+    tris[flip] = tris[flip][:, [0, 2, 1]]
+    return mesh_from_arrays(points, tris)
+
+
 def disk_mesh(hmax: float, radius: float = 1.0, center=(0.0, 0.0)) -> Mesh:
     """Deterministic unit-disk triangulation from concentric rings.
 

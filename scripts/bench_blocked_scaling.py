@@ -1,0 +1,90 @@
+"""Blocked unstructured KPP throughput vs mesh size (TPU).
+
+Round-3 VERDICT item 6: all blocked evidence was at the reference mesh
+(N=4,886); this measures whether the backend scales to the 5-50k window
+its docstring claims (ops/blocked.py). Meshes: the stored reference gmsh
+mesh plus deterministic jittered-Delaunay rectangles (ops/mesh.
+irregular_mesh, seed=1) at N~20k and N~50k — same irregular valence and
+non-banded sparsity as gmsh output, reproducible so the committed f64
+anchors (scripts/make_anchor.py irr140 irr224) gate the f32 runs.
+
+Scaling expectation (written analysis, RESULTS.md): the window width is
+W = nb + 2B with B the RCM half-bandwidth ~ sqrt(2N) — inherent for 2D
+meshes — so one-hot bytes/DOF grow ~sqrt(N) (measured: Wpad 384/768/1024
+at N 4.9k/19.9k/50.6k). Per-DOF throughput therefore falls ~1/sqrt(N)
+once HBM-bound; the gather-ELL path's constant per-DOF cost is ~34x
+higher at N=4886, so the blocked path stays ahead until N ~ 5M.
+
+Usage: python scripts/bench_blocked_scaling.py   (on the TPU)
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+GATE = 2e-2     # L2rel vs the committed f64 anchor
+
+
+def main():
+    import __graft_entry__ as ge
+
+    ge._enable_compile_cache()
+
+    from make_anchor import irr_problem
+
+    from timeharness import measure_per_step
+
+    from conservation_fem_tpu.models import kpp
+
+    fixed = dict(modified_newton=True, cg_iters=10, newton_iters=3,
+                 newton_linear_iters=8)
+    golden = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "golden")
+
+    fails = []
+
+    def gate(label, u, anchor_name):
+        path = os.path.join(golden, anchor_name)
+        if not os.path.exists(path):
+            print(f"  {label}: NO ANCHOR ({anchor_name})", flush=True)
+            return
+        ref = np.load(path).astype(np.float64)
+        rel = float(np.linalg.norm(u - ref) / np.linalg.norm(ref))
+        ok = rel <= GATE
+        print(f"  {label}: L2rel vs f64 anchor {rel:.3e} "
+              f"{'OK' if ok else 'FAIL'}", flush=True)
+        if not ok:
+            fails.append(label)
+
+    # reference gmsh mesh (the round-3 headline config)
+    p = kpp.build(kpp.KPPConfig(mesh_source=kpp.KPP_REFERENCE_H5,
+                                dtype="float32", backend="ell",
+                                ell_matvec_backend="blocked", **fixed))
+    per_step, _ = measure_per_step(p, verbose=True)
+    n = int(p.u0.shape[0])
+    print(f"refmesh  N={n:6d}  {per_step*1e6:8.1f} us/step  "
+          f"{n/per_step/1e6:8.2f} M DOF-steps/s", flush=True)
+    gate("refmesh", np.asarray(p.solve().u, np.float64),
+         "kpp_rv_anchor_refmesh.npy")
+
+    for nx in (140, 224):
+        p = irr_problem(nx, "float32", ell_matvec_backend="blocked",
+                        **fixed)
+        per_step, _ = measure_per_step(p, verbose=True)
+        n = int(p.u0.shape[0])
+        print(f"irr{nx}   N={n:6d}  {per_step*1e6:8.1f} us/step  "
+              f"{n/per_step/1e6:8.2f} M DOF-steps/s", flush=True)
+        gate(f"irr{nx}", np.asarray(p.solve().u, np.float64),
+             f"kpp_rv_anchor_irr{nx}.npy")
+
+    if fails:
+        print(f"SCALING BENCH ACCURACY FAIL: {fails}", flush=True)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

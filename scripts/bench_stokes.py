@@ -82,12 +82,15 @@ def main():
         d = np.abs(u_l - u_e).max()
         print(f"nx {nx:4d} (N2={n2})  lattice: {t_l*1e3:8.2f} ms/step   "
               f"speedup {t_e/t_l:.2f}x   Linf vs ell {d:.2e}", flush=True)
+        # nx-scaled fixed counts (models/stokes.auto_kip calibration:
+        # ki ~ nx momentum/mass iters, kip = 3*nx pressure default)
+        ki = max(25, nx)
         t_f, u_f = run(stokes.build(**base, backend="lattice",
-                                    krylov_iters=25), steps)
+                                    krylov_iters=ki), steps)
         d = np.abs(u_f - u_e).max()
-        print(f"nx {nx:4d} (N2={n2})  lattice+fixed(25): {t_f*1e3:8.2f} "
-              f"ms/step   speedup {t_e/t_f:.2f}x   Linf vs ell {d:.2e}",
-              flush=True)
+        print(f"nx {nx:4d} (N2={n2})  lattice+fixed(ki={ki},kip={3*nx}): "
+              f"{t_f*1e3:8.2f} ms/step   speedup {t_e/t_f:.2f}x   "
+              f"Linf vs ell {d:.2e}", flush=True)
 
 
 if __name__ == "__main__":

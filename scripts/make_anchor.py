@@ -7,18 +7,26 @@ run (dt = 0.01 * min(1, 64/mesh)), one full T=1.0 trajectory; the end state
 is stored as f32 (the gate is L2rel ~1e-2, f32 storage is exact enough by
 5 orders).
 
-Usage:  python scripts/make_anchor.py 256      # one mesh
-        python scripts/make_anchor.py 256 512  # several
+Usage:  python scripts/make_anchor.py 256       # structured mesh(es)
+        python scripts/make_anchor.py 256 512
+        python scripts/make_anchor.py irr140    # irregular (jittered
+            Delaunay, ops/mesh.irregular_mesh seed=1) — anchors for the
+            blocked unstructured scaling bench (bench_blocked_scaling);
+            dt CFL-matched to the bench config (see _IRR)
 """
 
 import os
 import sys
 import time
 
-import jax
+if __name__ == "__main__":
+    # anchors are CPU f64 by definition; pin the platform BEFORE any jax
+    # op (bench_blocked_scaling imports irr_problem from here and must
+    # stay on the TPU, so the pin is main-only)
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 
@@ -27,11 +35,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from conservation_fem_tpu.models import kpp  # noqa: E402
 
 
+# irregular-mesh bench configs (shared with scripts/bench_blocked_scaling):
+# dt keeps dt/h_min <= ~0.64 on the jittered mesh; T bounds the run.
+_IRR = {140: dict(dt=0.005, T=0.5), 224: dict(dt=0.0025, T=0.25)}
+
+
+def irr_problem(nx, dtype, **kw):
+    from conservation_fem_tpu.ops.mesh import (
+        irregular_mesh, rcm_permutation, reorder_mesh,
+    )
+
+    m = irregular_mesh((-2, -2), (2, 2), nx=nx, seed=1)
+    m = reorder_mesh(m, rcm_permutation(m))
+    cfg = kpp.KPPConfig(dtype=dtype, dt=_IRR[nx]["dt"], T=_IRR[nx]["T"],
+                        backend="ell", **kw)
+    return kpp.build(cfg, host_mesh=m)
+
+
 def main():
-    meshes = [int(x) for x in sys.argv[1:]] or [256]
+    tokens = sys.argv[1:] or ["256"]
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
-    for ms in meshes:
+    for tok in tokens:
+        if tok.startswith("irr"):
+            nx = int(tok[3:])
+            p = irr_problem(nx, "float64", krylov_rtol=1e-12)
+            print(f"irr{nx}: N={p.u0.shape[0]}, dt={p.dt}, "
+                  f"steps={p.num_steps}", flush=True)
+            t0 = time.perf_counter()
+            u = np.asarray(p.solve().u, dtype=np.float64)
+            assert np.isfinite(u).all() and 0.5 < u.min() and u.max() < 12.0
+            path = os.path.join(out_dir, f"kpp_rv_anchor_irr{nx}.npy")
+            np.save(path, u.astype(np.float32))
+            print(f"  saved {path} in {time.perf_counter()-t0:.0f}s; "
+                  f"range {u.min():.4f}..{u.max():.4f}", flush=True)
+            continue
+        ms = int(tok)
         dt = 0.01 * min(1.0, 64.0 / ms)
         p = kpp.build(kpp.KPPConfig(mesh_size=ms, dtype="float64", dt=dt,
                                     krylov_rtol=1e-12))

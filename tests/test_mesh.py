@@ -77,6 +77,27 @@ def test_disk_mesh_quality():
     assert 0.05 < m.h_cell.min() and m.h_cell.max() < 0.3
 
 
+def test_irregular_mesh():
+    """Jittered-Delaunay rectangle: exact area/boundary, deterministic
+    (the committed f64 anchors of bench_blocked_scaling depend on
+    bit-identical regeneration), genuinely irregular valences."""
+    from conservation_fem_tpu.ops.mesh import irregular_mesh
+
+    m = irregular_mesh((-2, -2), (2, 2), nx=12, seed=1)
+    np.testing.assert_allclose(m.area.sum(), 16.0, rtol=1e-12)
+    assert (m.area > 0).all()
+    b = np.asarray(m.points[m.boundary_mask])
+    on_edge = (np.isclose(np.abs(b[:, 0]), 2.0)
+               | np.isclose(np.abs(b[:, 1]), 2.0))
+    assert on_edge.all() and m.boundary_mask.sum() == 4 * 12
+    m2 = irregular_mesh((-2, -2), (2, 2), nx=12, seed=1)
+    assert np.array_equal(np.asarray(m.points), np.asarray(m2.points))
+    assert np.array_equal(np.asarray(m.cells), np.asarray(m2.cells))
+    # irregular: interior valences are not the structured {4,8} pattern
+    deg = np.asarray(m.patch_mask).sum(1)
+    assert len(np.unique(deg)) > 3
+
+
 def test_load_reference_kpp_mesh():
     m = load_h5_mesh(KPP_H5)
     # ref Data/KPP_RV.xdmf:7-11 — 4886 nodes / 9514 triangles
