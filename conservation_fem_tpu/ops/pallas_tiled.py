@@ -106,13 +106,25 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                   residual_scheme="bdf2", stabilization="rv",
                   fprime_xy=None, interpret=None, tile_rows=None,
                   mass_bounds=(0.5, 2.0), lin_bounds=(0.4, 2.2),
-                  inner_solver="cheby"):
+                  inner_solver="cheby", row0_base=None, n_rows=None,
+                  abs_term=None):
     """One stabilized time step, HBM-resident, ONE Pallas launch.
 
     Arguments mirror pallas_fused.fused_rv_step; the inner solver is
     always the dot-free Chebyshev semi-iteration (mass_bounds /
     lin_bounds — see HyperbolicConfig.cheby_*_bounds). Returns uh
     (n1x, n1y).
+
+    Block mode (row0_base is not None): the input is a DEEP-HALO row
+    block of a global (n_rows, n1y) grid starting at global row
+    row0_base (traced; negative above the grid top) — the HBM-scale
+    per-device kernel of parallel/structured_fused_sharded.py, for
+    blocks too large for the VMEM-resident fused_rv_block_step. The
+    step's single global RV reduction must then be hoisted by the caller
+    and passed as abs_term (traced scalar); everything else is local, so
+    owned rows come out exactly equal to the global algorithm's as long
+    as the halo covers pallas_fused.required_halo() rows. Returns the
+    whole block (caller slices its owned rows).
     """
     if inner_solver != "cheby":
         raise NotImplementedError(
@@ -121,6 +133,10 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             "Krylov iteration — use inner_solver='cheby' "
             "(HyperbolicConfig.inner_solver)")
     n1x, n1y = nx + 1, ny + 1
+    external = row0_base is not None
+    if external and stabilization == "rv" and abs_term is None:
+        raise ValueError("block mode needs the hoisted abs_term scalar")
+    n_rows_g = n1x if n_rows is None else int(n_rows)
     if interpret is None:
         interpret = _interpret_default()
     dtype = u2.dtype
@@ -149,10 +165,14 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     def padrows3(a):
         return jnp.pad(a, ((0, 0), (H, R - H - n1x), (0, Yp - n1y)))
 
-    def kernel(u_h, uo_h, uoo_h, g_h, Mc_h,
-               uk_h, cx_h, cr_h, cd0_h, cd1_h, eps_h, dJ_h, Nun_h, Kun_h,
-               F_h, uk2_h, Kc_h, Jc_h,
-               A, B, C, V, sems, sm):
+    def kernel(*refs):
+        if external:
+            (u_h, uo_h, uoo_h, g_h, Mc_h, r0_h, ab_h, *rest) = refs
+        else:
+            (u_h, uo_h, uoo_h, g_h, Mc_h, *rest) = refs
+            r0_h = ab_h = None
+        (uk_h, cx_h, cr_h, cd0_h, cd1_h, eps_h, dJ_h, Nun_h, Kun_h,
+         F_h, uk2_h, Kc_h, Jc_h, A, B, C, V, sems, sm) = rest
         f = lambda c: jnp.asarray(c, dtype)
 
         # --- DMA helpers: start all, wait all (overlaps latency) --------
@@ -195,8 +215,9 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                 cp.wait()
 
         def lib_for(t):
+            row0 = t * T - H + (r0_h[0] if external else 0)
             return _make_lib(T2, Yp, dtype, fpx=fpx, fpy=fpy,
-                             row0=t * T - H, n_rows=n1x, n_cols=n1y, **st)
+                             row0=row0, n_rows=n_rows_g, n_cols=n1y, **st)
 
         # --- sweep 1: residual-projection rhs + Chebyshev init ----------
         def s1_body(t, _):
@@ -216,9 +237,10 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             V[5] = dMinv * rhs / f(th_m)                # cd
             # interior rows only — the halo rows belong to the
             # neighbouring tiles' accumulation
-            li = jax.lax.broadcasted_iota(jnp.int32, (T2, Yp), 0)
-            interior = (li >= H) & (li < H + T)
-            sm[0] += jnp.sum(jnp.where(L.valid & interior, u, 0.0))
+            if not external:
+                li = jax.lax.broadcasted_iota(jnp.int32, (T2, Yp), 0)
+                interior = (li >= H) & (li < H + T)
+                sm[0] += jnp.sum(jnp.where(L.valid & interior, u, 0.0))
             store(t, [(3, cr_h), (4, cx_h), (5, cd0_h)])
             return 0
 
@@ -247,7 +269,7 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                 x = x + d
                 r = r - op(d)
                 dn = f(c1) * d + f(c2) * (dMinv * r)
-                if first:
+                if first and not external:
                     mean = sm[0] / f(n_nodes)
                     dev = jnp.where(L.valid, jnp.abs(V[3] - mean), 0.0)
                     sm[1] = jnp.maximum(sm[1], jnp.max(dev))
@@ -265,10 +287,10 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                 L = lib_for(t)
                 load(t, [(rows(u_h, t), V.at[0]), (rows(cx_h, t), V.at[1])])
                 u, RH = V[0], V[1]
-                abs_term = sm[1]
+                abs_t = ab_h[0] if external else sm[1]
                 u_max = L.patch_reduce(u, jnp.maximum, -np.inf)
                 u_min = L.patch_reduce(u, jnp.minimum, np.inf)
-                n_i = jnp.abs((u_max - u_min) - abs_term)
+                n_i = jnp.abs((u_max - u_min) - abs_t)
                 Rh_i = L.patch_reduce(jnp.abs(RH), jnp.maximum, -np.inf)
                 beta = L.patch_reduce(fprime_norm(u), jnp.maximum, -np.inf)
                 eps = jnp.minimum(
@@ -448,10 +470,18 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     # slices fail to lower (tpu.memref_slice on a tiled vmem memref);
     # as DMA descriptors on HBM refs arbitrary offsets are fine
     space = pltpu.HBM if not interpret else pl.ANY
+    in_specs = [pl.BlockSpec(memory_space=space)] * 5
+    operands = [padrows(u2), padrows(uo2), padrows(uoo2), padrows(g2),
+                padrows3(Mc2)]
+    if external:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        operands += [jnp.asarray(row0_base, jnp.int32).reshape(1),
+                     jnp.asarray(0.0 if abs_term is None else abs_term,
+                                 dtype).reshape(1)]
     outs = pl.pallas_call(
         kernel,
         out_shape=[fld] * 11 + [pln, pln],
-        in_specs=[pl.BlockSpec(memory_space=space)] * 5,
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=space)] * 13,
         scratch_shapes=[
             pltpu.VMEM((_NP, T2, Yp), dtype),       # A: Mc tile
@@ -463,5 +493,5 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
         ],
         interpret=bool(interpret),
         **kw,
-    )(padrows(u2), padrows(uo2), padrows(uoo2), padrows(g2), padrows3(Mc2))
+    )(*operands)
     return outs[0][H:H + n1x, :n1y]

@@ -44,6 +44,7 @@ from conservation_fem_tpu.ops.pallas_fused import (
     fused_rv_block_step,
     required_halo,
 )
+from conservation_fem_tpu.ops.pallas_tiled import tiled_rv_step
 
 OFFSETS = st.OFFSETS
 
@@ -57,8 +58,16 @@ class ShardedFusedStructured:
     solve() matches the single-device API (flat global vector out).
     """
 
-    def __init__(self, problem, device_mesh: DeviceMesh, axis: str = "i"):
+    def __init__(self, problem, device_mesh: DeviceMesh, axis: str = "i",
+                 kernel: str = "auto", tile_rows=None):
+        """kernel: "block" (VMEM-resident fused_rv_block_step — fastest
+        while the extended block fits the ~270 KB/field single-kernel
+        ceiling), "tiled" (HBM-resident tiled_rv_step block mode — any
+        block size), or "auto" (block if it fits, else tiled).
+        tile_rows: tiled-kernel row-tile override (tests force multi-tile
+        geometry on small blocks)."""
         p, cfg = problem, problem.cfg
+        self.tile_rows = tile_rows
         if (cfg.inner_solver != "cheby" or cfg.cg_iters is None
                 or cfg.newton_iters is None
                 or cfg.stabilization not in ("rv", "gfem")
@@ -88,6 +97,11 @@ class ShardedFusedStructured:
                           cfg.newton_linear_iters)
         self.D = D
         self.B = L + 2 * D
+        if kernel == "auto":
+            kernel = ("block" if self.B * n1y * dtype.itemsize
+                      <= 270 * 2**10 else "tiled")
+        assert kernel in ("block", "tiled"), kernel
+        self.kernel = kernel
 
         shard = NamedSharding(device_mesh, P(axis, None))
         self.shard = shard
@@ -160,11 +174,9 @@ class ShardedFusedStructured:
             uooe = self._extend(uoo)
             ge = self._extend(g)
             row0 = jax.lax.axis_index(axis) * L - D
-            uh = fused_rv_block_step(
-                ue, uoe, uooe, ge, Mc_ext[0], row0, abs_term,
-                n_rows=n1x, n_cols=n1y, dt=p.dt, area=fs["area"],
-                h=fs["h"], grads=fs["grads"], phi=fs["phi"], qw=fs["qw"],
-                Cvel=cfg.Cvel, CRV=cfg.CRV,
+            common = dict(
+                dt=p.dt, area=fs["area"], h=fs["h"], grads=fs["grads"],
+                phi=fs["phi"], qw=fs["qw"], Cvel=cfg.Cvel, CRV=cfg.CRV,
                 fprime=p.flux_prime, fprime_norm=p.flux_prime_norm,
                 fprime_xy=getattr(p, "flux_prime_xy", None),
                 cg_iters=cfg.cg_iters, newton_iters=cfg.newton_iters,
@@ -174,6 +186,16 @@ class ShardedFusedStructured:
                 stabilization=cfg.stabilization,
                 mass_bounds=cfg.cheby_mass_bounds,
                 lin_bounds=cfg.cheby_lin_bounds)
+            if self.kernel == "block":
+                uh = fused_rv_block_step(
+                    ue, uoe, uooe, ge, Mc_ext[0], row0, abs_term,
+                    n_rows=n1x, n_cols=n1y, **common)
+            else:   # HBM-resident row-tiled block kernel
+                uh = tiled_rv_step(
+                    ue, uoe, uooe, ge, Mc_ext[0],
+                    nx=self.B - 1, ny=n1y - 1, row0_base=row0,
+                    n_rows=n1x, abs_term=abs_term,
+                    tile_rows=self.tile_rows, **common)
             # zero the grid-padding rows: the kernel leaves NaN there
             # (0-coefficient Jacobi inverses), which would poison the
             # next step's psum'd mean through u * valid

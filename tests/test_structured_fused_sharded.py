@@ -75,6 +75,20 @@ def test_gfem_and_uneven_rows():
     assert np.abs(u_d - u_s).max() < 1e-11
 
 
+def test_tiled_block_kernel_matches_single_device():
+    """kernel='tiled' (HBM row-tiled block mode — the production-scale
+    per-device kernel): multi-tile geometry inside each device's block
+    (tile_rows=8 < B), 2 devices, full-run f64 agreement."""
+    cfg = kpp.KPPConfig(mesh_size=16, T=0.02, **{
+        **CHEBY, "cg_iters": 4, "newton_linear_iters": 4})
+    u_s = _fused_single(cfg)
+    p = kpp.build(cfg)
+    sh = ShardedFusedStructured(p, _dmesh(2), kernel="tiled", tile_rows=8)
+    assert sh.kernel == "tiled" and sh.B > 8
+    u_d = np.asarray(sh.solve())
+    assert np.abs(u_d - u_s).max() < 1e-11
+
+
 def test_config_guard():
     p = kpp.build(kpp.KPPConfig(mesh_size=6, backend="stencil"))
     with pytest.raises(NotImplementedError):
