@@ -79,6 +79,12 @@ class Mesh:
     mat_segs: Array        # (9M,) i64
     vec_perm: Array        # (3M,) i64
     vec_segs: Array        # (3M,) i64
+    # True for meshes produced by make_periodic: cells index the surviving
+    # master nodes while area/grads/h_cell keep the ORIGINAL (pre-fold)
+    # coordinates, so recomputing geometry from points[cells] gives
+    # stretched seam triangles. Consumers that derive geometry that way
+    # (Pk build_space, plotting triangulations) must check this flag.
+    periodic: bool = False
 
     @property
     def n_nodes(self) -> int:
@@ -351,6 +357,7 @@ def make_periodic(host: Mesh, axes=(0, 1), tol: float = 1e-9) -> Mesh:
     mat_perm, mat_segs, vec_perm, vec_segs = _scatter_orderings(
         cells_new, cell_slots, K)
     return Mesh(
+        periodic=True,
         points=np.ascontiguousarray(pts[keep]),
         cells=cells_new.astype(np.int32),
         boundary_mask=bnd_mask,

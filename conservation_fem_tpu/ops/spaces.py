@@ -290,6 +290,15 @@ def build_space(mesh: Mesh, degree: int, quad_exactness: int | None = None,
     one exactly)."""
     if degree not in (1, 2, 3):
         raise ValueError("degree must be 1, 2 or 3")
+    if degree >= 2 and getattr(mesh, "periodic", False):
+        raise NotImplementedError(
+            "Pk spaces on a make_periodic mesh: edge/interior dof "
+            "coordinates and the cell geometry map are recomputed from "
+            "points[cells], which is wrong on seam cells (their "
+            "connectivity points at the fold's master nodes while their "
+            "true geometry is the pre-fold triangle). Build the Pk space "
+            "on the host mesh and apply the periodic identification to "
+            "the Pk dofs instead.")
     k = degree
     cells = mesh.cells.astype(np.int64)
     n_vert = mesh.points.shape[0]

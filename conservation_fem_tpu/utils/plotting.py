@@ -21,6 +21,16 @@ import matplotlib.tri as mtri
 
 
 def _triangulation(mesh):
+    if getattr(mesh, "periodic", False):
+        # make_periodic meshes: seam cells index the fold's master nodes,
+        # so triangulating points[cells] draws domain-spanning triangles.
+        # Drop the seam cells from the PLOT (solver data is untouched).
+        p = np.asarray(mesh.points)[np.asarray(mesh.cells)]      # (M,3,2)
+        span = np.ptp(p, axis=1).max(axis=1)                     # (M,)
+        keep = span < 2.0 * float(np.asarray(mesh.h_cell).max())
+        return mtri.Triangulation(
+            mesh.points[:, 0], mesh.points[:, 1], mesh.cells[keep]
+        )
     return mtri.Triangulation(
         mesh.points[:, 0], mesh.points[:, 1], mesh.cells
     )

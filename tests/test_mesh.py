@@ -149,6 +149,30 @@ def test_make_periodic():
     assert drift < 1e-12, drift
 
 
+def test_periodic_geometry_consumers_guarded():
+    """points/cells are mutually inconsistent on seam cells of a
+    make_periodic mesh (connectivity renumbered onto masters, geometry
+    kept pre-fold), so consumers that recompute geometry from
+    points[cells] must either refuse (Pk build_space) or filter the
+    seam cells (plot triangulation)."""
+    import pytest
+
+    from conservation_fem_tpu.ops.mesh import make_periodic, rectangle_mesh
+    from conservation_fem_tpu.ops.spaces import build_space
+    from conservation_fem_tpu.utils.plotting import _triangulation
+
+    host = rectangle_mesh((0, 0), (1, 1), nx=8)
+    pm = make_periodic(host)
+    assert pm.periodic and not host.periodic
+    with pytest.raises(NotImplementedError, match="seam"):
+        build_space(pm, 2)
+    build_space(pm, 1)                         # P1 shares the solver's view
+    tri = _triangulation(pm)
+    p = np.asarray(pm.points)[tri.triangles]   # only true-sized triangles
+    assert np.ptp(p, axis=1).max() < 2.0 * float(np.asarray(pm.h_cell).max())
+    assert tri.triangles.shape[0] < pm.n_cells
+
+
 def test_make_periodic_single_axis():
     """Periodic in x only: the y = 0, 1 walls stay boundary."""
     from conservation_fem_tpu.ops.mesh import make_periodic, rectangle_mesh
