@@ -36,6 +36,34 @@ def _triangulation(mesh):
     )
 
 
+def plot_dg_field(mesh, d, title, filename, location, show_edges=False):
+    """DG0 ``(M,)`` / DG1 ``(M,3)`` field snapshot (ref
+    KPP_NodeRV_plot.py's DG carriers). Vertices are duplicated per cell
+    so inter-cell discontinuities render as true jumps instead of being
+    smeared by a shared-vertex Gouraud fill."""
+    os.makedirs(location, exist_ok=True)
+    d = np.asarray(d)
+    p = np.asarray(mesh.points)[np.asarray(mesh.cells)]      # (M,3,2)
+    M = p.shape[0]
+    tri = mtri.Triangulation(p[..., 0].ravel(), p[..., 1].ravel(),
+                             np.arange(3 * M).reshape(M, 3))
+    fig, ax = plt.subplots(figsize=(7, 6))
+    if d.ndim == 1:                # DG0: one color per cell
+        tpc = ax.tripcolor(tri, facecolors=d, cmap="viridis")
+    else:                          # DG1: linear within, jumps between
+        tpc = ax.tripcolor(tri, d.ravel(), shading="gouraud",
+                           cmap="viridis")
+    if show_edges:
+        ax.triplot(tri, lw=0.2, color="k", alpha=0.3)
+    fig.colorbar(tpc, ax=ax)
+    ax.set_title(title)
+    ax.set_aspect("equal")
+    path = os.path.join(location, filename + ".png")
+    fig.savefig(path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_field(mesh, u, title, filename, location, three_d=False, show_edges=False):
     """Scalar P1 field snapshot, 2D tripcolor or 3D trisurf
     (ref PDE_plot.plot_pv, PDE_plot.py:45-69)."""

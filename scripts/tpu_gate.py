@@ -13,8 +13,10 @@ Families gated (cf. VERDICT round 3 item 3):
   3. pallas_fused.fused_rv_step         (single-launch step; bicgstab+cheby)
   4. pallas_fused.fused_rv_step_split   (setup + newton kernels)
   5. pallas_tiled.tiled_rv_step         (HBM row-tiled; multi-tile geometry)
-  6. ops/blocked  P1 KPP step           (bf16 one-hot einsum backend)
-  7. ops/blocked_pk  P2 SI Burgers step (component-major Pk einsums)
+  6. pallas_fused.fused_rv_block_step   (deep-halo sharded-path kernel)
+  7. pallas_tiled block mode            (HBM-scale sharded-path kernel)
+  8. ops/blocked  P1 KPP step           (bf16 one-hot einsum backend)
+  9. ops/blocked_pk  P2 SI Burgers step (component-major Pk einsums)
 
 Tolerances: the Pallas kernels run the SAME fixed-iteration algorithm as
 the XLA twin, so only summation order differs -> L2rel 1e-3 is generous.
@@ -202,6 +204,47 @@ def main():
         return rel
 
     _gate("fused_block_deephalo", gate_block)
+
+    # tiled kernel in block mode (the HBM-scale per-device kernel of the
+    # sharded fused path): zero-halo framing + hoisted abs_term, forced
+    # multi-tile geometry
+    def gate_tiled_block():
+        from conservation_fem_tpu.ops.pallas_fused import required_halo
+
+        cfg = kpp.KPPConfig(**base, newton_linear_iters=12,
+                            inner_solver="cheby")
+        p = kpp.build(cfg)
+        sdp, sh = p.sd, (p.sd.nx + 1, p.sd.ny + 1)
+        t = jnp.asarray(p.dt, p.u0.dtype)
+        (u_x, _, _), _ = p.step((p.u0, p.u0, p.u0), t)
+        D = required_halo(cfg.cg_iters, cfg.newton_iters,
+                          cfg.newton_linear_iters)
+        u2 = p.u0.reshape(sh)
+        g2 = p.bc_value(p.mesh.points, t).reshape(sh)
+        pad = lambda a: jnp.pad(a, ((D, D), (0, 0)))
+        Mc_ext = jnp.pad(sdp.M_coef, ((0, 0), (D, D), (0, 0)))
+        abs_term = jnp.abs(u2 - jnp.mean(u2)).max()
+        B = sh[0] + 2 * D
+        u_b = tiled_rv_step(
+            pad(u2), pad(u2), pad(u2), pad(g2), Mc_ext,
+            nx=B - 1, ny=sh[1] - 1, row0_base=-D, n_rows=sh[0],
+            abs_term=abs_term, tile_rows=8,
+            dt=p.dt, area=float(sdp.area),
+            h=float(sdp.h_cg2[0, 0]), grads=np.asarray(sdp.grads),
+            phi=np.asarray(sdp.phi), qw=np.asarray(sdp.qw),
+            Cvel=p.cfg.Cvel, CRV=p.cfg.CRV,
+            fprime=p.flux_prime, fprime_norm=p.flux_prime_norm,
+            fprime_xy=getattr(p, "flux_prime_xy", None),
+            cg_iters=cfg.cg_iters, newton_iters=cfg.newton_iters,
+            lin_iters=cfg.newton_linear_iters,
+            freeze_jacobian=cfg.modified_newton,
+            mass_bounds=p.cfg.cheby_mass_bounds,
+            lin_bounds=p.cfg.cheby_lin_bounds)
+        rel = _l2rel(u_b[D:D + sh[0]].reshape(-1), u_x)
+        assert rel < 1e-3, rel
+        return rel
+
+    _gate("tiled_block_deephalo", gate_tiled_block)
 
     # ---- 6: blocked P1 einsum backend (bf16 one-hots on TPU) ------------
     def gate_blocked_p1():
