@@ -117,7 +117,8 @@ def _linear_op(p, A):
     if A.ndim == 3:
         from conservation_fem_tpu.ops import blocked
 
-        return (lambda x: blocked.spmv(p.blkplan, A, x),
+        As = blocked.sweep_form(p.blkplan, A)   # bf16 sweep copy, cast once
+        return (lambda x: blocked.spmv(p.blkplan, As, x),
                 blocked.diag_of(p.blkplan, A))
     return (lambda x: ell_matvec(p.sp, A, x)), ell_diag(p.sp, A)
 

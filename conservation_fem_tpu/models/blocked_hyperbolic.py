@@ -51,7 +51,10 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
             p, local_mats.reshape(p.blocks, p.C, 3, 3))
 
     def _linear_op(self, D):
-        return (lambda x: blocked.spmv(self.plan, D, x),
+        # sweep copy cast ONCE here (closure build, outside solver loops);
+        # the diag for the Jacobi preconditioner stays full-width
+        Ds = blocked.sweep_form(self.plan, D)
+        return (lambda x: blocked.spmv(self.plan, Ds, x),
                 blocked.diag_of(self.plan, D))
 
     @property
@@ -138,7 +141,8 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
         L_keps = self._local_keps(eps)
         L_cn = self._L_mass + 0.5 * dt * L_keps   # M + dt/2 Keps, local form
         N_un = self._nonlinear_rhs(u_n)
-        M_mv = lambda x: blocked.spmv(p, self.M, x)   # assembled once
+        Ms = blocked.sweep_form(p, self.M)            # cast once per step
+        M_mv = lambda x: blocked.spmv(p, Ms, x)       # assembled once
         K_mv = lambda x: blocked.local_apply(p, L_keps, x)
         Keps_un = K_mv(u_n)
 
@@ -172,7 +176,8 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
         NK = lambda v: blocked.conv_plus_locals_rhs_components(
             p, v, fpx, fpy, L_keps)
         NK_un = NK(u_n)
-        M_mv = lambda x: blocked.spmv(p, self.M, x)
+        Ms = blocked.sweep_form(p, self.M)            # cast once per step
+        M_mv = lambda x: blocked.spmv(p, Ms, x)
 
         def residual(v):
             F = M_mv(v - u_n) + 0.5 * dt * (NK(v) + NK_un)
@@ -182,8 +187,9 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
             L_J = L_cn + 0.5 * dt * \
                 blocked.flux_jacobian_locals_components(p, u, fpx, fpy)
             J = blocked.assemble_matrix_components(p, L_J)
+            Jb = blocked.sweep_form(p, J)   # once per Newton iteration
             matvec = lambda v: jnp.where(bc, v, blocked.spmv(
-                p, J, jnp.where(bc, 0.0, v)))
+                p, Jb, jnp.where(bc, 0.0, v)))
             J_diag = blocked.diag_of(p, J)
             pre = jacobi_preconditioner(jnp.where(bc, 1.0, J_diag))
             return matvec, pre

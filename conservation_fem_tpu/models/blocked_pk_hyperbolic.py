@@ -50,7 +50,10 @@ class BlockedPkHyperbolicProblem(PkHyperbolicProblem):
     # -- layout plumbing ------------------------------------------------------
 
     def _linear_op(self, D):
-        return (lambda x: blocked.spmv(self.plan, D, x),
+        # bf16 sweep copy cast ONCE here (cf. blocked.sweep_form); the
+        # Jacobi diag stays full-width
+        Ds = blocked.sweep_form(self.plan, D)
+        return (lambda x: blocked.spmv(self.plan, Ds, x),
                 blocked.diag_of(self.plan, D))
 
     @property
@@ -104,7 +107,8 @@ class BlockedPkHyperbolicProblem(PkHyperbolicProblem):
         L_cn = self._L_mass + 0.5 * dt * L_keps
         NK = lambda v: bpk.pk_conv_plus_locals_rhs(p, v, fpx, fpy, L_keps)
         NK_un = NK(u_n)
-        M_mv = lambda x: blocked.spmv(p, self.M, x)
+        Ms = blocked.sweep_form(p, self.M)            # cast once per step
+        M_mv = lambda x: blocked.spmv(p, Ms, x)
 
         def residual(v):
             F = M_mv(v - u_n) + 0.5 * dt * (NK(v) + NK_un)
@@ -114,8 +118,9 @@ class BlockedPkHyperbolicProblem(PkHyperbolicProblem):
             L_J = L_cn + 0.5 * dt * bpk.pk_flux_jacobian_locals(
                 p, u, fpx, fpy)
             J = blocked.assemble_matrix_components(p, L_J)
+            Jb = blocked.sweep_form(p, J)   # once per Newton iteration
             matvec = lambda v: jnp.where(bc, v, blocked.spmv(
-                p, J, jnp.where(bc, 0.0, v)))
+                p, Jb, jnp.where(bc, 0.0, v)))
             pre = jacobi_preconditioner(
                 jnp.where(bc, 1.0, blocked.diag_of(p, J)))
             return matvec, pre

@@ -148,7 +148,8 @@ def _linear_op(p, A):
     if A.ndim == 3:
         from conservation_fem_tpu.ops import blocked
 
-        return (lambda x: blocked.spmv(p.blkplan, A, x),
+        As = blocked.sweep_form(p.blkplan, A)   # bf16 sweep copy, cast once
+        return (lambda x: blocked.spmv(p.blkplan, As, x),
                 blocked.diag_of(p.blkplan, A))
     if p.bplan is not None:
         from conservation_fem_tpu.ops.banded import banded_matvec, ell_to_banded

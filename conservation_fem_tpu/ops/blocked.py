@@ -281,9 +281,32 @@ def unblock(plan: BlockedPlan, y):
 # ---------------------------------------------------------------------------
 
 
+def sweep_form(plan: BlockedPlan, D):
+    """Half-width (bf16) copy of an assembled operator for Krylov sweeps.
+
+    On TPU the f32 spmv einsum already rounds BOTH MXU operand streams to
+    bf16 per pass (default matmul precision), so storing the operator at
+    bf16 changes nothing numerically there while halving the sweep's HBM
+    bytes — the dominant per-iteration stream once N*(nb+2B) floats stop
+    fitting in caches (the sqrt(N) window-growth analysis, RESULTS.md).
+    Cast ONCE where the operator is built (outside the solver loop), never
+    inside a matvec closure body — a per-matvec convert re-reads f32 and
+    cancels the saving. f64 compute (all identity tests) returns D
+    unchanged. CPU f32 runs differ harmlessly at ~bf16 eps, like the
+    bf16 one-hots above (the documented CPU caveat)."""
+    if plan.Gcell.dtype == jnp.bfloat16 and D.dtype == jnp.float32:
+        return D.astype(jnp.bfloat16)
+    return D
+
+
 def spmv(plan: BlockedPlan, D, x):
-    """y = A x with A in (blocks, nb, Wpad) dense row-window storage."""
+    """y = A x with A in (blocks, nb, Wpad) dense row-window storage.
+    A bf16 A (sweep_form) keeps both operand streams at half width."""
     w = windows(plan, x)
+    if D.dtype == jnp.bfloat16:
+        return unblock(plan, jax.lax.dot_general(
+            D, w.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=x.dtype))
     return unblock(plan, jnp.einsum("bnw,bw->bn", D, w))
 
 

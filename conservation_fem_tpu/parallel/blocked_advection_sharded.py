@@ -101,6 +101,11 @@ class DistributedBlockedAdvection(DistributedBlocked):
 
             def spmv(D, x):
                 w = self._windows(x)
+                if D.dtype == jnp.bfloat16:
+                    return jax.lax.dot_general(
+                        D, w.astype(jnp.bfloat16),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=x.dtype).reshape(-1)
                 return jnp.einsum("bnw,bw->bn", D, w).reshape(-1)
 
             def pinned(D):
@@ -108,6 +113,17 @@ class DistributedBlockedAdvection(DistributedBlocked):
                     x_in = jnp.where(pin, 0.0, x)
                     return jnp.where(pin, x, spmv(D, x_in))
                 return mv
+
+            # bf16 sweep copies, cast ONCE outside the solver loops (cf.
+            # blocked.sweep_form via the single-device _linear_op, so f32
+            # sharded-vs-single trajectories stay in lockstep)
+            def sweep(D):
+                if (Gcell.dtype == jnp.bfloat16
+                        and D.dtype == jnp.float32):
+                    return D.astype(jnp.bfloat16)
+                return D
+
+            Mbs, Cbs = sweep(Mb), sweep(Cb)
 
             def diag_of(D):
                 d = jnp.diagonal(D, offset=B, axis1=1, axis2=2)
@@ -138,16 +154,16 @@ class DistributedBlockedAdvection(DistributedBlocked):
                 Keps = None
             else:
                 diagM = jnp.where(pin, 1.0, diag_of(Mb))
-                rhs = spmv(Mb, (u - uo) / dt) + spmv(Cb, u)
+                rhs = spmv(Mbs, (u - uo) / dt) + spmv(Cbs, u)
                 if cfg.stabilization == "rv_node_simple":
                     # UNconstrained projection (stored-series provenance)
-                    Rh = mass_solve(lambda x: spmv(Mb, x), rhs,
+                    Rh = mass_solve(lambda x: spmv(Mbs, x), rhs,
                                     jacobi_preconditioner(
                                         jnp.where(validf, diag_of(Mb),
                                                   1.0)))
                 else:
                     rhs = jnp.where(pin, 0.0, rhs)
-                    Rh = mass_solve(pinned(Mb), rhs,
+                    Rh = mass_solve(pinned(Mbs), rhs,
                                     jacobi_preconditioner(diagM))
                 tiny = jnp.asarray(
                     1e-300 if u.dtype == jnp.float64 else 1e-30, u.dtype)
@@ -192,9 +208,9 @@ class DistributedBlockedAdvection(DistributedBlocked):
             else:
                 A = Mb + 0.5 * dt * Cb + 0.5 * dt * Keps
                 Bm = Mb - 0.5 * dt * Cb - 0.5 * dt * Keps
-            b = jnp.where(pin, 0.0, spmv(Bm, u))
+            b = jnp.where(pin, 0.0, spmv(sweep(Bm), u))
             pre = jacobi_preconditioner(jnp.where(pin, 1.0, diag_of(A)))
-            op = pinned(A)
+            op = pinned(sweep(A))
             if cfg.krylov_iters is not None and cfg.inner_solver == "cheby":
                 uh = chebyshev_fixed(op, b, x0=u, precond=pre,
                                      iters=cfg.krylov_iters,

@@ -106,6 +106,11 @@ class DistributedBlockedPk(DistributedBlocked):
 
             def spmv(D, x):
                 w = self._windows(x)
+                if D.dtype == jnp.bfloat16:
+                    return jax.lax.dot_general(
+                        D, w.astype(jnp.bfloat16),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=x.dtype).reshape(-1)
                 return jnp.einsum("bnw,bw->bn", D, w).reshape(-1)
 
             def c_mv(D):
@@ -113,6 +118,17 @@ class DistributedBlockedPk(DistributedBlocked):
                     x_in = jnp.where(pin, 0.0, x)
                     return jnp.where(pin, x, spmv(D, x_in))
                 return mv
+
+            # bf16 sweep copies, cast ONCE outside the solver loops (cf.
+            # blocked.sweep_form — the single-device scheme, so f32
+            # sharded-vs-single trajectories stay in lockstep)
+            def sweep(D):
+                if (Gcell.dtype == jnp.bfloat16
+                        and D.dtype == jnp.float32):
+                    return D.astype(jnp.bfloat16)
+                return D
+
+            Mbs = sweep(Mb)
 
             def diag_of(D):
                 d = jnp.diagonal(D, offset=B, axis1=1, axis2=2)
@@ -136,18 +152,18 @@ class DistributedBlockedPk(DistributedBlocked):
                 du = (u - uo) / dt
             else:
                 du = (3.0 * u - 4.0 * uo + uoo) / (2.0 * dt)
-            rhs = jnp.where(pin, 0.0, spmv(Mb, du) + nl_rhs(u))
+            rhs = jnp.where(pin, 0.0, spmv(Mbs, du) + nl_rhs(u))
             preM = jacobi_preconditioner(jnp.where(pin, 1.0, diag_of(Mb)))
             if cfg.cg_iters is not None and cfg.inner_solver == "cheby":
-                RH = chebyshev_fixed(c_mv(Mb), rhs, precond=preM,
+                RH = chebyshev_fixed(c_mv(Mbs), rhs, precond=preM,
                                      iters=cfg.cg_iters,
                                      lmin=cfg.cheby_mass_bounds[0],
                                      lmax=cfg.cheby_mass_bounds[1]).x
             elif cfg.cg_iters is not None:
-                RH = cg_fixed(c_mv(Mb), rhs, precond=preM,
+                RH = cg_fixed(c_mv(Mbs), rhs, precond=preM,
                               iters=cfg.cg_iters, dot=pdot).x
             else:
-                RH = cg(c_mv(Mb), rhs, precond=preM,
+                RH = cg(c_mv(Mbs), rhs, precond=preM,
                         rtol=cfg.krylov_rtol, dot=pdot).x
 
             # 2. epsilon
@@ -189,7 +205,7 @@ class DistributedBlockedPk(DistributedBlocked):
             g2 = bc_value(pts.reshape(-1, 2), t)
 
             def residual(v):
-                F = spmv(Mb, v - u) + 0.5 * dt * (nl_rhs(v, L_keps) + NK_un)
+                F = spmv(Mbs, v - u) + 0.5 * dt * (nl_rhs(v, L_keps) + NK_un)
                 return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
 
             def jacobian(v):
@@ -198,7 +214,7 @@ class DistributedBlockedPk(DistributedBlocked):
                 J = blocked_ops.assemble_matrix_components(lplan, L_J)
                 pre = jacobi_preconditioner(
                     jnp.where(pin, 1.0, diag_of(J)))
-                return c_mv(J), pre
+                return c_mv(sweep(J)), pre
 
             u_init = jnp.where(pin, jnp.where(bc, g2, 0.0), u)
             if cfg.newton_iters is not None:

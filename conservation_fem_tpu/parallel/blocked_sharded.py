@@ -185,7 +185,23 @@ class DistributedBlocked:
 
             def spmv(D, x):
                 w = self._windows(x)
+                if D.dtype == jnp.bfloat16:
+                    return jax.lax.dot_general(
+                        D, w.astype(jnp.bfloat16),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=x.dtype).reshape(-1)
                 return jnp.einsum("bnw,bw->bn", D, w).reshape(-1)
+
+            # bf16 sweep copies, cast ONCE outside the solver loops — the
+            # exact single-device scheme (blocked.sweep_form), so f32
+            # sharded-vs-single trajectories stay in lockstep
+            def sweep(D):
+                if (Gcell.dtype == jnp.bfloat16
+                        and D.dtype == jnp.float32):
+                    return D.astype(jnp.bfloat16)
+                return D
+
+            Mbs = sweep(Mb)
 
             def c_mv(D):
                 def mv(x):
@@ -265,21 +281,21 @@ class DistributedBlocked:
                 du = (u - uo) / dt
             else:
                 du = (3.0 * u - 4.0 * uo + uoo) / (2.0 * dt)
-            rhs = jnp.where(pin, 0.0, spmv(Mb, du) + nl_rhs(u))
+            rhs = jnp.where(pin, 0.0, spmv(Mbs, du) + nl_rhs(u))
             diagM = jnp.where(pin, 1.0, diag_of(Mb))
             preM = jacobi_preconditioner(diagM)
             if cfg.cg_iters is not None and cfg.inner_solver == "cheby":
                 # dot-free: the distributed inner solve needs NO psum
                 # collectives — band halos are the only communication
-                RH = chebyshev_fixed(c_mv(Mb), rhs, precond=preM,
+                RH = chebyshev_fixed(c_mv(Mbs), rhs, precond=preM,
                                      iters=cfg.cg_iters,
                                      lmin=cfg.cheby_mass_bounds[0],
                                      lmax=cfg.cheby_mass_bounds[1]).x
             elif cfg.cg_iters is not None:
-                RH = cg_fixed(c_mv(Mb), rhs, precond=preM,
+                RH = cg_fixed(c_mv(Mbs), rhs, precond=preM,
                               iters=cfg.cg_iters, dot=pdot).x
             else:
-                RH = cg(c_mv(Mb), rhs, precond=preM,
+                RH = cg(c_mv(Mbs), rhs, precond=preM,
                         rtol=cfg.krylov_rtol, dot=pdot).x
 
             # 2. epsilon
@@ -322,7 +338,7 @@ class DistributedBlocked:
                 Kc_un = K_mv(u)
 
                 def residual(v):
-                    F = (spmv(Mb, v - u)
+                    F = (spmv(Mbs, v - u)
                          + 0.5 * dt * (nl_rhs(v) + N_un)
                          + 0.5 * dt * (K_mv(v) + Kc_un))
                     return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
@@ -345,7 +361,7 @@ class DistributedBlocked:
                 NK_un = nl_rhs(u, L_keps)
 
                 def residual(v):
-                    F = (spmv(Mb, v - u)
+                    F = (spmv(Mbs, v - u)
                          + 0.5 * dt * (nl_rhs(v, L_keps) + NK_un))
                     return jnp.where(pin, v - jnp.where(bc, g2, 0.0), F)
 
@@ -356,7 +372,7 @@ class DistributedBlocked:
                     J = blocked_ops.assemble_matrix_components(lplan, L_J)
                     pre = jacobi_preconditioner(
                         jnp.where(pin, 1.0, diag_of(J)))
-                    return c_mv(J), pre
+                    return c_mv(sweep(J)), pre
 
             u_init = jnp.where(pin, jnp.where(bc, g2, 0.0), u)
             if cfg.newton_iters is not None:

@@ -177,3 +177,30 @@ def test_constrained_matvec_match(setup):
     y_ell = cmv_ell(m, M_ell, x, bc)
     y_blk = blocked.constrained_matvec(plan, D, x, bc)
     assert rel(y_blk, y_ell) < TOL
+
+
+def test_sweep_form_semantics(setup):
+    """sweep_form: no-op for f64 plans (identity tests stay exact); bf16
+    copy for f32 plans, whose spmv matches the f32 einsum within bf16
+    operand eps (on TPU they are bitwise equal — default MXU matmul
+    precision rounds f32 operands to bf16 per pass; CPU computes the f32
+    einsum in full precision, hence the tolerance here)."""
+    hm, m, plan, x = setup
+    M = blocked.assemble_matrix(
+        plan, assembly.local_mass(plan.area_b.reshape(-1)).reshape(
+            plan.blocks, plan.C, 3, 3))
+    assert blocked.sweep_form(plan, M) is M          # f64: no copy
+
+    plan32 = blocked.make_blocked_plan(hm, nb=64, dtype=jnp.float32)
+    M32 = blocked.assemble_matrix(
+        plan32, assembly.local_mass(
+            plan32.area_b.reshape(-1)).reshape(
+            plan32.blocks, plan32.C, 3, 3)).astype(jnp.float32)
+    Ms = blocked.sweep_form(plan32, M32)
+    assert Ms.dtype == jnp.bfloat16
+    x32 = x.astype(jnp.float32)
+    y_s = blocked.spmv(plan32, Ms, x32)
+    y_f = blocked.spmv(plan32, M32, x32)
+    assert y_s.dtype == jnp.float32
+    r = rel(y_s, y_f)
+    assert r < 2e-2, r                               # bf16 operand eps
