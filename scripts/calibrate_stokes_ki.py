@@ -40,8 +40,11 @@ def main():
         ua = np.asarray(ra.u)
         print(f"nx {nx} adaptive: oracle L2 {ra.error_l2:.3e}  ({ta:.0f}s)",
               flush=True)
-        for ki in (25,):
-            for alpha in (1, 2, 3):
+        # BOTH counts must scale with nx (momentum kappa ~ 1 + dt*mu/h^2,
+        # pressure kappa ~ 1/h^2) — the nx-64 calibration showed ki=25
+        # under-converging; probe the historical 25 and the ~nx scaling
+        for ki in sorted({25, nx} if nx <= 64 else {nx}):
+            for alpha in ((1, 2, 3) if nx <= 64 else (3,)):
                 kip = alpha * nx
                 rf, tf = run(nx, krylov_iters=ki, krylov_iters_pressure=kip)
                 uf = np.asarray(rf.u)
