@@ -123,6 +123,27 @@ def _accuracy(u, mesh_size):
     return rel, True
 
 
+def _accuracy_short(build_fn, mesh_size):
+    """Fallback gate when no full-T anchor is committed: a SHORT-horizon
+    f64 anchor `kpp_rv_anchor_mesh{N}_T{x}.npy` (make_anchor.py "N:Tx" —
+    a full T=1.0 f64 trajectory at mesh 512 costs ~12 h CPU, the 80-step
+    T=0.1 horizon ~1 h and still exercises shock formation + RV). Reruns
+    the bench config at that T and returns (L2rel, found)."""
+    import glob
+
+    gdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+    hits = sorted(glob.glob(os.path.join(
+        gdir, f"kpp_rv_anchor_mesh{mesh_size}_T*.npy")))
+    if not hits:
+        return None, False
+    path = hits[0]
+    T = float(os.path.basename(path).rsplit("_T", 1)[1][:-4])
+    p = build_fn(mesh_size, T=T)
+    u = np.asarray(p.solve().u, np.float64)
+    ref = np.load(path).astype(np.float64)
+    return float(np.linalg.norm(u - ref) / np.linalg.norm(ref)), True
+
+
 def main():
     import jax
 
@@ -147,14 +168,18 @@ def main():
         if verbose:
             print(msg, file=sys.stderr, flush=True)
 
-    def build(ms):
+    def build(ms, T=None):
         if dtype == "float32":
-            p = kpp.build(_config(kpp, ms, dtype))
+            cfg = _config(kpp, ms, dtype)
+            if T is not None:
+                cfg = _dc.replace(cfg, T=T)
+            p = kpp.build(cfg)
             if not os.environ.get("BENCH_NO_FUSED"):
                 p.cfg = _dc.replace(p.cfg, use_pallas=True)
         else:
             p = kpp.build(kpp.KPPConfig(mesh_size=ms, dtype=dtype,
-                                        krylov_rtol=1e-12))
+                                        krylov_rtol=1e-12,
+                                        **({} if T is None else {"T": T})))
         return p
 
     p = build(mesh_size)
@@ -174,6 +199,8 @@ def main():
                           "error": "solution sanity check failed"}))
         sys.exit(1)
     rel, found = _accuracy(u, mesh_size)
+    if not found:
+        rel, found = _accuracy_short(build, mesh_size)
     if found and rel > ACCURACY_GATE:
         print(json.dumps({"metric": "KPP-RV DOF-steps/sec/chip",
                           "value": 0, "unit": "DOF-steps/s",
@@ -226,6 +253,8 @@ def main():
             p2 = build(ms)
             ps2, u2 = _measure(p2, jnp, jax)
             rel2, found2 = _accuracy(u2, ms)
+            if not found2:
+                rel2, found2 = _accuracy_short(build, ms)
             if found2 and rel2 > ACCURACY_GATE:
                 sweep[str(ms)] = f"ACCURACY FAIL {rel2:.1e}"
                 continue

@@ -73,11 +73,23 @@ def main():
             print(f"  saved {path} in {time.perf_counter()-t0:.0f}s; "
                   f"range {u.min():.4f}..{u.max():.4f}", flush=True)
             continue
+        # "512:T0.1" — SHORT-horizon anchor: a full T=1.0 f64 trajectory
+        # at mesh 512 costs ~12 h CPU (mesh 256 took 90 min); an 80-step
+        # horizon still exercises shock formation + RV and gates the f32
+        # sweep point (bench.py falls back to `kpp_rv_anchor_mesh{N}_T{x}
+        # .npy` with a matching short solve when no full anchor exists)
+        T = 1.0
+        suffix = ""
+        if ":" in tok:
+            tok, tpart = tok.split(":")
+            assert tpart.startswith("T")
+            T = float(tpart[1:])
+            suffix = f"_T{tpart[1:]}"
         ms = int(tok)
         dt = 0.01 * min(1.0, 64.0 / ms)
         p = kpp.build(kpp.KPPConfig(mesh_size=ms, dtype="float64", dt=dt,
-                                    krylov_rtol=1e-12))
-        print(f"mesh {ms}: N={p.u0.shape[0]}, dt={dt}, "
+                                    T=T, krylov_rtol=1e-12))
+        print(f"mesh {ms}{suffix}: N={p.u0.shape[0]}, dt={dt}, "
               f"steps={p.num_steps}", flush=True)
         t0 = time.perf_counter()
         res = p.solve()
@@ -85,7 +97,7 @@ def main():
         el = time.perf_counter() - t0
         assert np.isfinite(u).all() and 0.5 < u.min() and u.max() < 12.0, \
             f"anchor sanity failed: range {u.min()}..{u.max()}"
-        path = os.path.join(out_dir, f"kpp_rv_anchor_mesh{ms}.npy")
+        path = os.path.join(out_dir, f"kpp_rv_anchor_mesh{ms}{suffix}.npy")
         np.save(path, u.astype(np.float32))
         print(f"  saved {path} in {el:.0f}s; range {u.min():.4f}.."
               f"{u.max():.4f}", flush=True)
