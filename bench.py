@@ -65,6 +65,11 @@ def _config(kpp, mesh_size, dtype):
         newton_iters=2,
         newton_linear_iters=4 if not tiled else 16,
         inner_solver="bicgstab" if not tiled else "cheby",
+        # BENCH_BF16_PLANES=1: stream the tiled kernel's Chebyshev
+        # operator planes as bf16 HBM copies (tiled meshes only; the
+        # accuracy gate below still applies unchanged)
+        tiled_bf16_planes=bool(tiled and os.environ.get(
+            "BENCH_BF16_PLANES")),
     )
 
 

@@ -91,6 +91,11 @@ class HyperbolicConfig:
     newton_final_residual: bool = True
     cheby_mass_bounds: tuple = (0.5, 2.0)
     cheby_lin_bounds: tuple = (0.4, 2.2)
+    # HBM-tiled fused kernel only (f32): stream the Chebyshev solver
+    # operator planes as bfloat16 HBM copies — halves the dominant
+    # per-iteration HBM stream; residual/F evaluations stay f32 so the
+    # Newton fixed point is unchanged (ops/pallas_tiled.tiled_rv_step)
+    tiled_bf16_planes: bool = False
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
     use_pallas: bool = False       # fused Pallas CG on the stencil backend
     # fused whole-step kernel: K full time steps per Mosaic launch

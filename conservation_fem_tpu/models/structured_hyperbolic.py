@@ -189,6 +189,8 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         fs = self._fused_static
         u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
         g2 = self.bc_value(self.mesh.points, t).reshape(sh)
+        extra = ({"bf16_planes": self.cfg.tiled_bf16_planes}
+                 if mode == "tiled" else {})
         out = step_fn(
             u2, uo2, uoo2, g2, sd.M_coef,
             nx=sd.nx, ny=sd.ny, dt=self.dt, area=fs["area"],
@@ -205,6 +207,7 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             inner_solver=self.cfg.inner_solver,
             mass_bounds=self.cfg.cheby_mass_bounds,
             lin_bounds=self.cfg.cheby_lin_bounds,
+            **extra,
         )
         uh = (out[0] if single else out).reshape(-1)
         return (uh, u_n, u_old), None

@@ -81,23 +81,25 @@ def _cheby_schedule(iters, lmin, lmax):
     return theta, cs
 
 
-def default_tile_rows(n1x, n1y, itemsize, vmem_budget=80 * 2**20):
+def default_tile_rows(n1x, n1y, itemsize, vmem_budget=80 * 2**20,
+                      align=8):
     """Row tile for the sweep buffers: fits the VMEM scratch pool
-    (3 plane slabs + 8 field slots = 29 tile buffers) AND stays small —
-    measured: T=512 tiles at mesh 128 made Mosaic's register allocator
-    spill 95 MB of VMEM (OOM) and compile for ~16 min, while T<=128
-    compiles in ~2 min with no spills. The halo overhead at T=128 is
-    2H/T = 12.5% extra DMA — negligible against those failure modes.
-    Override with CFT_TILE_ROWS."""
+    (3 plane-slab equivalents + 8 field slots = 29 tile buffers; the
+    bf16-plane variant swaps the f32 Jc slab for two half-size bf16
+    slabs — same total) AND stays small — measured: T=512 tiles at mesh
+    128 made Mosaic's register allocator spill 95 MB of VMEM (OOM) and
+    compile for ~16 min, while T<=128 compiles in ~2 min with no spills.
+    The halo overhead at T=128 is 2H/T = 12.5% extra DMA — negligible
+    against those failure modes. Override with CFT_TILE_ROWS."""
     import os
 
     env = os.environ.get("CFT_TILE_ROWS")
     if env:
-        return max(8, (int(env) // 8) * 8)
+        return max(align, (int(env) // align) * align)
     n_bufs = 3 * _NP + 8
     t = int(vmem_budget // (n_bufs * n1y * itemsize)) - 2 * _H
-    t = max(8, min(t, n1x, 128))
-    return max(8, (t // 8) * 8)
+    t = max(align, min(t, n1x, 128))
+    return max(align, (t // align) * align)
 
 
 def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
@@ -107,7 +109,7 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                   fprime_xy=None, interpret=None, tile_rows=None,
                   mass_bounds=(0.5, 2.0), lin_bounds=(0.4, 2.2),
                   inner_solver="cheby", row0_base=None, n_rows=None,
-                  abs_term=None):
+                  abs_term=None, bf16_planes=False):
     """One stabilized time step, HBM-resident, ONE Pallas launch.
 
     Arguments mirror pallas_fused.fused_rv_step; the inner solver is
@@ -125,6 +127,21 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     owned rows come out exactly equal to the global algorithm's as long
     as the halo covers pallas_fused.required_halo() rows. Returns the
     whole block (caller slices its owned rows).
+
+    bf16_planes (f32 inputs only; silent no-op at f64, matching
+    blocked.sweep_form): stream the operator planes of the two Chebyshev
+    solve families as bfloat16 HBM copies — the mass planes as a
+    once-per-step cast input, the CN Jacobian planes written bf16
+    directly by the linearize sweep (the f32 Jc buffer is then never
+    materialized). Planes are upcast to f32 in-register for the VPU
+    multiply-adds. Every residual/F evaluation (rhs, RV projection
+    source, Newton F) keeps full-f32 planes, so the bf16 rounding is an
+    INEXACT-SOLVER perturbation only: the Newton/defect-correction fixed
+    point is unchanged, convergence shifts at ~bf16 eps. Cuts the
+    dominant per-Chebyshev-iteration HBM stream (7 planes vs 4 fields)
+    in half. Geometry cost: bf16 HBM tile slices must align to the
+    (16, 128) bf16 tiling, so the halo doubles to 16 rows and tile rows
+    round to multiples of 16 (2H/T = 25% extra load DMA at T=128).
     """
     if inner_solver != "cheby":
         raise NotImplementedError(
@@ -140,10 +157,13 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     if interpret is None:
         interpret = _interpret_default()
     dtype = u2.dtype
-    H = _H
+    use_bf16 = bool(bf16_planes) and dtype == jnp.float32
+    align = 16 if use_bf16 else 8
+    H = 16 if use_bf16 else _H
     if tile_rows is None:
-        tile_rows = default_tile_rows(n1x, n1y, u2.dtype.itemsize)
-    T = int(tile_rows)
+        tile_rows = default_tile_rows(n1x, n1y, u2.dtype.itemsize,
+                                      align=align)
+    T = max(align, (int(tile_rows) // align) * align)
     tiles = -(-n1x // T)
     T2 = T + 2 * H
     R = tiles * T + 2 * H
@@ -171,9 +191,25 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
         else:
             (u_h, uo_h, uoo_h, g_h, Mc_h, *rest) = refs
             r0_h = ab_h = None
-        (uk_h, cx_h, cr_h, cd0_h, cd1_h, eps_h, dJ_h, Nun_h, Kun_h,
-         F_h, uk2_h, Kc_h, Jc_h, A, B, C, V, sems, sm) = rest
+        if use_bf16:
+            # the f32 Jc HBM buffer and VMEM slab are never materialized;
+            # Jc lives only as the bf16 stream (Jc16_h / slab C16), and
+            # the mass planes additionally stream from the bf16 cast
+            # input Mc16_h via slab A16
+            (Mc16_h, uk_h, cx_h, cr_h, cd0_h, cd1_h, eps_h, dJ_h, Nun_h,
+             Kun_h, F_h, uk2_h, Kc_h, Jc16_h, A, B, A16, C16, V, sems,
+             sm) = rest
+            Jc_h = C = None
+        else:
+            (uk_h, cx_h, cr_h, cd0_h, cd1_h, eps_h, dJ_h, Nun_h, Kun_h,
+             F_h, uk2_h, Kc_h, Jc_h, A, B, C, V, sems, sm) = rest
+            Mc16_h = Jc16_h = A16 = C16 = None
         f = lambda c: jnp.asarray(c, dtype)
+        # solver-plane rounding: 1/diag preconditioners are computed from
+        # the SAME bf16-rounded diagonal the sweeps stream, so the
+        # Chebyshev polynomial sees one consistent operator
+        rnd = ((lambda v: v.astype(jnp.bfloat16).astype(dtype))
+               if use_bf16 else (lambda v: v))
 
         # --- DMA helpers: start all, wait all (overlaps latency) --------
         def load(t, pairs):
@@ -231,7 +267,7 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             else:
                 du = (3.0 * u - 4.0 * uo + uoo) / f(2.0 * dt_)
             rhs = jnp.where(L.bc, 0.0, L.plane_mv(Mc, du) + L.nl_rhs(u))
-            dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Mc[0])
+            dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, rnd(Mc[0]))
             V[3] = rhs                                  # cr
             V[4] = jnp.zeros_like(rhs)                  # cx
             V[5] = dMinv * rhs / f(th_m)                # cd
@@ -257,12 +293,15 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             def s2_body(t, _, c1=c1, c2=c2, cd_in=cd_in, cd_out=cd_out,
                         first=first):
                 L = lib_for(t)
-                pairs = [(planes(Mc_h, t), A), (rows(cd_in, t), V.at[0]),
+                mass_pair = ((planes(Mc16_h, t), A16) if use_bf16
+                             else (planes(Mc_h, t), A))
+                pairs = [mass_pair, (rows(cd_in, t), V.at[0]),
                          (rows(cr_h, t), V.at[1]), (rows(cx_h, t), V.at[2])]
                 if first:
                     pairs.append((rows(u_h, t), V.at[3]))
                 load(t, pairs)
-                Mc = tuple(A[j] for j in range(_NP))
+                src = A16 if use_bf16 else A
+                Mc = tuple(src[j].astype(dtype) for j in range(_NP))
                 d, r, x = V[0], V[1], V[2]
                 dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Mc[0])
                 op = L.pinned(lambda v: L.plane_mv(Mc, v))
@@ -352,15 +391,21 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                 Cc = L.conv_planes(w)
                 Jc = tuple(Mc[k] + f(0.5 * dt_) * (Kc[k] + Cc[k])
                            for k in range(_NP))
-                dJinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Jc[0])
-                for k in range(_NP):
-                    C[k] = Jc[k]
+                dJinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, rnd(Jc[0]))
+                if use_bf16:
+                    for k in range(_NP):
+                        C16[k] = Jc[k].astype(jnp.bfloat16)
+                    jc_pair = (C16, Jc16_h)
+                else:
+                    for k in range(_NP):
+                        C[k] = Jc[k]
+                    jc_pair = (C, Jc_h)
                 V[2] = dJinv
                 V[3] = -F                                   # cr
                 V[4] = jnp.zeros_like(F)                    # cx
                 V[5] = dJinv * (-F) / f(th_l)               # cd
                 store(t, [(2, dJ_h), (3, cr_h), (4, cx_h), (5, cd0_h)],
-                      plane_pairs=[(C, Jc_h)])
+                      plane_pairs=[jc_pair])
                 return 0
 
             jax.lax.fori_loop(0, tiles, s5_body, 0)
@@ -387,11 +432,14 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                 def s6_body(t, _, c1=c1, c2=c2, cd_in=cd_in,
                             cd_out=cd_out):
                     L = lib_for(t)
-                    load(t, [(planes(Jc_h, t), C), (rows(cd_in, t), V.at[0]),
+                    jc_pair = ((planes(Jc16_h, t), C16) if use_bf16
+                               else (planes(Jc_h, t), C))
+                    load(t, [jc_pair, (rows(cd_in, t), V.at[0]),
                              (rows(cr_h, t), V.at[1]),
                              (rows(cx_h, t), V.at[2]),
                              (rows(dJ_h, t), V.at[3])])
-                    Jc = tuple(C[j] for j in range(_NP))
+                    src = C16 if use_bf16 else C
+                    Jc = tuple(src[j].astype(dtype) for j in range(_NP))
                     d, r, x, dJinv = V[0], V[1], V[2], V[3]
                     op = L.pinned(lambda v: L.plane_mv(Jc, v))
                     x = x + d
@@ -461,6 +509,7 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     sds = jax.ShapeDtypeStruct
     fld = sds((R, Yp), dtype)
     pln = sds((_NP, R, Yp), dtype)
+    pln16 = sds((_NP, R, Yp), jnp.bfloat16)
     kw = {}
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -478,15 +527,29 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
         operands += [jnp.asarray(row0_base, jnp.int32).reshape(1),
                      jnp.asarray(0.0 if abs_term is None else abs_term,
                                  dtype).reshape(1)]
+    if use_bf16:
+        in_specs += [pl.BlockSpec(memory_space=space)]
+        operands += [padrows3(Mc2.astype(jnp.bfloat16))]
+        out_shape = [fld] * 11 + [pln, pln16]
+        plane_slabs = [
+            pltpu.VMEM((_NP, T2, Yp), dtype),            # A: Mc tile
+            pltpu.VMEM((_NP, T2, Yp), dtype),            # B: Kc tile
+            pltpu.VMEM((_NP, T2, Yp), jnp.bfloat16),     # A16: Mc16 tile
+            pltpu.VMEM((_NP, T2, Yp), jnp.bfloat16),     # C16: Jc16 tile
+        ]
+    else:
+        out_shape = [fld] * 11 + [pln, pln]
+        plane_slabs = [
+            pltpu.VMEM((_NP, T2, Yp), dtype),            # A: Mc tile
+            pltpu.VMEM((_NP, T2, Yp), dtype),            # B: Kc tile
+            pltpu.VMEM((_NP, T2, Yp), dtype),            # C: Jc tile
+        ]
     outs = pl.pallas_call(
         kernel,
-        out_shape=[fld] * 11 + [pln, pln],
+        out_shape=out_shape,
         in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=space)] * 13,
-        scratch_shapes=[
-            pltpu.VMEM((_NP, T2, Yp), dtype),       # A: Mc tile
-            pltpu.VMEM((_NP, T2, Yp), dtype),       # B: Kc tile
-            pltpu.VMEM((_NP, T2, Yp), dtype),       # C: Jc tile
+        scratch_shapes=plane_slabs + [
             pltpu.VMEM((8, T2, Yp), dtype),         # V: field slots
             pltpu.SemaphoreType.DMA((24,)),
             pltpu.SMEM((4,), dtype),

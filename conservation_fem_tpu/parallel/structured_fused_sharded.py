@@ -195,7 +195,8 @@ class ShardedFusedStructured:
                     ue, uoe, uooe, ge, Mc_ext[0],
                     nx=self.B - 1, ny=n1y - 1, row0_base=row0,
                     n_rows=n1x, abs_term=abs_term,
-                    tile_rows=self.tile_rows, **common)
+                    tile_rows=self.tile_rows,
+                    bf16_planes=cfg.tiled_bf16_planes, **common)
             # zero the grid-padding rows: the kernel leaves NaN there
             # (0-coefficient Jacobi inverses), which would poison the
             # next step's psum'd mean through u * valid

@@ -17,6 +17,7 @@ Families gated (cf. VERDICT round 3 item 3):
   7. pallas_tiled block mode            (HBM-scale sharded-path kernel)
   8. ops/blocked  P1 KPP step           (bf16 one-hot einsum backend)
   9. ops/blocked_pk  P2 SI Burgers step (component-major Pk einsums)
+ 10. pallas_tiled bf16 solver planes    (16-row bf16 HBM stream geometry)
 
 Tolerances: the Pallas kernels run the SAME fixed-iteration algorithm as
 the XLA twin, so only summation order differs -> L2rel 1e-3 is generous.
@@ -164,6 +165,14 @@ def main():
         tiled_rv_step,
         kpp.KPPConfig(**base, newton_linear_iters=12,
                       inner_solver="cheby"), tile_rows=8))
+    # bf16 solver-plane streams (16-row-aligned geometry, 2 tiles over
+    # the 25-row grid); rounding is an inexact-solver perturbation only,
+    # so the f32-tolerance identity widens to ~bf16-eps of field scale
+    _gate("tiled_bf16_planes", lambda: fused_compare(
+        tiled_rv_step,
+        kpp.KPPConfig(**base, newton_linear_iters=12,
+                      inner_solver="cheby"), tile_rows=16, tol=5e-3,
+        bf16_planes=True))
 
     # deep-halo block kernel (the per-device kernel of the sharded fused
     # path, parallel/structured_fused_sharded.py): zero-halo framing of

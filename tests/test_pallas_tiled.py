@@ -11,13 +11,17 @@ from conservation_fem_tpu.models import kpp
 from conservation_fem_tpu.ops.pallas_tiled import tiled_rv_step
 
 
-def _tiled_step_like(p, carry, t, tile_rows):
+def _tiled_step_like(p, carry, t, tile_rows, dtype=None, **kw):
     sd = p.sd
     sh = (sd.nx + 1, sd.ny + 1)
     u2, uo2, uoo2 = (v.reshape(sh) for v in carry)
     g2 = p.bc_value(p.mesh.points, t).reshape(sh)
+    Mc = sd.M_coef
+    if dtype is not None:
+        u2, uo2, uoo2, g2 = (a.astype(dtype) for a in (u2, uo2, uoo2, g2))
+        Mc = jnp.asarray(Mc, dtype)
     return tiled_rv_step(
-        u2, uo2, uoo2, g2, sd.M_coef,
+        u2, uo2, uoo2, g2, Mc,
         nx=sd.nx, ny=sd.ny, dt=p.dt, area=float(sd.area),
         h=float(sd.h_cg2[0, 0]), grads=np.asarray(sd.grads),
         phi=np.asarray(sd.phi), qw=np.asarray(sd.qw),
@@ -30,7 +34,7 @@ def _tiled_step_like(p, carry, t, tile_rows):
         stabilization=p.cfg.stabilization,
         mass_bounds=p.cfg.cheby_mass_bounds,
         lin_bounds=p.cfg.cheby_lin_bounds,
-        interpret=True, tile_rows=tile_rows,
+        interpret=True, tile_rows=tile_rows, **kw,
     ).reshape(-1)
 
 
@@ -78,6 +82,36 @@ def test_tiled_gfem():
                            cg_iters=10, newton_iters=2,
                            newton_linear_iters=12, modified_newton=True,
                            inner_solver="cheby"), tile_rows=8, steps=2)
+
+
+def test_tiled_bf16_planes():
+    """bf16 solver-plane streams: at f32 the rounding is an inexact-
+    solver perturbation only (residual/F evaluations keep f32 planes),
+    so the step matches the all-f32 tiled step to ~1e-3 of the field
+    scale — exercised through the 16-row-aligned multi-tile geometry
+    (2 tiles of 16 over the 25-row grid). At f64 the flag is a silent
+    no-op (bit-identical), matching blocked.sweep_form's contract."""
+    p = kpp.build(kpp.KPPConfig(mesh_size=6, T=0.05, backend="stencil",
+                                cg_iters=10, newton_iters=2,
+                                newton_linear_iters=12,
+                                modified_newton=True,
+                                inner_solver="cheby"))
+    carry = (p.u0, p.u0, p.u0)
+    t = jnp.asarray(p.dt, p.u0.dtype)
+    u_off = _tiled_step_like(p, carry, t, 8, bf16_planes=False)
+    u_noop = _tiled_step_like(p, carry, t, 8, bf16_planes=True)
+    np.testing.assert_array_equal(np.asarray(u_noop), np.asarray(u_off))
+
+    u32_off = _tiled_step_like(p, carry, t, 16, dtype=jnp.float32)
+    u32_on = _tiled_step_like(p, carry, t, 16, dtype=jnp.float32,
+                              bf16_planes=True)
+    scale = float(np.max(np.abs(np.asarray(u32_off))))
+    diff = float(np.max(np.abs(np.asarray(u32_on) - np.asarray(u32_off))))
+    assert diff <= 2e-3 * scale, (diff, scale)
+    # and the bf16 step stays within the f32 envelope of the f64 step
+    err = float(np.max(np.abs(np.asarray(u32_on, np.float64)
+                              - np.asarray(u_off))))
+    assert err <= 5e-3 * scale, (err, scale)
 
 
 def test_tiled_rejects_bicgstab():
