@@ -102,6 +102,26 @@ def _plan_unflatten(aux, children):
 jax.tree_util.register_pytree_node(BlockedPlan, _plan_flatten, _plan_unflatten)
 
 
+def _onehot_device(idx, mask, width, dtype):
+    """Materialize a (blocks, S, width) one-hot operator ON DEVICE from
+    (blocks, S) int32 indices + bool mask (the parts _plan_struct emits).
+    One fused compare-and-select pass writes the dense operator directly
+    at its storage dtype and at device memory bandwidth — on TPU the
+    multi-hundred-MB operators never exist host-side at all."""
+    iota = jnp.arange(width, dtype=jnp.int32)
+    return ((idx[..., None] == iota) & mask[..., None]).astype(dtype)
+
+
+_onehot_device = jax.jit(_onehot_device, static_argnums=(2, 3))
+
+
+def build_onehot(parts, dtype):
+    """parts = (idx, mask, width) from _plan_struct's onehot()."""
+    idx, mask, width = parts
+    return _onehot_device(jnp.asarray(idx), jnp.asarray(mask), width,
+                          np.dtype(dtype).name)
+
+
 def _plan_struct(n, cells, cols, pmask, bc, nb, build_rc=True):
     """Structural (degree-agnostic) part of a blocked plan from a dof map:
     window geometry, per-block cell lists, component-major one-hot
@@ -148,11 +168,13 @@ def _plan_struct(n, cells, cols, pmask, bc, nb, build_rc=True):
     assert bool(in_win[valid].all()), "cell dof outside its block window"
 
     def onehot(idx, mask, width):
-        """(blocks, S) index + mask -> (blocks, S, width) one-hot f32."""
-        out = np.zeros((blocks, idx.shape[1], width), dtype=np.float32)
-        bb, ss = np.nonzero(mask)
-        out[bb, ss, idx[bb, ss]] = 1.0
-        return out
+        """(blocks, S) index + mask -> PARTS for build_onehot. The dense
+        (blocks, S, width) operator is materialized ON DEVICE from these
+        few-MB integer arrays: host-touching the multi-GB f32 zeros +
+        fancy-scatter + dtype-convert + upload dominated plan build
+        (measured N=19.9k on the 1-core host: 174 s total, ~all here)."""
+        return (np.where(mask, idx, 0).astype(np.int32),
+                np.ascontiguousarray(mask), int(width))
 
     # COMPONENT-MAJOR contribution ordering: s = a*C + c (vectors) and
     # s2 = (nd*a + a2)*C + c (matrices). On TPU an (S, nd)-interleaved
@@ -232,11 +254,11 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
     # design — do not accuracy-compare f32 blocked on CPU.
     oh_dtype = (jnp.bfloat16 if jnp.dtype(dtype) == jnp.float32
                 else jnp.float32)
-    oh = lambda x: jnp.asarray(x, oh_dtype)
     return BlockedPlan(
         n=st["n"], nb=nb, B=st["B"], blocks=st["blocks"], W=st["W"],
         Wpad=st["Wpad"], C=st["C"], pad_hi=st["pad_hi"],
-        Gcell=oh(st["Gcell"]), Sv=oh(st["Sv"]),
+        Gcell=build_onehot(st["Gcell"], oh_dtype),
+        Sv=build_onehot(st["Sv"], oh_dtype),
         Rrow=None, Ccol=None,
         A_bool=jnp.asarray(st["A"]), A_float=f(st["A"]),
         area_b=f(area_b), grads_b=f(grads_b),

@@ -102,14 +102,14 @@ def make_blocked_pk_plan(space: FunctionSpace, nb: int = 128,
     f = lambda x: jnp.asarray(x, dtype)
     oh_dtype = (jnp.bfloat16 if jnp.dtype(dtype) == jnp.float32
                 else jnp.float32)
-    oh = lambda x: jnp.asarray(x, oh_dtype)
     return BlockedPkPlan(
         n=st["n"], nb=nb, B=st["B"], blocks=st["blocks"], W=st["W"],
         Wpad=st["Wpad"], C=st["C"], pad_hi=st["pad_hi"], nd=st["nd"],
         Q=int(space.quad_w.shape[0]),
         phi=tuple(tuple(float(v) for v in row) for row in space.phi),
         qw=tuple(float(v) for v in space.quad_w),
-        Gcell=oh(st["Gcell"]), Sv=oh(st["Sv"]),
+        Gcell=blocked.build_onehot(st["Gcell"], oh_dtype),
+        Sv=blocked.build_onehot(st["Sv"], oh_dtype),
         A_bool=jnp.asarray(st["A"]), A_float=f(st["A"]),
         bc_row=jnp.asarray(st["bc_row"]), bc_win=jnp.asarray(st["bc_win"]),
         diag_eye=f(st["diag_eye"]), patch_deg=f(st["patch_deg"]),

@@ -4,16 +4,22 @@ Round-3 VERDICT item 6: all blocked evidence was at the reference mesh
 (N=4,886); this measures whether the backend scales to the 5-50k window
 its docstring claims (ops/blocked.py). Meshes: the stored reference gmsh
 mesh plus deterministic jittered-Delaunay rectangles (ops/mesh.
-irregular_mesh, seed=1) at N~20k and N~50k — same irregular valence and
-non-banded sparsity as gmsh output, reproducible so the committed f64
-anchors (scripts/make_anchor.py irr140 irr224) gate the f32 runs.
+irregular_mesh, seed=1) at N~20k, N~50k and N~100k — same irregular
+valence and non-banded sparsity as gmsh output, reproducible so the
+committed f64 anchors (scripts/make_anchor.py irr140 irr224 irr316) gate
+the f32 runs.
 
 Scaling expectation (written analysis, RESULTS.md): the window width is
 W = nb + 2B with B the RCM half-bandwidth ~ sqrt(2N) — inherent for 2D
 meshes — so one-hot bytes/DOF grow ~sqrt(N) (measured: Wpad 384/768/1024
 at N 4.9k/19.9k/50.6k). Per-DOF throughput therefore falls ~1/sqrt(N)
 once HBM-bound; the gather-ELL path's constant per-DOF cost is ~34x
-higher at N=4886, so the blocked path stays ahead until N ~ 5M.
+higher at N=4886, so the blocked path stays ahead until N ~ 5M. The
+practical per-chip ceiling is HBM capacity, not plan-build time (one-hot
+operators are materialized on device, blocked.build_onehot): at N~100k
+the plan + CN operators total ~5 GB; N~200k would be ~15 GB — past the
+v5e's 16 GB, where the sharded twin (parallel/blocked_sharded.py) takes
+over by splitting band ranges across chips.
 
 Usage: python scripts/bench_blocked_scaling.py   (on the TPU)
 """
@@ -71,7 +77,7 @@ def main():
     gate("refmesh", np.asarray(p.solve().u, np.float64),
          "kpp_rv_anchor_refmesh.npy")
 
-    for nx in (140, 224):
+    for nx in (140, 224, 316):
         p = irr_problem(nx, "float32", ell_matvec_backend="blocked",
                         **fixed)
         per_step, _ = measure_per_step(p, verbose=True)

@@ -37,7 +37,8 @@ from conservation_fem_tpu.models import kpp  # noqa: E402
 
 # irregular-mesh bench configs (shared with scripts/bench_blocked_scaling):
 # dt keeps dt/h_min <= ~0.64 on the jittered mesh; T bounds the run.
-_IRR = {140: dict(dt=0.005, T=0.5), 224: dict(dt=0.0025, T=0.25)}
+_IRR = {140: dict(dt=0.005, T=0.5), 224: dict(dt=0.0025, T=0.25),
+        316: dict(dt=0.0018, T=0.18)}
 
 
 def irr_problem(nx, dtype, **kw):

@@ -38,6 +38,25 @@ def rel(a, b):
     return float(jnp.max(jnp.abs(a - b)) / (1e-300 + jnp.max(jnp.abs(b))))
 
 
+def test_device_onehot_matches_host_scatter(setup):
+    """build_onehot (device compare-and-select materialization) must equal
+    the host numpy fancy-scatter it replaced, bit for bit, for every
+    operator family — including the Rrow/Ccol assembly one-hots only the
+    build_rc=True path emits."""
+    hm, _, _, _ = setup
+    st = blocked._plan_struct(
+        hm.n_nodes, np.asarray(hm.cells, np.int64), hm.patch_cols,
+        hm.patch_mask, hm.boundary_mask, 64, build_rc=True)
+    for key in ("Gcell", "Sv", "Rrow", "Ccol"):
+        idx, mask, width = st[key]
+        dev = np.asarray(blocked.build_onehot(st[key], jnp.float32))
+        ref = np.zeros(dev.shape, np.float32)
+        bb, ss = np.nonzero(mask)
+        ref[bb, ss, idx[bb, ss]] = 1.0
+        np.testing.assert_array_equal(dev, ref, err_msg=key)
+        assert dev.sum() > 0, key
+
+
 def test_windows_rows_roundtrip(setup):
     _, _, plan, x = setup
     w = blocked.windows(plan, x)
