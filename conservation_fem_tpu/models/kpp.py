@@ -54,6 +54,7 @@ class KPPConfig:
     newton_linear_iters: int = 8
     inner_solver: str = "bicgstab"  # "cheby": dot-free inner solves
     newton_final_residual: bool = True  # see HyperbolicConfig
+    tiled_bf16_planes: bool = False     # see HyperbolicConfig
     # unstructured operator application (h5/gmsh meshes): "gather" (XLA
     # gather ELL), "banded" (RCM diagonals), or "blocked" (blocked-window
     # dense MXU ops + RCM, ops/blocked.py — the fast unstructured path).
@@ -117,6 +118,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         newton_linear_iters=cfg.newton_linear_iters,
         inner_solver=cfg.inner_solver,
         newton_final_residual=cfg.newton_final_residual,
+        tiled_bf16_planes=cfg.tiled_bf16_planes,
         ell_matvec_backend=cfg.ell_matvec_backend,
         blocked_matrix_free=cfg.blocked_matrix_free,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,

@@ -97,7 +97,7 @@ def default_tile_rows(n1x, n1y, itemsize, vmem_budget=80 * 2**20,
     if env:
         return max(align, (int(env) // align) * align)
     n_bufs = 3 * _NP + 8
-    t = int(vmem_budget // (n_bufs * n1y * itemsize)) - 2 * _H
+    t = int(vmem_budget // (n_bufs * n1y * itemsize)) - 2 * max(align, _H)
     t = max(align, min(t, n1x, 128))
     return max(align, (t // align) * align)
 

@@ -35,15 +35,15 @@ def main():
           f"W={plan.W} Wpad={plan.Wpad} C={plan.C}", flush=True)
     # Rrow/Ccol are no longer built by make_blocked_plan (dead since the
     # factored assembly); rebuild them here for the historical GEMM rows
-    from conservation_fem_tpu.ops.blocked import _plan_struct
+    from conservation_fem_tpu.ops.blocked import _plan_struct, build_onehot
     hm = p.host_mesh
     st = _plan_struct(hm.n_nodes, np.asarray(hm.cells, np.int64),
                       hm.patch_cols, hm.patch_mask, hm.boundary_mask,
                       plan.nb, build_rc=True)
     import dataclasses as _dc
     plan = _dc.replace(plan,
-                       Rrow=jnp.asarray(st["Rrow"], jnp.bfloat16),
-                       Ccol=jnp.asarray(st["Ccol"], jnp.bfloat16))
+                       Rrow=build_onehot(st["Rrow"], jnp.bfloat16),
+                       Ccol=build_onehot(st["Ccol"], jnp.bfloat16))
     tot = 0.0
     for f in ("Gcell", "Sv", "Rrow", "Ccol"):
         a = getattr(plan, f)
