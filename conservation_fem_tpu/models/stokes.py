@@ -80,9 +80,11 @@ def auto_kip(cfg: "StokesConfig") -> int | None:
     500-step Poiseuille run (scripts/calibrate_stokes_ki.py) vs the
     adaptive 1e-11 solution: at nx 32, (ki=25, kip=2nx) -> Linf 5.0e-3;
     at nx 64, (ki=60, kip=3nx) -> Linf 6.8e-4 and (ki=40, kip=4nx) ->
-    5.3e-3, while kip=25 diverges to 6.4e-1 — BOTH counts must scale
-    (momentum kappa ~ 1 + dt*mu/h^2 too): set krylov_iters ~ nx and this
-    default provides kip = 3*nx; see RESULTS.md.
+    5.3e-3, while kip=25 diverges to 6.4e-1; at nx 128, (ki=128,
+    kip=3nx=384) -> Linf 5.7e-5 and oracle L2 5.8e-6 vs the adaptive
+    run's 5.2e-6 — the rule holds across a 4x size range. BOTH counts
+    must scale (momentum kappa ~ 1 + dt*mu/h^2 too): set krylov_iters
+    ~ nx and this default provides kip = 3*nx; see RESULTS.md.
     """
     if cfg.krylov_iters_pressure is not None:
         return cfg.krylov_iters_pressure

@@ -77,15 +77,23 @@ def main():
     gate("refmesh", np.asarray(p.solve().u, np.float64),
          "kpp_rv_anchor_refmesh.npy")
 
+    # blocked vs gather-ELL at each N: the written sqrt(N) analysis above
+    # predicts the blocked one-hot bytes/DOF grow ~sqrt(2N) while the
+    # gather path's stay constant — these rows measure where (whether)
+    # the crossover happens inside the single-chip HBM envelope.
+    # BENCH_GATHER=0 skips the gather rows (they share the same anchors).
+    do_gather = os.environ.get("BENCH_GATHER", "1") != "0"
     for nx in (140, 224, 316):
-        p = irr_problem(nx, "float32", ell_matvec_backend="blocked",
-                        **fixed)
-        per_step, _ = measure_per_step(p, verbose=True)
-        n = int(p.u0.shape[0])
-        print(f"irr{nx}   N={n:6d}  {per_step*1e6:8.1f} us/step  "
-              f"{n/per_step/1e6:8.2f} M DOF-steps/s", flush=True)
-        gate(f"irr{nx}", np.asarray(p.solve().u, np.float64),
-             f"kpp_rv_anchor_irr{nx}.npy")
+        backends = ("blocked", "gather") if do_gather else ("blocked",)
+        for mv in backends:
+            p = irr_problem(nx, "float32", ell_matvec_backend=mv,
+                            **fixed)
+            per_step, _ = measure_per_step(p, verbose=True)
+            n = int(p.u0.shape[0])
+            print(f"irr{nx}/{mv:7s} N={n:6d}  {per_step*1e6:8.1f} us/step"
+                  f"  {n/per_step/1e6:8.2f} M DOF-steps/s", flush=True)
+            gate(f"irr{nx}/{mv}", np.asarray(p.solve().u, np.float64),
+                 f"kpp_rv_anchor_irr{nx}.npy")
 
     if fails:
         print(f"SCALING BENCH ACCURACY FAIL: {fails}", flush=True)
