@@ -68,6 +68,10 @@ class HOAdvectionConfig:
     inner_solver: str = "bicgstab"
     cheby_mass_bounds: tuple | None = None   # default per degree in build()
     cheby_cn_bounds: tuple | None = None
+    # blocked backend quality mode (f32 one-hots + HIGHEST dots) — on by
+    # default for the advection family (long smooth transport; see
+    # linear_advection.AdvectionConfig.blocked_precise)
+    blocked_precise: bool = True
     dtype: str = "float64"
 
 
@@ -183,7 +187,8 @@ def build(cfg: HOAdvectionConfig | None = None, host_mesh: Mesh | None = None, *
         from conservation_fem_tpu.ops import blocked
         from conservation_fem_tpu.ops import blocked_pk as bpk
 
-        blkplan = bpk.make_blocked_pk_plan(space, dtype=dtype)
+        blkplan = bpk.make_blocked_pk_plan(space, dtype=dtype,
+                                           precise=cfg.blocked_precise)
         M_w = blocked.assemble_matrix_components(
             blkplan, bpk.pk_mass_locals(blkplan, dtype))
         C_w = blocked.assemble_matrix_components(

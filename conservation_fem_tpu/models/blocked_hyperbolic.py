@@ -32,8 +32,9 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
     def __init__(self, *args, nb: int = 128, **kwargs):
         super().__init__(*args, **kwargs)
         dtype = jnp.dtype(self.cfg.dtype)
-        self.plan = blocked.make_blocked_plan(self.host_mesh, nb=nb,
-                                              dtype=dtype)
+        self.plan = blocked.make_blocked_plan(
+            self.host_mesh, nb=nb, dtype=dtype,
+            precise=getattr(self.cfg, "blocked_precise", False))
         self._area_flat = self.plan.area_b.reshape(-1)
         self._grads_flat = self.plan.grads_b.reshape(-1, 3, 2)
         self.M_ell = self.M          # kept for the h_cg mass projection

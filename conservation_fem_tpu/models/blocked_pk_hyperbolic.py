@@ -37,7 +37,9 @@ class BlockedPkHyperbolicProblem(PkHyperbolicProblem):
         self._nb = nb
         super().__init__(*args, **kwargs)
         dtype = jnp.dtype(self.cfg.dtype)
-        self.plan = bpk.make_blocked_pk_plan(self.space, nb=nb, dtype=dtype)
+        self.plan = bpk.make_blocked_pk_plan(
+            self.space, nb=nb, dtype=dtype,
+            precise=getattr(self.cfg, "blocked_precise", False))
         self.M_ell = self.M          # kept for the h_cg mass projection
         self._L_mass = bpk.pk_mass_locals(self.plan, dtype)
         self.M = blocked.assemble_matrix_components(self.plan, self._L_mass)

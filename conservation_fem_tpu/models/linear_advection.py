@@ -71,6 +71,12 @@ class AdvectionConfig:
     # order (ref RV_cell.py:193-195), "max" = order-independent variant
     # (what the distributed path uses)
     rv_cell_scatter: str = "last"
+    # blocked backend: f32 one-hots + HIGHEST-precision contractions.
+    # Default ON for advection: a full rotation is a long smooth-
+    # transport horizon where bf16 operand streams diffuse the bump
+    # (L2-vs-exact 1.24e-1 vs 1.38e-2 precise vs 1.16e-2 gather f64 —
+    # measured round 4, RESULTS.md). Shock workloads keep bf16.
+    blocked_precise: bool = True
     krylov_rtol: float = 1e-12
     # "banded": RCM-diagonal operator application (gather-free; requires an
     # RCM-ordered mesh — build with reorder_mesh(rcm_permutation(m)));
@@ -222,7 +228,8 @@ def build(cfg: AdvectionConfig, host_mesh: Mesh | None = None) -> AdvectionProbl
     if cfg.ell_matvec_backend == "blocked":
         from conservation_fem_tpu.ops import blocked
 
-        blkplan = blocked.make_blocked_plan(host_mesh, dtype=dtype)
+        blkplan = blocked.make_blocked_plan(host_mesh, dtype=dtype,
+                                            precise=cfg.blocked_precise)
         area_f = blkplan.area_b.reshape(-1)
         grads_f = blkplan.grads_b.reshape(-1, 3, 2)
         rs = lambda L: L.reshape(blkplan.blocks, blkplan.C, 3, 3)

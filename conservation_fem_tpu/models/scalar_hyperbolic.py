@@ -96,6 +96,11 @@ class HyperbolicConfig:
     # per-iteration HBM stream; residual/F evaluations stay f32 so the
     # Newton fixed point is unchanged (ops/pallas_tiled.tiled_rv_step)
     tiled_bf16_planes: bool = False
+    # blocked backend quality mode (f32 one-hots + HIGHEST-precision
+    # contractions, blocked.make_blocked_plan). Default OFF here: the
+    # shock-dominated KPP/Burgers horizons stay at their f32-floor
+    # accuracy gates with bf16 streams, which are ~2x cheaper on HBM
+    blocked_precise: bool = False
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
     use_pallas: bool = False       # fused Pallas CG on the stencil backend
     # fused whole-step kernel: K full time steps per Mosaic launch

@@ -71,6 +71,11 @@ class BlockedPlan:
     patch_deg: object  # (blocks, nb) float: patch size incl self (>=1)
     h_cell_b: object = None  # (blocks, C) cell diameters (rv_cell)
     nd: int = 3     # local dofs per cell (3 = P1; Pk plans use BlockedPkPlan)
+    # precise=True: f32 one-hot storage + Precision.HIGHEST contractions
+    # (see make_blocked_plan / plan_precision) — the quality mode for
+    # long smooth-transport horizons where bf16 operand streams visibly
+    # diffuse the solution
+    precise: bool = False
     # the nd^2C-wide assembly one-hots are DEAD since the factored
     # assembly (assemble_matrix_components) — kept as always-None fields
     # for pytree compatibility (~165 MB HBM saved on the reference mesh)
@@ -82,7 +87,8 @@ _PLAN_ARRAY_FIELDS = (
     "Gcell", "Sv", "Rrow", "Ccol", "A_bool", "A_float", "area_b", "grads_b",
     "gx3", "gy3", "bc_row", "bc_win", "diag_eye", "patch_deg", "h_cell_b",
 )
-_PLAN_STATIC_FIELDS = ("n", "nb", "B", "blocks", "W", "Wpad", "C", "pad_hi", "nd")
+_PLAN_STATIC_FIELDS = ("n", "nb", "B", "blocks", "W", "Wpad", "C", "pad_hi",
+                       "nd", "precise")
 
 
 def _plan_flatten(p):
@@ -223,12 +229,23 @@ def _plan_struct(n, cells, cols, pmask, bc, nb, build_rc=True):
                 diag_eye=diag_eye)
 
 
-def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPlan:
+def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32,
+                      precise: bool = False) -> BlockedPlan:
     """Build the P1 plan (host NumPy, runs once per mesh).
 
     The mesh should be RCM-ordered (ops/mesh.reorder_mesh(rcm_permutation))
     so the bandwidth B — and with it every one-hot operator — stays
     O(sqrt(N)).
+
+    precise=True (f32 compute only): store the one-hots at f32 and run
+    every contraction at Precision.HIGHEST, so TPU matches plain-f32 CPU
+    arithmetic instead of the default per-pass bf16 operand rounding.
+    Measured motivation (RESULTS.md round 4): 569-step smooth rotation on
+    the reference disk mesh has L2-vs-exact 1.16e-2 (gather f64/f32);
+    blocked bf16 streams diffuse it to 1.24e-1 (10.6x worse), while
+    precise recovers 1.38e-2. Shock-dominated short-horizon runs (KPP,
+    Burgers) stay within their accuracy gates at bf16, which remains the
+    throughput default there.
     """
     st = _plan_struct(mesh.n_nodes, np.asarray(mesh.cells, dtype=np.int64),
                       mesh.patch_cols, mesh.patch_mask, mesh.boundary_mask,
@@ -249,14 +266,17 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32) -> BlockedPl
     # einsum is exact, keeping the 1e-12 ELL-identity tests intact.
     # CPU caveat: the "MXU rounds operands anyway" equivalence is a TPU
     # fact; an f32 blocked run on CPU computes through bf16 one-hots and
-    # differs (harmlessly, at ~1e-3) from a plain f32 einsum there. All
-    # identity tests run f64, where one-hots stay f32, so this is by
-    # design — do not accuracy-compare f32 blocked on CPU.
+    # differs (harmlessly, at ~1e-3 per step) from a plain f32 einsum
+    # there. All identity tests run f64, where one-hots stay f32, so this
+    # is by design — do not accuracy-compare f32 blocked on CPU.
+    # precise=True opts out of bf16 entirely (f32 one-hots + HIGHEST
+    # dots) on BOTH backends — the long-smooth-horizon quality mode.
+    precise = bool(precise) and jnp.dtype(dtype) == jnp.float32
     oh_dtype = (jnp.bfloat16 if jnp.dtype(dtype) == jnp.float32
-                else jnp.float32)
+                and not precise else jnp.float32)
     return BlockedPlan(
         n=st["n"], nb=nb, B=st["B"], blocks=st["blocks"], W=st["W"],
-        Wpad=st["Wpad"], C=st["C"], pad_hi=st["pad_hi"],
+        Wpad=st["Wpad"], C=st["C"], pad_hi=st["pad_hi"], precise=precise,
         Gcell=build_onehot(st["Gcell"], oh_dtype),
         Sv=build_onehot(st["Sv"], oh_dtype),
         Rrow=None, Ccol=None,
@@ -303,6 +323,19 @@ def unblock(plan: BlockedPlan, y):
 # ---------------------------------------------------------------------------
 
 
+def plan_precision(plan):
+    """Dot precision for a plan's contractions.
+
+    precise plans (f32 one-hots) need Precision.HIGHEST on TPU — the
+    default MXU mode rounds every dot operand to bf16 per pass, which
+    would silently undo the f32 storage (see make_blocked_plan). Returns
+    None (default precision) for bf16 and f64 plans: bf16 plans take the
+    explicit half-width branches, and f64 contractions are exact on CPU
+    and software-emulated on TPU regardless."""
+    return (jax.lax.Precision.HIGHEST
+            if getattr(plan, "precise", False) else None)
+
+
 def sweep_form(plan: BlockedPlan, D):
     """Half-width (bf16) copy of an assembled operator for Krylov sweeps.
 
@@ -329,7 +362,8 @@ def spmv(plan: BlockedPlan, D, x):
         return unblock(plan, jax.lax.dot_general(
             D, w.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=x.dtype))
-    return unblock(plan, jnp.einsum("bnw,bw->bn", D, w))
+    return unblock(plan, jnp.einsum("bnw,bw->bn", D, w,
+                                    precision=plan_precision(plan)))
 
 
 def diag_of(plan: BlockedPlan, D):
@@ -338,24 +372,26 @@ def diag_of(plan: BlockedPlan, D):
     return unblock(plan, d[:, : plan.nb])
 
 
-def _oh_apply(A, x, contract_dim, out_dtype):
+def _oh_apply(A, x, contract_dim, out_dtype, precision=None):
     """Batched one-hot GEMV y[b, free] = sum_k A[b, ..k..] x[b, k],
     contracting A's `contract_dim` with x's dim 1 (batch dim 0).
 
     When A is stored bf16 (f32 compute), x is rounded to bf16 so BOTH
     MXU operand streams stay at half width — numerically identical to
     the f32 einsum on TPU, whose default matmul precision rounds every
-    dot operand to bf16 anyway. For wider A (f64 compute) this is a
-    plain einsum-equivalent dot with exact promotion."""
+    dot operand to bf16 anyway. For wider A (f64 compute / precise f32
+    plans) this is a plain einsum-equivalent dot with exact promotion;
+    precise plans pass Precision.HIGHEST here (plan_precision)."""
     if A.dtype == jnp.bfloat16:
         x = x.astype(jnp.bfloat16)
+        precision = None
     else:
         out_dtype = jnp.promote_types(A.dtype, x.dtype)
         A = A.astype(out_dtype)
         x = x.astype(out_dtype)
     return jax.lax.dot_general(
         A, x, (((contract_dim,), (1,)), ((0,), (0,))),
-        preferred_element_type=out_dtype)
+        preferred_element_type=out_dtype, precision=precision)
 
 
 def gather_components(plan: BlockedPlan, x):
@@ -365,14 +401,16 @@ def gather_components(plan: BlockedPlan, x):
     slot a is a clean (blocks, C) lane plane, so quadrature kernels never
     touch 3-lane-wide arrays (which TPU pads to 128 lanes)."""
     w = windows(plan, x)
-    uc = _oh_apply(plan.Gcell, w, 2, x.dtype)        # "bsw,bw->bs"
+    uc = _oh_apply(plan.Gcell, w, 2, x.dtype,
+                   precision=plan_precision(plan))   # "bsw,bw->bs"
     return uc.reshape(plan.blocks, plan.nd, plan.C)
 
 
 def scatter_components(plan: BlockedPlan, v3):
     """(blocks, nd, C) componentwise local vectors -> (n,) accumulation."""
     v = v3.reshape(plan.blocks, plan.nd * plan.C)
-    y = _oh_apply(plan.Sv, v, 1, v3.dtype)           # "bsn,bs->bn"
+    y = _oh_apply(plan.Sv, v, 1, v3.dtype,
+                  precision=plan_precision(plan))    # "bsn,bs->bn"
     return unblock(plan, y)
 
 
@@ -414,6 +452,7 @@ def assemble_matrix_components(plan: BlockedPlan, L9):
     L = L9.astype(jnp.bfloat16) if bf else L9
     Sv = plan.Sv if bf else plan.Sv.astype(dt_)
     Gc = plan.Gcell if bf else plan.Gcell.astype(dt_)
+    prec = None if bf else plan_precision(plan)
     out = 0.0
     for b in range(nd):
         T = sum(Sv[:, a * C:(a + 1) * C] * L[:, nd * a + b][:, :, None]
@@ -421,7 +460,8 @@ def assemble_matrix_components(plan: BlockedPlan, L9):
         out = out + jax.lax.dot_general(
             T, Gc[:, b * C:(b + 1) * C],
             (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=dt_)               # (blocks, nb, Wpad)
+            preferred_element_type=dt_,
+            precision=prec)                           # (blocks, nb, Wpad)
     return out
 
 
@@ -442,7 +482,8 @@ def local_apply(plan: BlockedPlan, L, x):
     times; per-step Krylov operators are faster assembled
     (HyperbolicConfig.blocked_matrix_free, default off)."""
     uc = gather_cells(plan, x)                       # (blocks, C, 3)
-    yc = jnp.einsum("zcad,zcd->zca", L, uc)
+    yc = jnp.einsum("zcad,zcd->zca", L, uc,
+                    precision=plan_precision(plan))
     return scatter_cell_vectors(plan, yc)
 
 
@@ -682,8 +723,10 @@ def si_alpha(plan: BlockedPlan, K_D, u, eps_floor=1e-8):
     w = windows(plan, u)
     u_r = rows_of(plan, w)                       # (blocks, nb)
     du = w[:, None, :] - u_r[:, :, None]         # (blocks, nb, Wpad)
-    num = jnp.abs(jnp.einsum("brw,brw->br", K_D, du))
-    den = jnp.einsum("brw,brw->br", jnp.abs(K_D), jnp.abs(du))
+    prec = plan_precision(plan)
+    num = jnp.abs(jnp.einsum("brw,brw->br", K_D, du, precision=prec))
+    den = jnp.einsum("brw,brw->br", jnp.abs(K_D), jnp.abs(du),
+                     precision=prec)
     den = jnp.maximum(den, eps_floor)
     return unblock(plan, num / den)
 

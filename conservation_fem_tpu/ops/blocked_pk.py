@@ -52,6 +52,8 @@ class BlockedPkPlan:
     Q: int
     phi: tuple      # ((Q) x (nd)) reference basis values
     qw: tuple       # (Q,) quadrature weights (sum 1/2)
+    # f32 one-hots + Precision.HIGHEST contractions (blocked.plan_precision)
+    precise: bool
     # device arrays
     Gcell: object
     Sv: object
@@ -69,7 +71,7 @@ class BlockedPkPlan:
 _PK_ARRAY_FIELDS = ("Gcell", "Sv", "A_bool", "A_float", "bc_row", "bc_win",
                     "diag_eye", "patch_deg", "detjq", "gxq", "gyq")
 _PK_STATIC_FIELDS = ("n", "nb", "B", "blocks", "W", "Wpad", "C", "pad_hi",
-                     "nd", "Q", "phi", "qw")
+                     "nd", "Q", "phi", "qw", "precise")
 
 
 def _pk_flatten(p):
@@ -86,8 +88,13 @@ jax.tree_util.register_pytree_node(BlockedPkPlan, _pk_flatten, _pk_unflatten)
 
 
 def make_blocked_pk_plan(space: FunctionSpace, nb: int = 128,
-                         dtype=jnp.float32) -> BlockedPkPlan:
-    """Build the plan from an (RCM-permuted) FunctionSpace (host NumPy)."""
+                         dtype=jnp.float32,
+                         precise: bool = False) -> BlockedPkPlan:
+    """Build the plan from an (RCM-permuted) FunctionSpace (host NumPy).
+
+    precise: f32 one-hot storage + Precision.HIGHEST contractions, the
+    quality mode for long smooth-transport horizons (see
+    blocked.make_blocked_plan for the measured motivation)."""
     st = blocked._plan_struct(
         space.ndof, np.asarray(space.cell_dofs, np.int64),
         space.patch_cols, space.patch_mask, space.boundary_mask, nb,
@@ -100,11 +107,13 @@ def make_blocked_pk_plan(space: FunctionSpace, nb: int = 128,
     gq = np.where(valid[:, :, None, None, None], g[safe_id], 0.0)
 
     f = lambda x: jnp.asarray(x, dtype)
+    precise = bool(precise) and jnp.dtype(dtype) == jnp.float32
     oh_dtype = (jnp.bfloat16 if jnp.dtype(dtype) == jnp.float32
-                else jnp.float32)
+                and not precise else jnp.float32)
     return BlockedPkPlan(
         n=st["n"], nb=nb, B=st["B"], blocks=st["blocks"], W=st["W"],
         Wpad=st["Wpad"], C=st["C"], pad_hi=st["pad_hi"], nd=st["nd"],
+        precise=precise,
         Q=int(space.quad_w.shape[0]),
         phi=tuple(tuple(float(v) for v in row) for row in space.phi),
         qw=tuple(float(v) for v in space.quad_w),

@@ -78,6 +78,8 @@ class DistributedBlockedAdvection(DistributedBlocked):
         Lb = self.Lb
         axis = self.axis
 
+        prec = blocked_ops.plan_precision(plan)
+
         def step_local(Mb, Cb, Kbc, Gcell, Sv, Abool, area_b, grads_b,
                        bc_row, h2, wn2, valid2, u2, uo2):
             lplan = dataclasses.replace(
@@ -96,7 +98,8 @@ class DistributedBlockedAdvection(DistributedBlocked):
 
             def gather3(x):
                 w = self._windows(x)
-                uc = blocked_ops._oh_apply(Gcell, w, 2, self.dtype)
+                uc = blocked_ops._oh_apply(Gcell, w, 2, self.dtype,
+                                           precision=prec)
                 return uc.reshape(Lb, 3, plan.C)
 
             def spmv(D, x):
@@ -106,7 +109,8 @@ class DistributedBlockedAdvection(DistributedBlocked):
                         D, w.astype(jnp.bfloat16),
                         (((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=x.dtype).reshape(-1)
-                return jnp.einsum("bnw,bw->bn", D, w).reshape(-1)
+                return jnp.einsum("bnw,bw->bn", D, w,
+                                  precision=prec).reshape(-1)
 
             def pinned(D):
                 def mv(x):
@@ -189,9 +193,10 @@ class DistributedBlockedAdvection(DistributedBlocked):
                     w = self._windows(u)
                     u_r = w[:, B:B + nb]
                     duw = w[:, None, :] - u_r[:, :, None]
-                    num = jnp.abs(jnp.einsum("brw,brw->br", Kbc, duw))
+                    num = jnp.abs(jnp.einsum("brw,brw->br", Kbc, duw,
+                                             precision=prec))
                     den = jnp.einsum("brw,brw->br", jnp.abs(Kbc),
-                                     jnp.abs(duw))
+                                     jnp.abs(duw), precision=prec)
                     alpha = (num / jnp.maximum(den,
                                                cfg.si_eps)).reshape(-1)
                     psi = stab.sigmoid_activation(alpha)

@@ -79,6 +79,8 @@ class DistributedBlockedPk(DistributedBlocked):
         fprime_norm = p.flux_prime_norm
         bc_value = p.bc_value
 
+        prec = blocked_ops.plan_precision(plan)
+
         def step_local(Mb, Kbc, Gcell, Sv, Abool, detjq, gxq, gyq, Lmass,
                        bc_row, patch_deg, h2, pts, valid2, u2, uo2, uoo2,
                        t):
@@ -97,12 +99,14 @@ class DistributedBlockedPk(DistributedBlocked):
 
             def gather(x):
                 w = self._windows(x)
-                uc = blocked_ops._oh_apply(Gcell, w, 2, self.dtype)
+                uc = blocked_ops._oh_apply(Gcell, w, 2, self.dtype,
+                                           precision=prec)
                 return uc.reshape(Lb, plan.nd, plan.C)
 
             def scatter(v3):
                 v = v3.reshape(Lb, plan.nd * plan.C)
-                return blocked_ops._oh_apply(Sv, v, 1, self.dtype).reshape(-1)
+                return blocked_ops._oh_apply(
+                    Sv, v, 1, self.dtype, precision=prec).reshape(-1)
 
             def spmv(D, x):
                 w = self._windows(x)
@@ -111,7 +115,8 @@ class DistributedBlockedPk(DistributedBlocked):
                         D, w.astype(jnp.bfloat16),
                         (((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=x.dtype).reshape(-1)
-                return jnp.einsum("bnw,bw->bn", D, w).reshape(-1)
+                return jnp.einsum("bnw,bw->bn", D, w,
+                                  precision=prec).reshape(-1)
 
             def c_mv(D):
                 def mv(x):
@@ -187,8 +192,10 @@ class DistributedBlockedPk(DistributedBlocked):
                 w = self._windows(u)
                 u_r = w[:, B:B + nb]
                 duw = w[:, None, :] - u_r[:, :, None]
-                num = jnp.abs(jnp.einsum("brw,brw->br", Kbc, duw))
-                den = jnp.einsum("brw,brw->br", jnp.abs(Kbc), jnp.abs(duw))
+                num = jnp.abs(jnp.einsum("brw,brw->br", Kbc, duw,
+                                         precision=prec))
+                den = jnp.einsum("brw,brw->br", jnp.abs(Kbc),
+                                 jnp.abs(duw), precision=prec)
                 alpha = (num / jnp.maximum(den, cfg.si_eps)).reshape(-1)
                 psi = stab.sigmoid_activation(alpha)
                 eps = psi * cfg.Cm * h * fprime_norm(u)

@@ -161,6 +161,8 @@ class DistributedBlocked:
         fprime_norm = p.flux_prime_norm
         bc_value = p.bc_value
 
+        prec = blocked_ops.plan_precision(plan)
+
         def step_local(Mb, Kbc, Gcell, Sv, Abool, area_b,
                        grads_b, bc_row, patch_deg, diag_eye, h2, pts,
                        valid2, u2, uo2, uoo2, t):
@@ -190,7 +192,8 @@ class DistributedBlocked:
                         D, w.astype(jnp.bfloat16),
                         (((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=x.dtype).reshape(-1)
-                return jnp.einsum("bnw,bw->bn", D, w).reshape(-1)
+                return jnp.einsum("bnw,bw->bn", D, w,
+                                  precision=prec).reshape(-1)
 
             # bf16 sweep copies, cast ONCE outside the solver loops — the
             # exact single-device scheme (blocked.sweep_form), so f32
@@ -216,7 +219,8 @@ class DistributedBlocked:
             def gather3(x):
                 """halo'd window gather -> (Lb, 3, C) component planes"""
                 w = self._windows(x)
-                uc = blocked_ops._oh_apply(Gcell, w, 2, self.dtype)
+                uc = blocked_ops._oh_apply(Gcell, w, 2, self.dtype,
+                                           precision=prec)
                 return uc.reshape(Lb, 3, plan.C)
 
             def scatter3(v3):
@@ -252,7 +256,7 @@ class DistributedBlocked:
             # scatter_vec writes only the device's own rows.
             def local_apply(L, x):
                 uc = gather_cells(x)                    # (Lb*C, 3)
-                yc = jnp.einsum("cad,cd->ca", L, uc)
+                yc = jnp.einsum("cad,cd->ca", L, uc, precision=prec)
                 return scatter_vec(yc)
 
             def local_diag(L):
@@ -319,8 +323,10 @@ class DistributedBlocked:
                 w = self._windows(u)
                 u_r = w[:, B:B + nb]
                 duw = w[:, None, :] - u_r[:, :, None]
-                num = jnp.abs(jnp.einsum("brw,brw->br", Kbc, duw))
-                den = jnp.einsum("brw,brw->br", jnp.abs(Kbc), jnp.abs(duw))
+                num = jnp.abs(jnp.einsum("brw,brw->br", Kbc, duw,
+                                         precision=prec))
+                den = jnp.einsum("brw,brw->br", jnp.abs(Kbc),
+                                 jnp.abs(duw), precision=prec)
                 alpha = (num / jnp.maximum(den, cfg.si_eps)).reshape(-1)
                 psi = stab.sigmoid_activation(alpha)
                 eps = psi * cfg.Cm * h * fprime_norm(u)

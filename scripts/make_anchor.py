@@ -53,11 +53,41 @@ def irr_problem(nx, dtype, **kw):
     return kpp.build(cfg, host_mesh=m)
 
 
+ADV_REF_H5 = "/root/reference/Code/Linear_advection/Data/RV/RV_cell.h5"
+
+
+def adv_problem(dtype, **kw):
+    """The bench_advection workload: RV-node linear advection on the
+    reference's stored gmsh disk mesh (1011 nodes), T=1.0."""
+    from conservation_fem_tpu.models import linear_advection as la
+    from conservation_fem_tpu.ops.mesh import load_h5_mesh
+
+    host = load_h5_mesh(ADV_REF_H5, geometry="Mesh/mesh/geometry",
+                        topology="Mesh/mesh/topology")
+    cfg = la.AdvectionConfig(T=1.0, stabilization="rv_node", dtype=dtype,
+                             **kw)
+    return la.build(cfg, host_mesh=host), la
+
+
 def main():
     tokens = sys.argv[1:] or ["256"]
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
     for tok in tokens:
+        if tok == "adv":
+            # f64 adaptive-1e-12 gather anchor for bench_advection
+            p, la = adv_problem("float64")
+            print(f"adv: N={p.u0.shape[0]}, dt={p.dt}, "
+                  f"steps={p.num_steps}", flush=True)
+            t0 = time.perf_counter()
+            u = np.asarray(la.solve(p).u, dtype=np.float64)
+            # smooth-bump transport on the disk: stays in [-eps, 1+eps]
+            assert np.isfinite(u).all() and -0.2 < u.min() and u.max() < 1.2
+            path = os.path.join(out_dir, "adv_rvnode_anchor_refdisk.npy")
+            np.save(path, u.astype(np.float32))
+            print(f"  saved {path} in {time.perf_counter()-t0:.0f}s; "
+                  f"range {u.min():.4f}..{u.max():.4f}", flush=True)
+            continue
         if tok.startswith("irr"):
             nx = int(tok[3:])
             p = irr_problem(nx, "float64", krylov_rtol=1e-12)

@@ -89,3 +89,42 @@ def test_distributed_blocked_advection_matches():
             la.build(la.AdvectionConfig(**cfg)), dmesh).solve()
         d = np.abs(u_dist - u_single).max()
         assert d < 1e-9, (stab_name, d)
+
+
+def test_blocked_precise_f32_quality():
+    """f32 blocked runs default to the PRECISE plan (f32 one-hots +
+    Precision.HIGHEST contractions): over a long smooth-transport horizon
+    the bf16 operand streams visibly diffuse the solution (measured
+    L2-vs-exact 1.24e-1 bf16 vs 1.38e-2 precise vs 1.16e-2 gather-f64 on
+    the 569-step reference-disk rotation — RESULTS.md round 4). Gate:
+    the precise f32 trajectory stays within f32 noise of gather-f32."""
+    import jax.numpy as jnp
+
+    from conservation_fem_tpu.ops import blocked
+
+    cfg = dict(mesh_size=8, T=0.25, stabilization="rv_node",
+               dtype="float32")
+    pg = la.build(la.AdvectionConfig(**cfg))
+    pb = la.build(la.AdvectionConfig(**cfg, ell_matvec_backend="blocked"))
+    assert pb.blkplan.precise and pb.blkplan.Gcell.dtype == jnp.float32
+    ug = np.asarray(la.solve(pg).u, np.float64)
+    ub = np.asarray(la.solve(pb).u, np.float64)
+    inv = np.argsort(rcm_permutation(pg.host_mesh))
+    l2 = np.linalg.norm(ub - ug[inv]) / np.linalg.norm(ug)
+    assert l2 < 1e-4, l2
+
+    # knob off -> bf16 one-hot storage (the throughput mode)
+    pb16 = la.build(la.AdvectionConfig(**cfg, ell_matvec_backend="blocked",
+                                       blocked_precise=False))
+    assert pb16.blkplan.Gcell.dtype == jnp.bfloat16
+    # f64 plans ignore the knob (identity-test regime stays exact)
+    p64 = blocked.make_blocked_plan(pb.host_mesh, dtype=jnp.float64,
+                                    precise=True)
+    assert not p64.precise and p64.Gcell.dtype == jnp.float32
+
+    # Pk twin: HOAdvectionConfig defaults precise ON for f32 blocked
+    from conservation_fem_tpu.models import advection_ho as ho
+    pho = ho.build(ho.HOAdvectionConfig(mesh_size=4, degree=2, T=0.05,
+                                        dtype="float32",
+                                        ell_matvec_backend="blocked"))
+    assert pho.blkplan.precise and pho.blkplan.Gcell.dtype == jnp.float32
