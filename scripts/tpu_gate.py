@@ -18,6 +18,7 @@ Families gated (cf. VERDICT round 3 item 3):
   8. ops/blocked  P1 KPP step           (bf16 one-hot einsum backend)
   9. ops/blocked_pk  P2 SI Burgers step (component-major Pk einsums)
  10. pallas_tiled bf16 solver planes    (16-row bf16 HBM stream geometry)
+ 11. ops/blocked PRECISE advection      (f32 one-hots + HIGHEST dots)
 
 Tolerances: the Pallas kernels run the SAME fixed-iteration algorithm as
 the XLA twin, so only summation order differs -> L2rel 1e-3 is generous.
@@ -289,6 +290,31 @@ def main():
         return rel
 
     _gate("blocked_pk_p2si", gate_blocked_pk)
+
+    # ---- 8: blocked PRECISE mode (f32 one-hots + HIGHEST dots) ----------
+    # On TPU, Precision.HIGHEST must recover plain-f32 arithmetic (the
+    # 6-pass bf16 emulation); the gather twin computes f32 without MXU
+    # rounding, so a short smooth rotation must agree tightly — the bf16
+    # streams would sit ~1e-2 here (ops/blocked.make_blocked_plan).
+    def gate_blocked_precise():
+        from conservation_fem_tpu.models import linear_advection as la
+
+        common = dict(mesh_size=8, T=0.25, stabilization="rv_node",
+                      dtype="float32")
+        pg = la.build(la.AdvectionConfig(**common))
+        ug = la.solve(pg).u
+        pb = la.build(la.AdvectionConfig(**common,
+                                         ell_matvec_backend="blocked"))
+        assert pb.blkplan.precise
+        ub = la.solve(pb).u
+        # permutation from the ORIGINAL mesh (pb.host_mesh is already
+        # RCM-reordered inside build — recomputing from it is wrong)
+        inv = np.argsort(rcm_permutation(pg.host_mesh))
+        rel = _l2rel(np.asarray(ub), np.asarray(ug)[inv])
+        assert rel < 5e-3, rel
+        return rel
+
+    _gate("blocked_precise_adv", gate_blocked_precise)
 
     if FAILURES:
         print(f"TPU GATE FAILED: {FAILURES}", flush=True)
