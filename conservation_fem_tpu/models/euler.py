@@ -46,6 +46,12 @@ class EulerConfig:
     CFL: float = 0.25
     T: float | None = None        # None: problem default (sod 0.2, 2D 0.3)
     Cvel: float = 0.5
+    # CRV=1.0 follows the reference prototype; at fine resolution the
+    # config-3 four-shock interaction needs MORE residual viscosity —
+    # measured (f64): riemann2d nx=128 develops negative pressures from
+    # t~0.11 and blows up at t~0.19 with CRV=1 at any dt, while CRV=4.0
+    # (the KPP value) completes with p_min=+0.0075. Use CRV=4 for
+    # riemann2d at nx >= 128 (scripts/make_anchor.euler_problem).
     CRV: float = 1.0
     gamma: float = 1.4
     rho_floor: float = 1e-10

@@ -53,6 +53,25 @@ def irr_problem(nx, dtype, **kw):
     return kpp.build(cfg, host_mesh=m)
 
 
+def euler_problem(prob, nx, dtype):
+    """Shared bench/anchor Euler config (imported by bench_euler).
+
+    riemann2d at nx >= 128 runs CRV=4.0 (the KPP value): the EulerConfig
+    default CRV=1.0 caps the residual viscosity below what the config-3
+    four-shock interaction needs at that resolution — measured (f64,
+    CPU): negative pressures from t~0.11 and blow-up at t~0.19 with
+    CRV=1 at ANY dt (CFL 0.25 and 0.125 alike), while CRV=4 completes
+    with worst p_min = +0.0075. Sod and coarse 2D runs keep the
+    reference-cited default."""
+    from conservation_fem_tpu.models import euler
+
+    kw = {}
+    if prob == "riemann2d" and nx >= 128:
+        kw["CRV"] = 4.0
+    return euler.build(euler.EulerConfig(problem=prob, nx=nx, dtype=dtype,
+                                         **kw))
+
+
 ADV_REF_H5 = "/root/reference/Code/Linear_advection/Data/RV/RV_cell.h5"
 
 
@@ -74,6 +93,28 @@ def main():
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
     for tok in tokens:
+        if tok.startswith("euler_"):
+            # "euler_sod:100" / "euler_2d:128" — f64 anchors for
+            # scripts/bench_euler.py (explicit SSP-RK2; f32 tracks f64 at
+            # ~5e-7 on CPU, so the stored-f32 anchor is exact enough)
+            from conservation_fem_tpu.models import euler
+
+            prob, nx = tok.split(":")
+            prob = {"euler_sod": "sod", "euler_2d": "riemann2d"}[prob]
+            nx = int(nx)
+            p = euler_problem(prob, nx, "float64")
+            print(f"{tok}: N={p.U0.shape[0]}, steps={p.num_steps}",
+                  flush=True)
+            t0 = time.perf_counter()
+            U = np.asarray(euler.solve(p).U, dtype=np.float64)
+            rho = U[:, 0]
+            assert np.isfinite(U).all() and rho.min() > 0.0 and \
+                rho.max() < 2.0, f"rho range {rho.min()}..{rho.max()}"
+            path = os.path.join(out_dir, f"euler_{prob}_anchor_nx{nx}.npy")
+            np.save(path, U.astype(np.float32))
+            print(f"  saved {path} in {time.perf_counter()-t0:.0f}s; "
+                  f"rho {rho.min():.4f}..{rho.max():.4f}", flush=True)
+            continue
         if tok == "adv":
             # f64 adaptive-1e-12 gather anchor for bench_advection
             p, la = adv_problem("float64")
