@@ -46,13 +46,14 @@ class EulerConfig:
     CFL: float = 0.25
     T: float | None = None        # None: problem default (sod 0.2, 2D 0.3)
     Cvel: float = 0.5
-    # CRV=1.0 follows the reference prototype; at fine resolution the
-    # config-3 four-shock interaction needs MORE residual viscosity —
-    # measured (f64): riemann2d nx=128 develops negative pressures from
-    # t~0.11 and blows up at t~0.19 with CRV=1 at any dt, while CRV=4.0
-    # (the KPP value) completes with p_min=+0.0075. Use CRV=4 for
-    # riemann2d at nx >= 128 (scripts/make_anchor.euler_problem).
-    CRV: float = 1.0
+    # None resolves per problem in build(): 1.0 for sod/uniform (the
+    # reference-prototype value) and 4.0 (the KPP value) for riemann2d —
+    # our beyond-reference extension, where the default must be the
+    # stable one: measured (f64), the config-3 four-shock interaction at
+    # nx=128 develops negative pressures from t~0.11 and blows up at
+    # t~0.19 with CRV=1 at ANY dt (a spatial viscosity-budget limit, not
+    # CFL), while CRV=4 completes with worst p_min = +0.0075.
+    CRV: float | None = None
     gamma: float = 1.4
     rho_floor: float = 1e-10
     rk_order: int = 2             # SSP-RK2 (default) or SSP-RK3
@@ -148,6 +149,9 @@ def wavespeed(U, gamma, rho_floor):
 def build(cfg: EulerConfig | None = None, host_mesh: Mesh | None = None, **kw):
     if cfg is None:
         cfg = EulerConfig(**kw)
+    if cfg.CRV is None:
+        crv = 4.0 if cfg.problem == "riemann2d" else 1.0
+        cfg = dataclasses.replace(cfg, CRV=crv)
     p0, p1, T_def, aspect = _PROBLEMS[cfg.problem]
     T = cfg.T if cfg.T is not None else T_def
     ny = cfg.ny if cfg.ny is not None else max(2, int(round(cfg.nx * aspect)))

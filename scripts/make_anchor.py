@@ -56,20 +56,13 @@ def irr_problem(nx, dtype, **kw):
 def euler_problem(prob, nx, dtype):
     """Shared bench/anchor Euler config (imported by bench_euler).
 
-    riemann2d at nx >= 128 runs CRV=4.0 (the KPP value): the EulerConfig
-    default CRV=1.0 caps the residual viscosity below what the config-3
-    four-shock interaction needs at that resolution — measured (f64,
-    CPU): negative pressures from t~0.11 and blow-up at t~0.19 with
-    CRV=1 at ANY dt (CFL 0.25 and 0.125 alike), while CRV=4 completes
-    with worst p_min = +0.0075. Sod and coarse 2D runs keep the
-    reference-cited default."""
+    Model defaults only: EulerConfig.CRV=None resolves to 4.0 for
+    riemann2d (the value the four-shock interaction needs at nx >= 128 —
+    see the EulerConfig.CRV comment for the measured analysis) and to
+    the reference-prototype 1.0 for sod/uniform."""
     from conservation_fem_tpu.models import euler
 
-    kw = {}
-    if prob == "riemann2d" and nx >= 128:
-        kw["CRV"] = 4.0
-    return euler.build(euler.EulerConfig(problem=prob, nx=nx, dtype=dtype,
-                                         **kw))
+    return euler.build(euler.EulerConfig(problem=prob, nx=nx, dtype=dtype))
 
 
 ADV_REF_H5 = "/root/reference/Code/Linear_advection/Data/RV/RV_cell.h5"
