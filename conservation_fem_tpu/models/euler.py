@@ -70,31 +70,34 @@ _PROBLEMS = {
 }
 
 
-def primitive_to_conservative(rho, u1, u2, p, gamma):
+def primitive_to_conservative(rho, u1, u2, p, gamma, xp=jnp):
     E = p / (gamma - 1.0) + 0.5 * rho * (u1**2 + u2**2)
-    return jnp.stack([rho, rho * u1, rho * u2, E], axis=-1)
+    return xp.stack([rho, rho * u1, rho * u2, E], axis=-1)
 
 
-def initial_state(problem, x, y, gamma):
+def initial_state(problem, x, y, gamma, xp=jnp):
+    """xp=np evaluates on HOST at the input dtype — build() uses it with
+    the f64 mesh points so dt/num_steps are dtype-invariant (an f32 run
+    and its f64 anchor must integrate the same steps)."""
     if problem == "sod":
         left = x <= 0.5
-        rho = jnp.where(left, 1.0, 0.125)
-        p = jnp.where(left, 1.0, 0.1)
-        return primitive_to_conservative(rho, 0.0 * x, 0.0 * x, p, gamma)
+        rho = xp.where(left, 1.0, 0.125)
+        p = xp.where(left, 1.0, 0.1)
+        return primitive_to_conservative(rho, 0.0 * x, 0.0 * x, p, gamma, xp)
     if problem == "riemann2d":
         # standard 2D Riemann configuration 3 (four shocks)
         q1 = (x > 0.5) & (y > 0.5)
         q2 = (x <= 0.5) & (y > 0.5)
         q3 = (x <= 0.5) & (y <= 0.5)
-        rho = jnp.select([q1, q2, q3], [1.5, 0.5323, 0.138], 0.5323)
-        u1 = jnp.select([q1, q2, q3], [0.0, 1.206, 1.206], 0.0)
-        u2 = jnp.select([q1, q2, q3], [0.0, 0.0, 1.206], 1.206)
-        p = jnp.select([q1, q2, q3], [1.5, 0.3, 0.029], 0.3)
-        return primitive_to_conservative(rho, u1, u2, p, gamma)
+        rho = xp.select([q1, q2, q3], [1.5, 0.5323, 0.138], 0.5323)
+        u1 = xp.select([q1, q2, q3], [0.0, 1.206, 1.206], 0.0)
+        u2 = xp.select([q1, q2, q3], [0.0, 0.0, 1.206], 1.206)
+        p = xp.select([q1, q2, q3], [1.5, 0.3, 0.029], 0.3)
+        return primitive_to_conservative(rho, u1, u2, p, gamma, xp)
     if problem == "uniform":
         # ref euler_RV.py:66-72 (rho=1, m=(0.1,0), E=2.5)
-        one = jnp.ones_like(x)
-        return jnp.stack([one, 0.1 * one, 0.0 * one, 2.5 * one], axis=-1)
+        one = xp.ones_like(x)
+        return xp.stack([one, 0.1 * one, 0.0 * one, 2.5 * one], axis=-1)
     raise ValueError(f"unknown problem {problem!r}")
 
 
@@ -164,7 +167,18 @@ def build(cfg: EulerConfig | None = None, host_mesh: Mesh | None = None, **kw):
     h_cg = get_nodal_h(m)
     U0 = initial_state(cfg.problem, m.points[:, 0], m.points[:, 1], cfg.gamma)
     U0 = U0.astype(dtype)
-    beta0 = wavespeed(U0, cfg.gamma, cfg.rho_floor)
+    # dt from a HOST-numpy f64 wavespeed on the f64 mesh points so
+    # dt/num_steps are dtype-invariant: an f32-built bench and its
+    # f64-built anchor must integrate the SAME steps (a ceil(T/dt) flip
+    # from ~1e-7 wavespeed rounding would shift the end state by one dt
+    # across moving shocks and trip the bench gate spuriously)
+    pts = np.asarray(host_mesh.points, np.float64)
+    U0h = initial_state(cfg.problem, pts[:, 0], pts[:, 1], cfg.gamma, xp=np)
+    rho0 = np.maximum(U0h[:, 0], cfg.rho_floor)
+    u10, u20 = U0h[:, 1] / rho0, U0h[:, 2] / rho0
+    p_0 = np.maximum((cfg.gamma - 1.0) * (
+        U0h[:, 3] - 0.5 * rho0 * (u10**2 + u20**2)), cfg.rho_floor)
+    beta0 = np.sqrt(u10**2 + u20**2) + np.sqrt(cfg.gamma * p_0 / rho0)
     dt = cfg.CFL * float(host_mesh.hmin) / float(beta0.max())
     num_steps = int(np.ceil(T / dt))
     # Dirichlet far-field: for the quasi-1D Sod tube only the x-ends are

@@ -226,7 +226,7 @@ class DistributedBlocked:
             def scatter3(v3):
                 v = v3.reshape(Lb, 3 * plan.C)
                 return blocked_ops._oh_apply(
-                    Sv, v, 1, self.dtype).reshape(-1)
+                    Sv, v, 1, self.dtype, precision=prec).reshape(-1)
 
             # (cells, 3)-interleaved views for the assembly.local_*
             # kernels of the matrix-free branch

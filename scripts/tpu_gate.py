@@ -7,7 +7,8 @@ benches (bench.py / bench_blocked / bench_pk) are too coarse for: a
 Mosaic toolchain update that silently mis-lowers one kernel fails HERE,
 named, in minutes — not as an accuracy-gate mystery hours later.
 
-Families gated (cf. VERDICT round 3 item 3):
+Families gated (12 gate entries; fused bicgstab/cheby share family 3;
+cf. VERDICT round 3 item 3):
   1. pallas_stencil.stencil_matvec      (7-plane SpMV)
   2. pallas_stencil.cg_solve            (whole-CG single kernel)
   3. pallas_fused.fused_rv_step         (single-launch step; bicgstab+cheby)
@@ -87,7 +88,7 @@ def main():
 
     dt32 = jnp.float32
 
-    # ---- 1+2: stencil matvec + whole-CG kernel --------------------------
+    # ---- stencil matvec + whole-CG kernel --------------------------
     host = rectangle_mesh((-2, -2), (2, 2), nx=12)
     sd = st.build_structured(host, 12, 12, dt32)
     rng = np.random.default_rng(0)
@@ -256,7 +257,7 @@ def main():
 
     _gate("tiled_block_deephalo", gate_tiled_block)
 
-    # ---- 6: blocked P1 einsum backend (bf16 one-hots on TPU) ------------
+    # ---- blocked P1 einsum backend (bf16 one-hots on TPU) ---------------
     def gate_blocked_p1():
         hm = rectangle_mesh((-2, -2), (2, 2), nx=12)
         hm = reorder_mesh(hm, rcm_permutation(hm))
@@ -274,7 +275,7 @@ def main():
 
     _gate("blocked_p1_kpp", gate_blocked_p1)
 
-    # ---- 7: blocked Pk (P2 SI Burgers, component-major einsums) ---------
+    # ---- blocked Pk (P2 SI Burgers, component-major einsums) ------------
     def gate_blocked_pk():
         common = dict(mesh_size=8, degree=2, stabilization="si", T=0.05,
                       dtype="float32", cg_iters=16, newton_iters=3,
@@ -291,7 +292,7 @@ def main():
 
     _gate("blocked_pk_p2si", gate_blocked_pk)
 
-    # ---- 8: blocked PRECISE mode (f32 one-hots + HIGHEST dots) ----------
+    # ---- blocked PRECISE mode (f32 one-hots + HIGHEST dots) -------------
     # On TPU, Precision.HIGHEST must recover plain-f32 arithmetic (the
     # 6-pass bf16 emulation); the gather twin computes f32 without MXU
     # rounding, so a short smooth rotation must agree tightly — the bf16
