@@ -181,6 +181,8 @@ def main():
         # honest degradation: a labeled CPU measurement (f64 adaptive
         # path, same accuracy anchors) instead of a hang / empty artifact
         jax.config.update("jax_platforms", "cpu")
+        # a mesh sweep at f64 CPU would run for days — drop it here
+        os.environ.pop("BENCH_SWEEP", None)
         print("bench: TPU backend unreachable -> CPU fallback "
               "(platform labeled in JSON)", file=sys.stderr, flush=True)
 
