@@ -221,7 +221,12 @@ def main():
             if not os.environ.get("BENCH_NO_FUSED"):
                 p.cfg = _dc.replace(p.cfg, use_pallas=True)
         else:
+            # the SAME CFL-scaled dt as the f32 config and the anchor
+            # recipe (make_anchor.py): mesh > 64 anchors were generated
+            # at dt = 0.01*64/mesh — the default dt=0.01 would gate a
+            # different discrete trajectory and fail spuriously
             p = kpp.build(kpp.KPPConfig(mesh_size=ms, dtype=dtype,
+                                        dt=0.01 * min(1.0, 64.0 / ms),
                                         krylov_rtol=1e-12,
                                         **({} if T is None else {"T": T})))
         return p

@@ -349,21 +349,36 @@ def sweep_form(plan: BlockedPlan, D):
     cancels the saving. f64 compute (all identity tests) returns D
     unchanged. CPU f32 runs differ harmlessly at ~bf16 eps, like the
     bf16 one-hots above (the documented CPU caveat)."""
-    if plan.Gcell.dtype == jnp.bfloat16 and D.dtype == jnp.float32:
+    return sweep_form_arrays(plan.Gcell.dtype, D)
+
+
+def sweep_form_arrays(oh_dtype, D):
+    """Array-level sweep_form: the dtype gate keyed on the plan's
+    one-hot dtype. Shared with the sharded twins, which close over
+    unsharded plan ARRAYS inside shard_map rather than plan objects —
+    one definition of the bf16 stream semantics for all four modules."""
+    if oh_dtype == jnp.bfloat16 and D.dtype == jnp.float32:
         return D.astype(jnp.bfloat16)
     return D
+
+
+def spmv_windows(D, w, precision=None):
+    """y[b] = D[b] @ w[b] on already-extracted (blocks, Wpad) windows —
+    the array-level contraction core of spmv, shared with the sharded
+    twins. A bf16 D (sweep_form) keeps both operand streams at half
+    width; f32 with precision=HIGHEST is the precise-plan mode."""
+    if D.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            D, w.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=w.dtype)
+    return jnp.einsum("bnw,bw->bn", D, w, precision=precision)
 
 
 def spmv(plan: BlockedPlan, D, x):
     """y = A x with A in (blocks, nb, Wpad) dense row-window storage.
     A bf16 A (sweep_form) keeps both operand streams at half width."""
-    w = windows(plan, x)
-    if D.dtype == jnp.bfloat16:
-        return unblock(plan, jax.lax.dot_general(
-            D, w.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=x.dtype))
-    return unblock(plan, jnp.einsum("bnw,bw->bn", D, w,
-                                    precision=plan_precision(plan)))
+    return unblock(plan, spmv_windows(D, windows(plan, x),
+                                      plan_precision(plan)))
 
 
 def diag_of(plan: BlockedPlan, D):

@@ -103,14 +103,8 @@ class DistributedBlockedAdvection(DistributedBlocked):
                 return uc.reshape(Lb, 3, plan.C)
 
             def spmv(D, x):
-                w = self._windows(x)
-                if D.dtype == jnp.bfloat16:
-                    return jax.lax.dot_general(
-                        D, w.astype(jnp.bfloat16),
-                        (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=x.dtype).reshape(-1)
-                return jnp.einsum("bnw,bw->bn", D, w,
-                                  precision=prec).reshape(-1)
+                return blocked_ops.spmv_windows(
+                    D, self._windows(x), precision=prec).reshape(-1)
 
             def pinned(D):
                 def mv(x):
@@ -118,14 +112,11 @@ class DistributedBlockedAdvection(DistributedBlocked):
                     return jnp.where(pin, x, spmv(D, x_in))
                 return mv
 
-            # bf16 sweep copies, cast ONCE outside the solver loops (cf.
-            # blocked.sweep_form via the single-device _linear_op, so f32
-            # sharded-vs-single trajectories stay in lockstep)
-            def sweep(D):
-                if (Gcell.dtype == jnp.bfloat16
-                        and D.dtype == jnp.float32):
-                    return D.astype(jnp.bfloat16)
-                return D
+            # bf16 sweep copies, cast ONCE outside the solver loops — the
+            # exact single-device scheme (one shared definition of the
+            # bf16 stream semantics), so f32 sharded-vs-single
+            # trajectories stay in lockstep
+            sweep = lambda D: blocked_ops.sweep_form_arrays(Gcell.dtype, D)
 
             Mbs, Cbs = sweep(Mb), sweep(Cb)
 

@@ -186,23 +186,14 @@ class DistributedBlocked:
             pdot = lambda a, b: jax.lax.psum(jnp.vdot(a, b), axis)
 
             def spmv(D, x):
-                w = self._windows(x)
-                if D.dtype == jnp.bfloat16:
-                    return jax.lax.dot_general(
-                        D, w.astype(jnp.bfloat16),
-                        (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=x.dtype).reshape(-1)
-                return jnp.einsum("bnw,bw->bn", D, w,
-                                  precision=prec).reshape(-1)
+                return blocked_ops.spmv_windows(
+                    D, self._windows(x), precision=prec).reshape(-1)
 
             # bf16 sweep copies, cast ONCE outside the solver loops — the
-            # exact single-device scheme (blocked.sweep_form), so f32
-            # sharded-vs-single trajectories stay in lockstep
-            def sweep(D):
-                if (Gcell.dtype == jnp.bfloat16
-                        and D.dtype == jnp.float32):
-                    return D.astype(jnp.bfloat16)
-                return D
+            # exact single-device scheme (one shared definition of the
+            # bf16 stream semantics), so f32 sharded-vs-single
+            # trajectories stay in lockstep
+            sweep = lambda D: blocked_ops.sweep_form_arrays(Gcell.dtype, D)
 
             Mbs = sweep(Mb)
 

@@ -162,11 +162,17 @@ class ShardedFusedStructured:
         n1x, n1y, L, D = self.n1x, self.n1y, self.L, self.D
 
         def step_local(Mc_ext, pts, valid, u, uo, uoo, t):
-            # the step's one global reduction, in XLA collectives
-            nvalid = jax.lax.psum(valid.sum(), axis)
-            mean_u = jax.lax.psum((u * valid).sum(), axis) / nvalid
-            abs_term = jax.lax.pmax(
-                jnp.abs(jnp.where(valid > 0, u - mean_u, 0.0)).max(), axis)
+            if cfg.stabilization == "rv":
+                # the step's one global reduction, in XLA collectives
+                nvalid = jax.lax.psum(valid.sum(), axis)
+                mean_u = jax.lax.psum((u * valid).sum(), axis) / nvalid
+                abs_term = jax.lax.pmax(
+                    jnp.abs(jnp.where(valid > 0, u - mean_u, 0.0)).max(),
+                    axis)
+            else:
+                # gfem/si never read abs_term — skip the two collectives
+                # (per-step ICI latency) entirely
+                abs_term = jnp.asarray(0.0, u.dtype)
             g = p.bc_value(pts.reshape(-1, 2), t).reshape(u.shape)
 
             ue = self._extend(u)
