@@ -87,3 +87,16 @@ def test_ssp_rk3_option():
     res = euler.solve(p)
     err = euler.sod_density_error(p, res.U, res.num_steps * res.dt)
     assert err < 0.035, err
+
+
+def test_dt_dtype_invariant():
+    """dt/num_steps come from a HOST f64 wavespeed on f64 mesh points —
+    an f32 bench and its f64 anchor must integrate identical steps (a
+    ceil(T/dt) flip from f32 wavespeed rounding would shift the end
+    state by one dt and trip the bench gate spuriously)."""
+    p64 = euler.build(problem="riemann2d", nx=24, dtype="float64")
+    p32 = euler.build(problem="riemann2d", nx=24, dtype="float32")
+    assert p64.dt == p32.dt and p64.num_steps == p32.num_steps
+    # riemann2d resolves CRV=None to the stable 4.0 (EulerConfig.CRV)
+    assert p64.cfg.CRV == 4.0
+    assert euler.build(problem="sod", nx=16).cfg.CRV == 1.0
