@@ -122,9 +122,20 @@ def test_blocked_precise_f32_quality():
                                     precise=True)
     assert not p64.precise and p64.Gcell.dtype == jnp.float32
 
-    # Pk twin: HOAdvectionConfig defaults precise ON for f32 blocked
+    # Pk twin: HOAdvectionConfig defaults precise ON for f32 blocked,
+    # and the trajectory stays at f32 noise of the gather path
+    # (measured: precise 1.9e-5 vs bf16 streams 2.3e-2 at T=0.2)
     from conservation_fem_tpu.models import advection_ho as ho
-    pho = ho.build(ho.HOAdvectionConfig(mesh_size=4, degree=2, T=0.05,
-                                        dtype="float32",
-                                        ell_matvec_backend="blocked"))
+    from conservation_fem_tpu.ops.spaces import (build_space,
+                                                 rcm_dof_permutation)
+
+    hocfg = dict(mesh_size=4, degree=2, T=0.1, stabilization="rv",
+                 dtype="float32")
+    pg2, ug2, _ = ho.run(**hocfg)
+    pho, ub2, _ = ho.run(**hocfg, ell_matvec_backend="blocked")
     assert pho.blkplan.precise and pho.blkplan.Gcell.dtype == jnp.float32
+    perm2 = rcm_dof_permutation(build_space(pg2.host_mesh, 2))
+    ug2 = np.asarray(ug2, np.float64)[np.argsort(perm2)]
+    l2p = np.linalg.norm(np.asarray(ub2, np.float64) - ug2) / \
+        np.linalg.norm(ug2)
+    assert l2p < 1e-3, l2p
