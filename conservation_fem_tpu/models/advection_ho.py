@@ -37,6 +37,7 @@ from conservation_fem_tpu.ops.krylov import (bicgstab, bicgstab_fixed, cg,
 from conservation_fem_tpu.ops.mesh import Mesh, disk_mesh, rectangle_mesh
 from conservation_fem_tpu.ops.spaces import build_space
 from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
+from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,7 +131,7 @@ def _linear_op(p, A):
 def get_nodal_h_pk(sp, M=None, rtol=1e-14):
     """DG0 min-edge h L2-projected into the Pk space (ref helpers.py:7-38
     with degree argument)."""
-    b_loc = 2.0 * (sp.h_cell * sp.area)[:, None] * jnp.einsum(
+    b_loc = 2.0 * (sp.h_cell * sp.area)[:, None] * _einsum(
         "q,qa->a", sp.quad_w, sp.phi
     )[None]
     b = apk.scatter_vector(sp, b_loc)

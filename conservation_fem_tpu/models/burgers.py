@@ -30,6 +30,7 @@ from conservation_fem_tpu.models.scalar_hyperbolic import (
 from conservation_fem_tpu.ops.helpers import get_nodal_h
 from conservation_fem_tpu.ops.mesh import Mesh, rectangle_mesh
 from conservation_fem_tpu.ops import assembly
+from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
 
 
 @dataclasses.dataclass(frozen=True)
@@ -244,13 +245,13 @@ def l1_error_vs_exact(problem: HyperbolicProblem, u, t):
     if pts is None:           # Pk space: dofs at lattice coords
         u_ex = exact_solution(m.dof_coords[:, 0], m.dof_coords[:, 1], t)
         d = u - u_ex
-        d_q = jnp.einsum("qc,mc->mq", m.phi, d[m.cell_dofs])
+        d_q = _einsum("qc,mc->mq", m.phi, d[m.cell_dofs])
         return ((jnp.abs(d_q) * m.quad_w[None, :]).sum(axis=1)
                 * 2.0 * m.area).sum()
     u_ex = exact_solution(pts[:, 0], pts[:, 1], t)
     d = u - u_ex
     phi = assembly._quad_basis().astype(u.dtype)
-    d_q = d[m.cells] @ phi.T
+    d_q = _einsum("ma,qa->mq", d[m.cells], phi)
     w = assembly._DUN4_W.astype(u.dtype) * 0.5
     return ((jnp.abs(d_q) * w[None, :]).sum(axis=1) * 2.0 * m.area).sum()
 

@@ -158,7 +158,7 @@ class HyperbolicProblem:
         self.bc_value = bc_value
         self.dt = float(dt)
         self.num_steps = int(num_steps)
-        self.M = assembly.assemble_mass(m)
+        self._M = None
         self._bplan = None
         self._latplan = None
         if cfg.ell_matvec_backend == "banded":
@@ -172,6 +172,23 @@ class HyperbolicProblem:
         self._h_cg = None
         self._K_bc = None
         self._solve_jit = None
+
+    @property
+    def M(self):
+        """ELL consistent mass, built lazily. The stencil backend never
+        reads it — building it eagerly OOMed the mesh-512 TPU bench: the
+        eager (M,3,3) local-mass intermediate pads (3,3) trailing dims to
+        (8,128) vregs, a 56.9x HBM expansion (16 GB at M=8.4M cells)."""
+        if self._M is None:
+            val = assembly.assemble_mass(self.mesh)
+            if isinstance(val, jax.core.Tracer):
+                return val      # mid-trace: never cache (tracer leak)
+            self._M = val
+        return self._M
+
+    @M.setter
+    def M(self, val):           # checkpoint restore assigns it directly
+        self._M = val
 
     @property
     def h_cg(self):
@@ -202,6 +219,7 @@ class HyperbolicProblem:
         every time step (this was silently part of every ELL/Pk per-step
         cost until round 3). The stencil backend overrides this to a no-op
         (its kernels use sd coefficient fields, not the ELL operators)."""
+        _ = self.M
         if self.cfg.stabilization in ("rv", "si"):
             _ = self.h_cg
         if self.cfg.stabilization == "si":

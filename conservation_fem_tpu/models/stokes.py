@@ -41,6 +41,7 @@ from conservation_fem_tpu.ops.krylov import (
 from conservation_fem_tpu.ops.mesh import Mesh, rectangle_mesh
 from conservation_fem_tpu.ops.spaces import build_space
 from conservation_fem_tpu.ops.spmv import ell_diag, ell_matvec
+from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,7 +113,7 @@ class StokesProblem(NamedTuple):
 
 
 def _phys_grads(sp):
-    return jnp.einsum("mde,qne->mqnd", sp.jinv_t, sp.dphi)
+    return _einsum("mde,qne->mqnd", sp.jinv_t, sp.dphi)
 
 
 def _assemble_visc_blocks(sp, mu):
@@ -120,12 +121,12 @@ def _assemble_visc_blocks(sp, mu):
                         + d_l phi_a d_m phi_b ), volume part of
     2 mu eps(u):eps(v)."""
     g = _phys_grads(sp)                                   # (M,Q,n,2)
-    lap = jnp.einsum("q,mqad,mqbd->mab", sp.quad_w, g, g)
+    lap = _einsum("q,mqad,mqbd->mab", sp.quad_w, g, g)
     blocks = []
     for m in range(2):
         row = []
         for l in range(2):
-            cross = jnp.einsum("q,mqa,mqb->mab", sp.quad_w,
+            cross = _einsum("q,mqa,mqb->mab", sp.quad_w,
                                g[..., l], g[..., m])
             loc = mu * ((lap if m == l else 0.0) + cross)
             vals = 2.0 * sp.area[:, None, None] * loc
@@ -489,11 +490,11 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
     def conv_rhs(u):
         """rho (u . grad u) . v componentwise: (2,N)."""
         u_cell = u[:, sp.cell_dofs]                       # (2,M,n)
-        u_q = jnp.einsum("qc,smc->smq", phi, u_cell)      # (2,M,Q)
-        gu = jnp.einsum("smc,mqcd->smqd", u_cell, g)      # (2,M,Q,2) grad u_s
-        conv = jnp.einsum("dmq,smqd->smq",
+        u_q = _einsum("qc,smc->smq", phi, u_cell)      # (2,M,Q)
+        gu = _einsum("smc,mqcd->smqd", u_cell, g)      # (2,M,Q,2) grad u_s
+        conv = _einsum("dmq,smqd->smq",
                           jnp.stack([u_q[0], u_q[1]]), gu)
-        vals = 2.0 * sp.area[None, :, None] * jnp.einsum(
+        vals = 2.0 * sp.area[None, :, None] * _einsum(
             "q,smq,qa->sma", qw, conv, phi
         )
         return rho * jnp.stack(
@@ -502,9 +503,9 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
 
     def pressure_div_rhs(pn):
         """(D_m pn)_a = int pn d_m phi_a dx: (2,N)."""
-        p_q = jnp.einsum("qc,mc->mq", lam, pn[mp.cells])  # (M,Q)
-        v0 = 2.0 * sp.area[:, None] * jnp.einsum("q,mq,mqa->ma", qw, p_q, g[..., 0])
-        v1 = 2.0 * sp.area[:, None] * jnp.einsum("q,mq,mqa->ma", qw, p_q, g[..., 1])
+        p_q = _einsum("qc,mc->mq", lam, pn[mp.cells])  # (M,Q)
+        v0 = 2.0 * sp.area[:, None] * _einsum("q,mq,mqa->ma", qw, p_q, g[..., 0])
+        v1 = 2.0 * sp.area[:, None] * _einsum("q,mq,mqa->ma", qw, p_q, g[..., 1])
         return jnp.stack(
             [apk.scatter_vector(sp, v0), apk.scatter_vector(sp, v1)]
         )
@@ -513,9 +514,9 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
         """int pn n . v ds: (2,N) scatter over boundary edges."""
         p_vert = pn[mp.cells[e_cells]]                    # (nb,3)
         lam_e = e_lam[e_loc]                              # (nb,Q,3)
-        p_q = jnp.einsum("bqc,bc->bq", lam_e, p_vert)     # (nb,Q)
+        p_q = _einsum("bqc,bc->bq", lam_e, p_vert)     # (nb,Q)
         phi_e = e_phi[e_loc]                              # (nb,Q,nloc)
-        base = e_len[:, None] * jnp.einsum("q,bq,bqa->ba", w1d, p_q, phi_e)
+        base = e_len[:, None] * _einsum("q,bq,bqa->ba", w1d, p_q, phi_e)
         dofs = sp.cell_dofs[e_cells]                      # (nb,nloc)
         n2 = p.u0.shape[1]
         out0 = jnp.zeros(n2, sp.area.dtype).at[dofs.reshape(-1)].add(
@@ -527,15 +528,15 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
     def div_u_rhs(u):
         """int q div(u) dx for P1 test q: (N1,)."""
         u_cell = u[:, sp.cell_dofs]
-        div_q = (jnp.einsum("mc,mqc->mq", u_cell[0], g[..., 0])
-                 + jnp.einsum("mc,mqc->mq", u_cell[1], g[..., 1]))
-        vals = 2.0 * mp.area[:, None] * jnp.einsum("q,mq,qc->mc", qw, div_q, lam)
+        div_q = (_einsum("mc,mqc->mq", u_cell[0], g[..., 0])
+                 + _einsum("mc,mqc->mq", u_cell[1], g[..., 1]))
+        vals = 2.0 * mp.area[:, None] * _einsum("q,mq,qc->mc", qw, div_q, lam)
         return assembly.scatter_vector(mp, vals)
 
     def grad_p_rhs(dp):
         """int phi_a d_m dp dx with dp P1 (const grad per cell): (2,N2)."""
-        gp = jnp.einsum("mc,mcd->md", dp[mp.cells], mp.grads)  # (M,2)
-        phi_int = 2.0 * sp.area[:, None] * jnp.einsum("q,qa->a", qw, phi)[None]
+        gp = _einsum("mc,mcd->md", dp[mp.cells], mp.grads)  # (M,2)
+        phi_int = 2.0 * sp.area[:, None] * _einsum("q,qa->a", qw, phi)[None]
         v0 = phi_int * gp[:, 0:1]
         v1 = phi_int * gp[:, 1:2]
         return jnp.stack(

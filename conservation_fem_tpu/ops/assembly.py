@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from conservation_fem_tpu.ops.mesh import MeshArrays
+# geometry/quadrature contractions must be exact f32 on TPU —
+# see ops/precision.py for the measured rationale
+from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
+
 
 # degree-4 Dunavant rule on the reference triangle (6 points), exact to p=4
 _DUN4_W = jnp.array(
@@ -59,7 +63,7 @@ def local_mass(area):
 
 def local_stiffness(area, grads):
     """(M,),(M,3,2) -> (M,3,3) local stiffness."""
-    gg = jnp.einsum("mad,mbd->mab", grads, grads)
+    gg = _einsum("mad,mbd->mab", grads, grads)
     return area[:, None, None] * gg
 
 
@@ -69,13 +73,13 @@ def local_convection(area, grads, w_cell):
     C_ab = int (w . grad phi_b) phi_a = sum_c M_ac (w_c . g_b).
     """
     m = local_mass(area)                       # (M,3,3)
-    wg = jnp.einsum("mcd,mbd->mcb", w_cell, grads)  # (M,3,3): (c,b)
-    return jnp.einsum("mac,mcb->mab", m, wg)
+    wg = _einsum("mcd,mbd->mcb", w_cell, grads)  # (M,3,3): (c,b)
+    return _einsum("mac,mcb->mab", m, wg)
 
 
 def local_eps_stiffness(area, grads, eps_cell):
     """eps-weighted stiffness, eps P1: Ke_ab = g_a.g_b * A * mean(eps)."""
-    gg = jnp.einsum("mad,mbd->mab", grads, grads)
+    gg = _einsum("mad,mbd->mab", grads, grads)
     scale = area * eps_cell.mean(axis=1)
     return scale[:, None, None] * gg
 
@@ -164,13 +168,13 @@ def local_convection_rhs(area, grads, u_cell, fprime):
     """(M,),(M,3,2),(M,3) -> (M,3) local vectors of
     r_a = int (f'(u_h) . grad u_h) phi_a dx over one cell."""
     phi = _quad_basis().astype(u_cell.dtype)     # (Q,3)
-    u_q = u_cell @ phi.T                         # (M,Q)
+    u_q = _einsum("ma,qa->mq", u_cell, phi)      # (M,Q)
     fp_q = fprime(u_q)                           # (M,Q,2)
-    grad_u = jnp.einsum("ma,mad->md", u_cell, grads)       # (M,2) const
-    conv_q = jnp.einsum("mqd,md->mq", fp_q, grad_u)        # (M,Q)
+    grad_u = _einsum("ma,mad->md", u_cell, grads)       # (M,2) const
+    conv_q = _einsum("mqd,md->mq", fp_q, grad_u)        # (M,Q)
     w = _DUN4_W.astype(u_cell.dtype) * 0.5       # ref triangle area = 1/2
     # r[m,a] = 2*A_m * sum_q w_q conv_q phi_a(q)   (|J| = 2A)
-    r = jnp.einsum("mq,qa->ma", conv_q * w[None, :], phi)
+    r = _einsum("mq,qa->ma", conv_q * w[None, :], phi)
     return 2.0 * area[:, None] * r
 
 
@@ -183,16 +187,16 @@ def local_flux_jacobian(area, grads, u_cell, fprime):
     second derivative needed.
     """
     phi = _quad_basis().astype(u_cell.dtype)     # (Q,3)
-    u_q = u_cell @ phi.T                         # (M,Q)
+    u_q = _einsum("ma,qa->mq", u_cell, phi)      # (M,Q)
     fp_q, fpp_q = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
-    grad_u = jnp.einsum("ma,mad->md", u_cell, grads)               # (M,2)
-    t1 = jnp.einsum("mqd,md->mq", fpp_q, grad_u)                   # (M,Q)
+    grad_u = _einsum("ma,mad->md", u_cell, grads)               # (M,2)
+    t1 = _einsum("mqd,md->mq", fpp_q, grad_u)                   # (M,Q)
     w = _DUN4_W.astype(u_cell.dtype) * 0.5
     # term1[m,a,b] = 2A sum_q w_q t1 phi_a phi_b
-    term1 = jnp.einsum("mq,qa,qb->mab", t1 * w[None], phi, phi)
+    term1 = _einsum("mq,qa,qb->mab", t1 * w[None], phi, phi)
     # term2[m,a,b] = 2A sum_q w_q (f'(u_q) . g_b) phi_a
-    t2 = jnp.einsum("mqd,mbd->mqb", fp_q, grads)
-    term2 = jnp.einsum("q,qa,mqb->mab", w, phi, t2)
+    t2 = _einsum("mqd,mbd->mqb", fp_q, grads)
+    term2 = _einsum("q,qa,mqb->mab", w, phi, t2)
     return 2.0 * area[:, None, None] * (term1 + term2)
 
 
@@ -221,7 +225,7 @@ def mass_apply_cellwise(mesh: MeshArrays, u):
     """y = M u without assembling M (consistent mass action)."""
     u_cell = u[mesh.cells]                       # (M,3)
     m = local_mass(mesh.area)
-    return scatter_vector(mesh, jnp.einsum("mab,mb->ma", m, u_cell))
+    return scatter_vector(mesh, _einsum("mab,mb->ma", m, u_cell))
 
 
 def l2_norm_sq(mesh: MeshArrays, u):
@@ -238,8 +242,8 @@ def l2_error_vs_function(mesh: MeshArrays, u, exact_fn, t=None):
     """
     phi = _quad_basis().astype(u.dtype)          # (Q,3)
     u_cell = u[mesh.cells]
-    u_q = u_cell @ phi.T                         # (M,Q)
-    pts_q = jnp.einsum("qa,mad->mqd", phi, mesh.points[mesh.cells])  # (M,Q,2)
+    u_q = _einsum("ma,qa->mq", u_cell, phi)      # (M,Q)
+    pts_q = _einsum("qa,mad->mqd", phi, mesh.points[mesh.cells])  # (M,Q,2)
     if t is None:
         ex_q = exact_fn(pts_q[..., 0], pts_q[..., 1])
     else:

@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from conservation_fem_tpu.ops.spaces import SpaceArrays
+# geometry/quadrature contractions must be exact f32 on TPU —
+# see ops/precision.py for the measured rationale
+from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
+
 
 
 def _phys_grads(sp: SpaceArrays):
@@ -23,7 +27,7 @@ def _phys_grads(sp: SpaceArrays):
 
     Uses the isoparametric per-quad-point J^{-T} (== affine J^{-T} on
     straight cells; curved-boundary cells get the bent geometry)."""
-    return jnp.einsum("mqde,qne->mqnd", sp.jinv_t_q, sp.dphi)
+    return _einsum("mqde,qne->mqnd", sp.jinv_t_q, sp.dphi)
 
 
 def scatter_matrix(sp: SpaceArrays, cell_vals):
@@ -44,14 +48,14 @@ def scatter_vector(sp: SpaceArrays, cell_vals):
 
 
 def assemble_mass(sp: SpaceArrays):
-    vals = jnp.einsum("q,mq,qa,qb->mab", sp.quad_w, sp.detj_q,
+    vals = _einsum("q,mq,qa,qb->mab", sp.quad_w, sp.detj_q,
                       sp.phi, sp.phi)
     return scatter_matrix(sp, vals)
 
 
 def assemble_stiffness(sp: SpaceArrays):
     g = _phys_grads(sp)                                   # (M,Q,n,2)
-    vals = jnp.einsum("q,mq,mqad,mqbd->mab", sp.quad_w, sp.detj_q, g, g)
+    vals = _einsum("q,mq,mqad,mqbd->mab", sp.quad_w, sp.detj_q, g, g)
     return scatter_matrix(sp, vals)
 
 
@@ -59,8 +63,8 @@ def assemble_convection(sp: SpaceArrays, w):
     """w: (ndof,2) vector field in the same space."""
     g = _phys_grads(sp)
     w_cell = w[sp.cell_dofs]                              # (M,n,2)
-    w_q = jnp.einsum("qc,mcd->mqd", sp.phi, w_cell)       # (M,Q,2)
-    vals = jnp.einsum("q,mq,qa,mqd,mqbd->mab", sp.quad_w, sp.detj_q,
+    w_q = _einsum("qc,mcd->mqd", sp.phi, w_cell)       # (M,Q,2)
+    vals = _einsum("q,mq,qa,mqd,mqbd->mab", sp.quad_w, sp.detj_q,
                       sp.phi, w_q, g)
     return scatter_matrix(sp, vals)
 
@@ -69,8 +73,8 @@ def assemble_eps_stiffness(sp: SpaceArrays, eps):
     """eps: (ndof,) scalar field in the same space."""
     g = _phys_grads(sp)
     e_cell = eps[sp.cell_dofs]
-    e_q = jnp.einsum("qc,mc->mq", sp.phi, e_cell)
-    vals = jnp.einsum("q,mq,mq,mqad,mqbd->mab", sp.quad_w, sp.detj_q,
+    e_q = _einsum("qc,mc->mq", sp.phi, e_cell)
+    vals = _einsum("q,mq,mq,mqad,mqbd->mab", sp.quad_w, sp.detj_q,
                       e_q, g, g)
     return scatter_matrix(sp, vals)
 
@@ -79,10 +83,10 @@ def convection_rhs_flux(sp: SpaceArrays, u, fprime):
     """r_a = int (f'(u_h) . grad u_h) phi_a dx."""
     g = _phys_grads(sp)
     u_cell = u[sp.cell_dofs]
-    u_q = jnp.einsum("qc,mc->mq", sp.phi, u_cell)
-    grad_u = jnp.einsum("mc,mqcd->mqd", u_cell, g)
-    conv = jnp.einsum("mqd,mqd->mq", fprime(u_q), grad_u)
-    vals = jnp.einsum("q,mq,mq,qa->ma", sp.quad_w, sp.detj_q, conv, sp.phi)
+    u_q = _einsum("qc,mc->mq", sp.phi, u_cell)
+    grad_u = _einsum("mc,mqcd->mqd", u_cell, g)
+    conv = _einsum("mqd,mqd->mq", fprime(u_q), grad_u)
+    vals = _einsum("q,mq,mq,qa->ma", sp.quad_w, sp.detj_q, conv, sp.phi)
     return scatter_vector(sp, vals)
 
 
@@ -91,14 +95,14 @@ def assemble_flux_jacobian(sp: SpaceArrays, u, fprime):
     (cf. assembly.assemble_flux_jacobian for the closed-form P1 version)."""
     g = _phys_grads(sp)                                   # (M,Q,n,2)
     u_cell = u[sp.cell_dofs]
-    u_q = jnp.einsum("qc,mc->mq", sp.phi, u_cell)
+    u_q = _einsum("qc,mc->mq", sp.phi, u_cell)
     fp, fpp = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
-    grad_u = jnp.einsum("mc,mqcd->mqd", u_cell, g)
-    t1 = jnp.einsum("mqd,mqd->mq", fpp, grad_u)
-    term1 = jnp.einsum("q,mq,mq,qa,qb->mab", sp.quad_w, sp.detj_q, t1,
+    grad_u = _einsum("mc,mqcd->mqd", u_cell, g)
+    t1 = _einsum("mqd,mqd->mq", fpp, grad_u)
+    term1 = _einsum("q,mq,mq,qa,qb->mab", sp.quad_w, sp.detj_q, t1,
                        sp.phi, sp.phi)
-    t2 = jnp.einsum("mqd,mqbd->mqb", fp, g)
-    term2 = jnp.einsum("q,mq,qa,mqb->mab", sp.quad_w, sp.detj_q,
+    t2 = _einsum("mqd,mqbd->mqb", fp, g)
+    term2 = _einsum("q,mq,qa,mqb->mab", sp.quad_w, sp.detj_q,
                        sp.phi, t2)
     vals = term1 + term2
     return scatter_matrix(sp, vals)
@@ -106,13 +110,13 @@ def assemble_flux_jacobian(sp: SpaceArrays, u, fprime):
 
 def mass_apply(sp: SpaceArrays, u):
     u_cell = u[sp.cell_dofs]
-    u_q = jnp.einsum("qb,mb->mq", sp.phi, u_cell)
-    vals = jnp.einsum("q,mq,mq,qa->ma", sp.quad_w, sp.detj_q, u_q, sp.phi)
+    u_q = _einsum("qb,mb->mq", sp.phi, u_cell)
+    vals = _einsum("q,mq,mq,qa->ma", sp.quad_w, sp.detj_q, u_q, sp.phi)
     return scatter_vector(sp, vals)
 
 
 def lumped_mass(sp: SpaceArrays):
-    vals = jnp.einsum("q,mq,qa->ma", sp.quad_w, sp.detj_q, sp.phi)
+    vals = _einsum("q,mq,qa->ma", sp.quad_w, sp.detj_q, sp.phi)
     return scatter_vector(sp, vals)
 
 
@@ -121,13 +125,13 @@ def quad_coords(sp: SpaceArrays):
     isoparametric map x = sum_c phi_c(xi) X_c (== affine on straight
     cells)."""
     X = sp.dof_coords[sp.cell_dofs]                        # (M,nloc,2)
-    return jnp.einsum("qc,mcd->mqd", sp.phi, X)
+    return _einsum("qc,mcd->mqd", sp.phi, X)
 
 
 def l2_error_vs_function(sp: SpaceArrays, u, exact_fn, t=None):
     """sqrt(int (u_h - u_ex)^2) with u_ex evaluated at quadrature points."""
     u_cell = u[sp.cell_dofs]
-    u_q = jnp.einsum("qc,mc->mq", sp.phi, u_cell)
+    u_q = _einsum("qc,mc->mq", sp.phi, u_cell)
     xq = quad_coords(sp)
     ex = exact_fn(xq[..., 0], xq[..., 1]) if t is None else exact_fn(
         xq[..., 0], xq[..., 1], t

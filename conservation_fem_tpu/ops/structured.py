@@ -29,6 +29,10 @@ import jax.numpy as jnp
 
 from conservation_fem_tpu.ops import stabilization as stab
 import numpy as np
+# geometry/quadrature contractions must be exact f32 on TPU —
+# see ops/precision.py for the measured rationale
+from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
+
 
 from conservation_fem_tpu.ops.assembly import _DUN4_W, _quad_basis
 from conservation_fem_tpu.ops.mesh import Mesh
@@ -70,10 +74,18 @@ def build_structured(host_mesh: Mesh, nx: int, ny: int, dtype):
         nx=nx, ny=ny, grads=grads, area=area, bc2=bc2, phi=phi, qw=qw,
         M_coef=None, h_cg2=None, diagM2=None,
     )
-    # mass stencil: local mass is type-independent
+    # mass stencil: local mass is type-independent. Built under jit so the
+    # (2,nx,ny,3,3) broadcast fuses into the stencil-plane slices — eager,
+    # TPU pads the (3,3) trailing dims to (8,128) vregs, a 57x HBM blowup
+    # that OOMs at mesh 512 (2048^2 cells -> 16 GB for 288 MB of data).
     mloc = area * (jnp.ones((3, 3), dtype) + jnp.eye(3, dtype=dtype)) / 12.0
-    loc = jnp.broadcast_to(mloc, (2, nx, ny, 3, 3))
-    M_coef = local_to_stencil(sd, loc)
+
+    @jax.jit
+    def _mass_stencil(mloc):
+        return local_to_stencil(
+            sd, jnp.broadcast_to(mloc, (2, nx, ny, 3, 3)))
+
+    M_coef = _mass_stencil(mloc)
     sd = sd._replace(M_coef=M_coef, diagM2=M_coef[0])
     # nodal h: uniform mesh -> h_cg == h_cell everywhere (projection of a
     # constant is exact, ref helpers.py:29-36)
@@ -150,13 +162,13 @@ def constrained_matvec(sd: StructuredData, coef, x2):
 def quad_values(sd: StructuredData, x2):
     """Field at quadrature points: (2, nx, ny, Q)."""
     u_cell = cell_gather(sd, x2)                      # (2,nx,ny,3)
-    return jnp.einsum("qa,txya->txyq", sd.phi, u_cell)
+    return _einsum("qa,txya->txyq", sd.phi, u_cell)
 
 
 def cell_grad(sd: StructuredData, x2):
     """Constant per-cell gradient: (2, nx, ny, 2)."""
     u_cell = cell_gather(sd, x2)
-    return jnp.einsum("txya,tad->txyd", u_cell, sd.grads)
+    return _einsum("txya,tad->txyd", u_cell, sd.grads)
 
 
 def nonlinear_rhs(sd: StructuredData, x2, fprime):
@@ -164,15 +176,15 @@ def nonlinear_rhs(sd: StructuredData, x2, fprime):
     u_q = quad_values(sd, x2)                         # (2,nx,ny,Q)
     fp = fprime(u_q)                                  # (2,nx,ny,Q,2)
     gu = cell_grad(sd, x2)                            # (2,nx,ny,2)
-    conv = jnp.einsum("txyqd,txyd->txyq", fp, gu)
-    vals = 2.0 * sd.area * jnp.einsum("q,txyq,qa->txya", sd.qw, conv, sd.phi)
+    conv = _einsum("txyqd,txyd->txyq", fp, gu)
+    vals = 2.0 * sd.area * _einsum("q,txyq,qa->txya", sd.qw, conv, sd.phi)
     return node_scatter(sd, vals)
 
 
 def keps_coef(sd: StructuredData, eps2):
     """eps-weighted stiffness stencil (eps P1 -> exact mean rule)."""
     e_cell = cell_gather(sd, eps2).mean(axis=-1)      # (2,nx,ny)
-    gg = jnp.einsum("tad,tbd->tab", sd.grads, sd.grads)
+    gg = _einsum("tad,tbd->tab", sd.grads, sd.grads)
     loc = sd.area * e_cell[..., None, None] * gg[:, None, None, :, :]
     return local_to_stencil(sd, loc)
 
@@ -182,10 +194,10 @@ def flux_jacobian_coef(sd: StructuredData, x2, fprime):
     u_q = quad_values(sd, x2)                         # (2,nx,ny,Q)
     fp, fpp = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
     gu = cell_grad(sd, x2)
-    t1 = jnp.einsum("txyqd,txyd->txyq", fpp, gu)
-    term1 = jnp.einsum("q,txyq,qa,qb->txyab", sd.qw, t1, sd.phi, sd.phi)
-    t2 = jnp.einsum("txyqd,tbd->txyqb", fp, sd.grads)
-    term2 = jnp.einsum("q,qa,txyqb->txyab", sd.qw, sd.phi, t2)
+    t1 = _einsum("txyqd,txyd->txyq", fpp, gu)
+    term1 = _einsum("q,txyq,qa,qb->txyab", sd.qw, t1, sd.phi, sd.phi)
+    t2 = _einsum("txyqd,tbd->txyqb", fp, sd.grads)
+    term2 = _einsum("q,qa,txyqb->txyab", sd.qw, sd.phi, t2)
     loc = 2.0 * sd.area * (term1 + term2)
     return local_to_stencil(sd, loc)
 
@@ -234,7 +246,7 @@ def stiffness_bc_coef(sd: StructuredData):
     zeroed, unit diagonal (cf. bc.ell_with_bc; the SI kernel reads these
     entries, ref Code/Linear_advection/smoothness.py:147-149)."""
     nx, ny = sd.nx, sd.ny
-    gg = jnp.einsum("tad,tbd->tab", sd.grads, sd.grads)
+    gg = _einsum("tad,tbd->tab", sd.grads, sd.grads)
     loc = jnp.broadcast_to(
         (sd.area * gg)[:, None, None, :, :], (2, nx, ny, 3, 3)
     )

@@ -32,6 +32,7 @@ from jax import shard_map
 
 from conservation_fem_tpu.models.scalar_hyperbolic import HyperbolicProblem
 from conservation_fem_tpu.ops.assembly import _quad_basis, _DUN4_W
+from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
 
 
 def _pad_cell_arrays(mesh_arrays, n_dev: int):
@@ -89,11 +90,11 @@ class ShardedHyperbolicProblem(HyperbolicProblem):
         )
         def _conv_rhs(cells_blk, area_blk, grads_blk, u):
             u_cell = u[cells_blk]                        # (mb,3)
-            u_q = u_cell @ phi.T                         # (mb,Q)
+            u_q = _einsum("ma,qa->mq", u_cell, phi)      # (mb,Q)
             fp_q = flux_prime(u_q)                       # (mb,Q,2)
-            grad_u = jnp.einsum("ma,mad->md", u_cell, grads_blk)
-            conv_q = jnp.einsum("mqd,md->mq", fp_q, grad_u)
-            r = jnp.einsum("mq,qa->ma", conv_q * qw[None, :], phi)
+            grad_u = _einsum("ma,mad->md", u_cell, grads_blk)
+            conv_q = _einsum("mqd,md->mq", fp_q, grad_u)
+            r = _einsum("mq,qa->ma", conv_q * qw[None, :], phi)
             r = 2.0 * area_blk[:, None] * r
             out = jnp.zeros(n, dtype).at[cells_blk.reshape(-1)].add(r.reshape(-1))
             return jax.lax.psum(out, axis)
@@ -104,7 +105,7 @@ class ShardedHyperbolicProblem(HyperbolicProblem):
             out_specs=P(),
         )
         def _keps(cells_blk, area_blk, grads_blk, tgt_blk, eps):
-            gg = jnp.einsum("mad,mbd->mab", grads_blk, grads_blk)
+            gg = _einsum("mad,mbd->mab", grads_blk, grads_blk)
             scale = area_blk * eps[cells_blk].mean(axis=1)
             vals = (scale[:, None, None] * gg).reshape(-1)
             flat = jnp.zeros(n * K, dtype).at[tgt_blk.reshape(-1)].add(vals)

@@ -38,6 +38,7 @@ from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 from conservation_fem_tpu.ops import structured as st
 from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
 from conservation_fem_tpu.ops.newton import newton_solve
+from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
 
 OFFSETS = st.OFFSETS
 CORNERS = st.CORNERS
@@ -180,28 +181,28 @@ class ShardedStructuredKPP:
 
     def _nonlinear_rhs(self, x, sd_phi, sd_qw, grads, area):
         u_cell = self._cell_gather(x)                 # (2,L,ny,3)
-        u_q = jnp.einsum("qa,txya->txyq", sd_phi, u_cell)
+        u_q = _einsum("qa,txya->txyq", sd_phi, u_cell)
         fp = self.p.flux_prime(u_q)
-        gu = jnp.einsum("txya,tad->txyd", u_cell, grads)
-        conv = jnp.einsum("txyqd,txyd->txyq", fp, gu)
-        vals = 2.0 * area * jnp.einsum("q,txyq,qa->txya", sd_qw, conv, sd_phi)
+        gu = _einsum("txya,tad->txyd", u_cell, grads)
+        conv = _einsum("txyqd,txyd->txyq", fp, gu)
+        vals = 2.0 * area * _einsum("q,txyq,qa->txya", sd_qw, conv, sd_phi)
         return self._node_scatter(vals)
 
     def _keps(self, eps, grads, area):
         e_cell = self._cell_gather(eps).mean(axis=-1)
-        gg = jnp.einsum("tad,tbd->tab", grads, grads)
+        gg = _einsum("tad,tbd->tab", grads, grads)
         loc = area * e_cell[..., None, None] * gg[:, None, None, :, :]
         return self._local_to_stencil(loc)
 
     def _flux_jac(self, x, sd_phi, sd_qw, grads, area):
         u_cell = self._cell_gather(x)
-        u_q = jnp.einsum("qa,txya->txyq", sd_phi, u_cell)
+        u_q = _einsum("qa,txya->txyq", sd_phi, u_cell)
         fp, fpp = jax.jvp(self.p.flux_prime, (u_q,), (jnp.ones_like(u_q),))
-        gu = jnp.einsum("txya,tad->txyd", u_cell, grads)
-        t1 = jnp.einsum("txyqd,txyd->txyq", fpp, gu)
-        term1 = jnp.einsum("q,txyq,qa,qb->txyab", sd_qw, t1, sd_phi, sd_phi)
-        t2 = jnp.einsum("txyqd,tbd->txyqb", fp, grads)
-        term2 = jnp.einsum("q,qa,txyqb->txyab", sd_qw, sd_phi, t2)
+        gu = _einsum("txya,tad->txyd", u_cell, grads)
+        t1 = _einsum("txyqd,txyd->txyq", fpp, gu)
+        term1 = _einsum("q,txyq,qa,qb->txyab", sd_qw, t1, sd_phi, sd_phi)
+        t2 = _einsum("txyqd,tbd->txyqb", fp, grads)
+        term2 = _einsum("q,qa,txyqb->txyab", sd_qw, sd_phi, t2)
         return self._local_to_stencil(2.0 * area * (term1 + term2))
 
     def _patch_reduce(self, x, reducer, pad_val, valid):

@@ -29,6 +29,7 @@ from conservation_fem_tpu.parallel.partition import Partition, build_partition
 from conservation_fem_tpu.ops import stabilization as stab
 from conservation_fem_tpu.ops.krylov import bicgstab, cg, jacobi_preconditioner
 from conservation_fem_tpu.ops.newton import newton_solve
+from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
 
 
 class DistributedELL:
@@ -389,11 +390,11 @@ class DistributedHyperbolic(DistributedUnstructured):
             def nl_rhs(x):
                 x_ext = self._halo(x, sidx_, hsrc_)
                 u_cell = x_ext[cellsl]                        # (C,3)
-                u_q = u_cell @ phi.T
+                u_q = _einsum("ca,qa->cq", u_cell, phi)
                 fp = fprime(u_q)
-                gu = jnp.einsum("ca,cad->cd", u_cell, cgradsl)
-                conv = jnp.einsum("cqd,cd->cq", fp, gu)
-                r = 2.0 * careasl[:, None] * jnp.einsum(
+                gu = _einsum("ca,cad->cd", u_cell, cgradsl)
+                conv = _einsum("cqd,cd->cq", fp, gu)
+                r = 2.0 * careasl[:, None] * _einsum(
                     "q,cq,qa->ca", qw, conv, phi)
                 return self._assemble_vec(r, cellsl, cvalidl, sidx_,
                                            rev_src_l, rev_mask_l)
@@ -401,7 +402,7 @@ class DistributedHyperbolic(DistributedUnstructured):
             def keps_mat(eps):
                 e_ext = self._halo(eps, sidx_, hsrc_)
                 e_cell = e_ext[cellsl].mean(axis=1)
-                gg = jnp.einsum("cad,cbd->cab", cgradsl, cgradsl)
+                gg = _einsum("cad,cbd->cab", cgradsl, cgradsl)
                 vals = (careasl * e_cell)[:, None, None] * gg
                 return self._assemble_mat(vals, cellsl, cslotsl, cvalidl,
                                            sidx_, rev_src_l, rev_mask_l)
@@ -409,13 +410,13 @@ class DistributedHyperbolic(DistributedUnstructured):
             def jac_mat(x):
                 x_ext = self._halo(x, sidx_, hsrc_)
                 u_cell = x_ext[cellsl]
-                u_q = u_cell @ phi.T
+                u_q = _einsum("ca,qa->cq", u_cell, phi)
                 fp, fpp = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
-                gu = jnp.einsum("ca,cad->cd", u_cell, cgradsl)
-                t1 = jnp.einsum("cqd,cd->cq", fpp, gu)
-                term1 = jnp.einsum("q,cq,qa,qb->cab", qw, t1, phi, phi)
-                t2 = jnp.einsum("cqd,cbd->cqb", fp, cgradsl)
-                term2 = jnp.einsum("q,qa,cqb->cab", qw, phi, t2)
+                gu = _einsum("ca,cad->cd", u_cell, cgradsl)
+                t1 = _einsum("cqd,cd->cq", fpp, gu)
+                term1 = _einsum("q,cq,qa,qb->cab", qw, t1, phi, phi)
+                t2 = _einsum("cqd,cbd->cqb", fp, cgradsl)
+                term2 = _einsum("q,qa,cqb->cab", qw, phi, t2)
                 vals = 2.0 * careasl[:, None, None] * (term1 + term2)
                 return self._assemble_mat(vals, cellsl, cslotsl, cvalidl,
                                            sidx_, rev_src_l, rev_mask_l)
@@ -722,7 +723,7 @@ class DistributedAdvection(DistributedUnstructured):
                 eps = jnp.where(validl, eps, 0.0)
                 e_ext = self._halo(eps, sidx_, hsrc_)
                 e_cell = e_ext[cellsl].mean(axis=1)
-                gg = jnp.einsum("cad,cbd->cab", self._cgrads_l,
+                gg = _einsum("cad,cbd->cab", self._cgrads_l,
                                 self._cgrads_l)
                 vals = (self._careas_l * e_cell)[:, None, None] * gg
                 Keps = self._assemble_mat(vals, cellsl, self._cslots_l,

@@ -82,18 +82,26 @@ def main():
     # gather path's stay constant — these rows measure where (whether)
     # the crossover happens inside the single-chip HBM envelope.
     # BENCH_GATHER=0 skips the gather rows (they share the same anchors).
+    # All blocked rows run FIRST: an r4 capture lost the tail of the
+    # sweep when the irr224 GATHER run crashed the TPU worker (kernel
+    # fault at N=50k ELL gathers) — headline blocked rows must never be
+    # downstream of the comparison rows. BENCH_GATHER_MAX_NX caps the
+    # gather comparison (default 140: one crossover point is enough, the
+    # larger gather runs are ~2 min each and have crashed the worker).
     do_gather = os.environ.get("BENCH_GATHER", "1") != "0"
-    for nx in (140, 224, 316):
-        backends = ("blocked", "gather") if do_gather else ("blocked",)
-        for mv in backends:
-            p = irr_problem(nx, "float32", ell_matvec_backend=mv,
-                            **fixed)
-            per_step, _ = measure_per_step(p, verbose=True)
-            n = int(p.u0.shape[0])
-            print(f"irr{nx}/{mv:7s} N={n:6d}  {per_step*1e6:8.1f} us/step"
-                  f"  {n/per_step/1e6:8.2f} M DOF-steps/s", flush=True)
-            gate(f"irr{nx}/{mv}", np.asarray(p.solve().u, np.float64),
-                 f"kpp_rv_anchor_irr{nx}.npy")
+    gather_max = int(os.environ.get("BENCH_GATHER_MAX_NX", "140"))
+    runs = [(nx, "blocked") for nx in (140, 224, 316)]
+    if do_gather:
+        runs += [(nx, "gather") for nx in (140, 224, 316) if nx <= gather_max]
+    for nx, mv in runs:
+        p = irr_problem(nx, "float32", ell_matvec_backend=mv,
+                        **fixed)
+        per_step, _ = measure_per_step(p, verbose=True)
+        n = int(p.u0.shape[0])
+        print(f"irr{nx}/{mv:7s} N={n:6d}  {per_step*1e6:8.1f} us/step"
+              f"  {n/per_step/1e6:8.2f} M DOF-steps/s", flush=True)
+        gate(f"irr{nx}/{mv}", np.asarray(p.solve().u, np.float64),
+             f"kpp_rv_anchor_irr{nx}.npy")
 
     if fails:
         print(f"SCALING BENCH ACCURACY FAIL: {fails}", flush=True)
