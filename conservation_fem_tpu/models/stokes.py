@@ -71,6 +71,12 @@ class StokesConfig:
     # (measured Linf vs adaptive: 3e-2 at nx32/ki25 but 6e-1 at nx64).
     # None = auto-scale with nx (auto_kip) whenever krylov_iters is set.
     krylov_iters_pressure: int | None = None
+    # Geometric-multigrid preconditioning for the lattice backend
+    # (ops/multigrid.py): V(2,2) Galerkin cycles on both the 2x2 momentum
+    # block and the pressure Poisson make the Krylov iteration counts
+    # resolution-INDEPENDENT (auto_kip stops scaling with nx; set
+    # krylov_iters ~ 4-6 for the fixed path, see calibrate_stokes_ki.py).
+    multigrid: bool = False
 
 
 def auto_kip(cfg: "StokesConfig") -> int | None:
@@ -91,6 +97,11 @@ def auto_kip(cfg: "StokesConfig") -> int | None:
         return cfg.krylov_iters_pressure
     if cfg.krylov_iters is None:
         return None
+    if cfg.multigrid:
+        # MG-CG converges in ~7 iterations at ANY nx (measured 7 at nx
+        # 32/64/128 to rtol 1e-10, tests/test_multigrid.py) — the whole
+        # point of the V-cycle; no resolution scaling needed.
+        return max(cfg.krylov_iters, 6)
     return max(cfg.krylov_iters, 3 * cfg.nx)
 
 
@@ -315,6 +326,22 @@ def step_buffers(p: StokesProblem, fd):
         bufs["lopP"] = [[lop[s][d].planes for d in range(2)]
                         for s in range(2)]
         bufs["K1P"], bufs["M2P"] = lK1.planes, lM2.planes
+        if cfg.multigrid:
+            from conservation_fem_tpu.ops import multigrid as mgrid
+
+            dtype = jnp.asarray(p.M2).dtype
+            aux["mg1_static"], bufs["mg1"] = mgrid.build_mg(
+                plan2, sp.patch_cols, sp.patch_mask,
+                [[A_blocks[s, d] for d in range(2)] for s in range(2)],
+                np.asarray(p.wall_mask), dtype=dtype)
+            aux["mg2_static"], bufs["mg2"] = mgrid.build_mg(
+                plan1, p.mp.patch_cols, p.mp.patch_mask,
+                [[np.asarray(p.K1)]], np.asarray(p.p_bc_mask), dtype=dtype)
+    elif cfg.multigrid:
+        raise NotImplementedError(
+            "multigrid=True needs backend='lattice' (the V-cycle transfers "
+            "are lattice-stencil ops; the gather-ELL backend keeps "
+            "Jacobi-preconditioned Krylov)")
     return aux, bufs
 
 
@@ -436,6 +463,13 @@ def make_step(p: StokesProblem, fd, aux=None, bufs=None):
         mdg = lat.to_grid(plan2, M2_diag, fill=1.0)
         preMg = jacobi_preconditioner(
             (rho * jnp.stack([mdg, mdg])).reshape(-1))
+        if cfg.multigrid:
+            from conservation_fem_tpu.ops import multigrid as mgrid
+
+            # V(2,2) Galerkin cycles replace the Jacobi preconditioners:
+            # iteration counts stop scaling with nx (auto_kip docstring)
+            pre1g = mgrid.preconditioner(aux["mg1_static"], bufs["mg1"])
+            pre2g = mgrid.preconditioner(aux["mg2_static"], bufs["mg2"])
 
         def _g2(x):
             return jnp.stack([lat.to_grid(plan2, x[0]),
