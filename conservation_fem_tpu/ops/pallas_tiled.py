@@ -81,7 +81,7 @@ def _cheby_schedule(iters, lmin, lmax):
     return theta, cs
 
 
-def default_tile_rows(n1x, n1y, itemsize, vmem_budget=80 * 2**20,
+def default_tile_rows(n1x, n1y, itemsize, vmem_budget=24 * 2**20,
                       align=8):
     """Row tile for the sweep buffers: fits the VMEM scratch pool
     (3 plane-slab equivalents + 8 field slots = 29 tile buffers; the
@@ -90,7 +90,15 @@ def default_tile_rows(n1x, n1y, itemsize, vmem_budget=80 * 2**20,
     128 made Mosaic's register allocator spill 95 MB of VMEM (OOM) and
     compile for ~16 min, while T<=128 compiles in ~2 min with no spills.
     The halo overhead at T=128 is 2H/T = 12.5% extra DMA — negligible
-    against those failure modes. Override with CFT_TILE_ROWS."""
+    against those failure modes.
+
+    The 24 MB budget is calibrated to Mosaic's TOTAL scoped-VMEM stack,
+    which measures ~3.1x the declared scratch pool (kernel temporaries
+    scale with tile size): the mesh-512 sweep (Yp=2176, T=128 -> 36.3 MB
+    scratch) OOMed the 100 MB scoped limit at 113.51M, so wide grids now
+    pick T with scratch <= 24 MB (est. total <= ~80M at the measured
+    ratio). Meshes <= 256 still saturate the T=128 cap — only lane
+    widths past ~1550 shrink. Override with CFT_TILE_ROWS."""
     import os
 
     env = os.environ.get("CFT_TILE_ROWS")
@@ -512,8 +520,11 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     pln16 = sds((_NP, R, Yp), jnp.bfloat16)
     kw = {}
     if not interpret:
+        # 112 MB of the 128 MiB physical: headroom over the measured
+        # mesh-512 stack (113.51M at T=128 tiles; default_tile_rows now
+        # also shrinks T on wide grids — both margins together)
         kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20)
+            vmem_limit_bytes=112 * 2**20)
     # explicit HBM (not pl.ANY): the compiler otherwise promotes small
     # buffers to VMEM, where the dynamic-offset sublane-unaligned tile
     # slices fail to lower (tpu.memref_slice on a tiled vmem memref);

@@ -91,6 +91,21 @@ def main():
         print(f"nx {nx:4d} (N2={n2})  lattice+fixed(ki={ki},kip={3*nx}): "
               f"{t_f*1e3:8.2f} ms/step   speedup {t_e/t_f:.2f}x   "
               f"Linf vs ell {d:.2e}", flush=True)
+        # geometric multigrid (V(2,2) Galerkin) — iteration counts become
+        # resolution-independent (MG-CG ~7 iters at any nx, auto_kip)
+        t_m, u_m = run(stokes.build(**base, backend="lattice",
+                                    multigrid=True), steps)
+        d = np.abs(u_m - u_e).max()
+        print(f"nx {nx:4d} (N2={n2})  lattice+MG adaptive: "
+              f"{t_m*1e3:8.2f} ms/step   speedup {t_e/t_m:.2f}x   "
+              f"Linf vs ell {d:.2e}", flush=True)
+        t_mf, u_mf = run(stokes.build(**base, backend="lattice",
+                                      multigrid=True, krylov_iters=6),
+                         steps)
+        d = np.abs(u_mf - u_e).max()
+        print(f"nx {nx:4d} (N2={n2})  lattice+MG fixed(ki=6,kip=6): "
+              f"{t_mf*1e3:8.2f} ms/step   speedup {t_e/t_mf:.2f}x   "
+              f"Linf vs ell {d:.2e}", flush=True)
 
 
 if __name__ == "__main__":
