@@ -272,31 +272,49 @@ def _prolong(xc, shape):
                for di, dj, w in _TENT)
 
 
+def _cycle(static: MGStatic, arrs, l, b2):
+    """The V-cycle recursion from level ``l`` (levels unrolled in
+    Python — all static)."""
+    if l == len(static.shapes):
+        C = static.ncomp
+        nc = static.coarse_shape[0] * static.coarse_shape[1]
+        e = arrs["cinv"] @ b2.reshape(C * nc)
+        return e.reshape(C, *static.coarse_shape)
+    off, pl = static.offsets[l], arrs["planes"][l]
+    dinv = arrs["dinv"][l]
+    om = jnp.asarray(static.omega[l], b2.dtype)
+    A = lambda v: _level_matvec(off, pl, v)
+    x = om * dinv * b2
+    for _ in range(static.nu - 1):
+        x = x + om * dinv * (b2 - A(x))
+    e = _cycle(static, arrs, l + 1, _restrict(b2 - A(x)))
+    x = x + _prolong(e, static.shapes[l])
+    for _ in range(static.nu):
+        x = x + om * dinv * (b2 - A(x))
+    return x
+
+
 def vcycle(static: MGStatic, arrs, b):
     """One V(nu,nu) cycle from a ZERO initial guess: b (C, nI, nJ) ->
     approximate A^-1 b. A linear, symmetric (for symmetric A) operator —
     usable directly as a Krylov preconditioner."""
+    return _cycle(static, arrs, 0, b)
 
-    def cycle(l, b2):
-        if l == len(static.shapes):
-            C = static.ncomp
-            nc = static.coarse_shape[0] * static.coarse_shape[1]
-            e = arrs["cinv"] @ b2.reshape(C * nc)
-            return e.reshape(C, *static.coarse_shape)
-        off, pl = static.offsets[l], arrs["planes"][l]
-        dinv = arrs["dinv"][l]
-        om = jnp.asarray(static.omega[l], b2.dtype)
-        A = lambda v: _level_matvec(off, pl, v)
-        x = om * dinv * b2
-        for _ in range(static.nu - 1):
-            x = x + om * dinv * (b2 - A(x))
-        e = cycle(l + 1, _restrict(b2 - A(x)))
-        x = x + _prolong(e, static.shapes[l])
-        for _ in range(static.nu):
-            x = x + om * dinv * (b2 - A(x))
-        return x
 
-    return cycle(0, b)
+def coarse_correction(static: MGStatic, arrs, r_full):
+    """The replicated TAIL of a row-sharded V-cycle: take the FULL
+    fine-grid residual (already level-0 pre-smoothed by the sharded
+    caller), restrict, run levels >= 1 as usual, and prolong the error
+    back to the full fine grid. Pure function of replicated data — the
+    sharded caller (parallel/stokes_sharded.py) all_gathers the residual
+    (a few MB at most even at nx=512), slices its local rows from the
+    result, and keeps the dominant level-0 smoothing distributed.
+    ``arrs`` may carry None at level 0 (planes/dinv) — they are unused.
+    Requires at least one stencil level (static.shapes non-empty); the
+    dense-only degenerate is the caller's trivial gather+matmul case."""
+    assert static.shapes, "coarse_correction needs a stencil level 0"
+    e = _cycle(static, arrs, 1, _restrict(r_full))
+    return _prolong(e, static.shapes[0])
 
 
 def preconditioner(static: MGStatic, arrs):

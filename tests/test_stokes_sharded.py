@@ -52,3 +52,51 @@ def test_sharded_uneven_rows():
     du = np.abs(u_d - np.asarray(res.u)).max()
     dp = np.abs(p_d - np.asarray(res.p)).max()
     assert du < 1e-9 and dp < 1e-9, (du, dp)
+
+
+def test_sharded_multigrid_matches_single_device():
+    """MG-preconditioned sharded solves == single-device multigrid run.
+
+    nx=16 exercises BOTH sharded MG shapes: the momentum hierarchy has a
+    real stencil level 0 (33^2 fine grid -> local smoothing + gathered
+    coarse correction) while the pressure hierarchy is the dense-only
+    degenerate (17^2 < coarse_max -> gather + cinv matmul + row slice)."""
+    cfg = dict(nx=16, num_steps=20, T=0.4, backend="lattice",
+               multigrid=True)
+    p, fd = stokes.build(**cfg)
+    res = stokes.solve((p, fd))
+    sh = ShardedStokes(*stokes.build(**cfg), _dmesh(8))
+    assert sh._mg1_n > 0 and sh._mg2_n == 0
+    u_d, p_d = sh.solve()
+    du = np.abs(u_d - np.asarray(res.u)).max()
+    dp = np.abs(p_d - np.asarray(res.p)).max()
+    assert du < 1e-9 and dp < 1e-9, (du, dp)
+
+
+def test_sharded_multigrid_fixed_uneven_rows():
+    """MG + fixed iteration counts (the TPU throughput config) on a
+    device count that does not divide the rows."""
+    cfg = dict(nx=16, num_steps=20, T=0.4, backend="lattice",
+               multigrid=True, krylov_iters=6)
+    p, fd = stokes.build(**cfg)
+    res = stokes.solve((p, fd))
+    sh = ShardedStokes(*stokes.build(**cfg), _dmesh(3))
+    u_d, p_d = sh.solve()
+    du = np.abs(u_d - np.asarray(res.u)).max()
+    dp = np.abs(p_d - np.asarray(res.p)).max()
+    assert du < 1e-9 and dp < 1e-9, (du, dp)
+
+
+def test_sharded_multigrid_dense_only():
+    """Tiny grid: both hierarchies degenerate to the dense coarsest
+    solve — the gather + cinv + slice path on every device."""
+    cfg = dict(nx=8, num_steps=10, T=0.2, backend="lattice",
+               multigrid=True)
+    p, fd = stokes.build(**cfg)
+    res = stokes.solve((p, fd))
+    sh = ShardedStokes(*stokes.build(**cfg), _dmesh(4))
+    assert sh._mg1_n == 0 and sh._mg2_n == 0
+    u_d, p_d = sh.solve()
+    du = np.abs(u_d - np.asarray(res.u)).max()
+    dp = np.abs(p_d - np.asarray(res.p)).max()
+    assert du < 1e-9 and dp < 1e-9, (du, dp)
