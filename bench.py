@@ -173,12 +173,13 @@ def _backend_alive(timeout=240):
 def main():
     fallback = False
     if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+        # The axon tunnel refuses a fresh client for a short window after
+        # the previous one exits (observed r4: back-to-back bench phases
+        # failed their first probe while a later probe passed), so ALWAYS
+        # retry the probe before concluding the TPU is down.
         # BENCH_REQUIRE_TPU=1: a capture chain wants a hard failure (rc=3)
-        # instead of the driver's honest CPU degradation — one transient
-        # probe failure otherwise silently replaces a TPU sweep with a
-        # mesh-32 f64 CPU row (observed r4: first post-reboot probe failed
-        # while the very next phase's probe passed). Retry before deciding.
-        attempts = 3 if os.environ.get("BENCH_REQUIRE_TPU") else 1
+        # instead of the driver's honest CPU degradation.
+        attempts = 3
         alive = False
         for i in range(attempts):
             if _backend_alive():
