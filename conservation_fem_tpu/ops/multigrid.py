@@ -210,6 +210,19 @@ def build_mg(plan, patch_cols, patch_mask, blocks, bc_mask, *,
         nI, nJ = (nI + 1) // 2, (nJ + 1) // 2
 
     n = nI * nJ
+    # Guard the dense coarsest solve: tent coarsening needs ODD grid
+    # sizes ((nI+1)//2 keeps 2^k*m+1 chains like 33->17->9->5 but stops
+    # at e.g. 27->14), so a large even-sized top/stopped grid would
+    # otherwise silently np.linalg.inv the WHOLE operator (nx=255
+    # pressure: a 65536^2 inverse). Fail loudly instead of degenerating.
+    dense_limit = max(4096, 4 * coarse_max)
+    if C * n > dense_limit:
+        raise ValueError(
+            f"multigrid hierarchy stopped at a {nI}x{nJ} grid "
+            f"(C*n = {C * n} > dense-solve limit {dense_limit}): grid "
+            f"sizes must stay odd to coarsen (2^k*m+1 chains). For the "
+            f"Stokes lattices use an even nx (pressure grid nx+1 odd, "
+            f"velocity 2nx+1 odd), or raise coarse_max deliberately.")
     import scipy.sparse as sps
 
     dense = sps.bmat([[csr[s][d] if csr[s][d] is not None

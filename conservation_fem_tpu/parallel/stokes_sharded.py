@@ -456,7 +456,7 @@ class ShardedStokes:
 
         def step_local(wall, pbc, pbcval, d1, dK, dM,
                        A_pl, R_pl, M_pl, K_pl, DE_pl, B_pl, G_pl,
-                       u, pn, mg_args=()):
+                       u, pn, mg_args=(), mg_tails=()):
             pmv2 = lambda pl, off, x: self._pmv(pl, off, x, 2)
             pmv1 = lambda pl, off, x: self._pmv(pl, off, x, 1)
             pdot = self._pdot
@@ -479,18 +479,20 @@ class ShardedStokes:
                 y = blockmv(A_pl, self.offA, x_in)
                 return jnp.where(wall[None], x, y)
 
-            pre1 = jacobi_preconditioner(
-                jnp.where(wall, 1.0, d1)[None] * jnp.ones((2, 1, 1), u.dtype))
             if self.mg:
+                tail1 = mg_tails[0]
                 if self._mg1_n:
                     pre1 = self._mg_precond(
-                        self.mg1_static, self._mg1_tail,
+                        self.mg1_static, tail1,
                         mg_args[:self._mg1_n - 1], mg_args[self._mg1_n - 1],
                         2, self.nI2, self.L2)
                 else:
-                    pre1 = self._mg_dense(self.mg1_static,
-                                          self._mg1_tail["cinv"],
+                    pre1 = self._mg_dense(self.mg1_static, tail1["cinv"],
                                           self.nI2, self.L2)
+            else:
+                pre1 = jacobi_preconditioner(
+                    jnp.where(wall, 1.0, d1)[None]
+                    * jnp.ones((2, 1, 1), u.dtype))
             u_star = _bicg(A1, rhs, u, pre1, pdot).x
 
             # --- step 2: pressure Poisson (coarse grid)
@@ -505,18 +507,19 @@ class ShardedStokes:
                 x_in = jnp.where(pbc, 0.0, x)
                 return jnp.where(pbc, x, pmv1(K_pl, self.offK, x_in))
 
-            pre2 = jacobi_preconditioner(jnp.where(pbc, 1.0, dK))
             if self.mg:
+                tail2 = mg_tails[1]
                 if self._mg2_n:
                     m2 = self._mg_precond(
-                        self.mg2_static, self._mg2_tail,
+                        self.mg2_static, tail2,
                         mg_args[self._mg1_n:-1], mg_args[-1],
                         1, self.nI1, self.L1)
                 else:
-                    m2 = self._mg_dense(self.mg2_static,
-                                        self._mg2_tail["cinv"],
+                    m2 = self._mg_dense(self.mg2_static, tail2["cinv"],
                                         self.nI1, self.L1)
                 pre2 = lambda r: m2(r[None])[0]
+            else:
+                pre2 = jacobi_preconditioner(jnp.where(pbc, 1.0, dK))
             p_new = _cg(A2, b2, pn, pre2, pdot, iters=kip).x
 
             # --- step 3: velocity correction
@@ -535,24 +538,29 @@ class ShardedStokes:
             u_new = _cg(Mop, b3, u_star, preM, pdot, mass=True).x
             return u_new, p_new
 
-        # MG level-0 operands ride through the explicit arg list like every
-        # other sharded array (closure capture would replicate them):
-        # per operator, (planes..., dinv0); dinv shardings differ (the
-        # momentum dinv carries a leading component axis).
-        def mg_spec(nargs, dinv_spec):
+        # ALL MG operands ride through the explicit arg list (closure
+        # capture would bake them into the compiled program — the exact
+        # remote-compile OOM pattern CLAUDE.md records for captured
+        # planes): per operator, level-0 (planes..., dinv0) row-sharded
+        # (dinv stacked (C, rows, nJ) for BOTH hierarchies — the
+        # pressure's C is just 1), then the replicated level>=1 tail
+        # pytrees with an everywhere-P() spec.
+        def mg_spec(nargs):
             if not nargs:
                 return ()
-            return (P(axis, None, None),) * (nargs - 1) + (dinv_spec,)
+            return ((P(axis, None, None),) * (nargs - 1)
+                    + (P(None, axis, None),))
 
-        mg_specs = (mg_spec(self._mg1_n, P(None, axis, None))
-                    + mg_spec(self._mg2_n, P(axis, None)))
+        mg_specs = mg_spec(self._mg1_n) + mg_spec(self._mg2_n)
         n_mg = self._mg1_n + self._mg2_n
+        mg_tails = (self._mg1_tail, self._mg2_tail) if self.mg else ()
+        tails_spec = jax.tree.map(lambda _: P(), mg_tails)
 
         @partial(
             shard_map, mesh=self.dmesh,
             in_specs=((P(axis, None),) * 6
                       + (P(axis, None, None),) * (4 + 4 + 1 + 1 + 2 + 2 + 2)
-                      + mg_specs
+                      + mg_specs + (tails_spec,)
                       + (P(None, axis, None), P(axis, None))),
             out_specs=(P(None, axis, None), P(axis, None)),
         )
@@ -560,12 +568,13 @@ class ShardedStokes:
             wall, pbc, pbcval, d1, dK, dM = args[:6]
             ops = args[6:22]
             mg_args = args[22:22 + n_mg]
-            u, pn = args[22 + n_mg:]
+            tails = args[22 + n_mg]
+            u, pn = args[23 + n_mg:]
             u_new, p_new = step_local(
                 wall, pbc, pbcval, d1, dK, dM,
                 ops[0:4], ops[4:8], ops[8], ops[9],
                 ops[10:12], ops[12:14], ops[14:16],
-                u, pn, mg_args)
+                u, pn, mg_args, tails)
             return u_new, p_new
 
         def bound(u, pn):
@@ -573,7 +582,7 @@ class ShardedStokes:
                         self.diag1_s, self.diagK_s, self.diagM_s,
                         *self.A_s, *self.R_s, self.M_s, self.K_s,
                         *self.DE_s, *self.B_s, *self.G_s,
-                        *self._mg1_args, *self._mg2_args, u, pn)
+                        *self._mg1_args, *self._mg2_args, mg_tails, u, pn)
 
         return bound
 

@@ -100,3 +100,30 @@ def test_sharded_multigrid_dense_only():
     du = np.abs(u_d - np.asarray(res.u)).max()
     dp = np.abs(p_d - np.asarray(res.p)).max()
     assert du < 1e-9 and dp < 1e-9, (du, dp)
+
+
+def test_sharded_multigrid_pressure_stencil_level():
+    """Regression: the PRESSURE hierarchy with a real stencil level
+    (nx=26 -> 27^2 = 729 > coarse_max) sharded over >1 device — a review
+    found the mg2 dinv in_spec sharded the size-1 component axis instead
+    of the rows, crashing at trace time for every even nx >= 26."""
+    cfg = dict(nx=26, num_steps=6, T=0.12, backend="lattice",
+               multigrid=True, krylov_iters=6)
+    p, fd = stokes.build(**cfg)
+    res = stokes.solve((p, fd))
+    sh = ShardedStokes(*stokes.build(**cfg), _dmesh(4))
+    assert sh._mg2_n > 0
+    u_d, p_d = sh.solve()
+    du = np.abs(u_d - np.asarray(res.u)).max()
+    dp = np.abs(p_d - np.asarray(res.p)).max()
+    assert du < 1e-9 and dp < 1e-9, (du, dp)
+
+
+def test_multigrid_dense_degeneration_guard():
+    """build_mg refuses a large even-sized (non-coarsenable) grid
+    instead of dense-inverting the whole operator (review finding)."""
+    with pytest.raises(ValueError, match="dense-solve limit"):
+        # the MG hierarchy is built lazily at solve time (step_buffers);
+        # the guard fires host-side before any compile
+        stokes.solve(stokes.build(nx=63, num_steps=1, backend="lattice",
+                                  multigrid=True))
