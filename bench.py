@@ -322,8 +322,15 @@ def main():
             if ms == mesh_size:
                 sweep[str(ms)] = round(value / 1e6, 2)
                 continue
-            p2 = build(ms)
-            ps2, u2 = _measure(p2, jnp, jax)
+            # one mesh failing (e.g. a Mosaic compile regression at the
+            # largest size) must not lose the whole sweep artifact — the
+            # r4 mesh-512 scoped-VMEM OOM cost every smaller mesh's number
+            try:
+                p2 = build(ms)
+                ps2, u2 = _measure(p2, jnp, jax)
+            except Exception as e:
+                sweep[str(ms)] = f"RUN FAIL {type(e).__name__}: {str(e)[:200]}"
+                continue
             rel2, found2 = _accuracy(u2, ms)
             if not found2:
                 rel2, found2 = _accuracy_short(build, ms)
