@@ -325,6 +325,8 @@ def main():
             # one mesh failing (e.g. a Mosaic compile regression at the
             # largest size) must not lose the whole sweep artifact — the
             # r4 mesh-512 scoped-VMEM OOM cost every smaller mesh's number
+            print(f"bench: sweep mesh {ms} starting", file=sys.stderr,
+                  flush=True)
             try:
                 p2 = build(ms)
                 ps2, u2 = _measure(p2, jnp, jax)
