@@ -57,8 +57,14 @@ class StokesConfig:
     dtype: str = "float64"
     # "ell": generic gather SpMV; "lattice": grid-space Krylov with the
     # generalized lattice-stencil operators (ops/lattice.py) — gather-free
-    # SpMV on the P2 (velocity) and P1 (pressure) lattices, the structured
-    # fast path on TPU. Identity with "ell" tested in tests/test_stokes.py.
+    # SpMV on the P2 (velocity) and P1 (pressure) lattices — but the
+    # per-step RHS terms still ride ELL gathers; "grid": the FULLY
+    # gather-free step (parallel/stokes_sharded.py on a 1-device mesh —
+    # R-plane blockmv rhs, strided-slice convection quadrature, COO-plane
+    # couplings; scripts/probe_stokes_cost.py measured the gather RHS
+    # terms as a ~16 ms solve-independent floor at nx=64 on TPU).
+    # Identity: tests/test_stokes.py ("lattice"), tests/test_stokes_sharded
+    # ("grid" == sharded n=1 == lattice at 1e-9 f64).
     backend: str = "ell"
     # fixed-iteration unrolled Krylov solves (throughput path — each
     # adaptive while-loop iteration costs ~270 us launch overhead on the
@@ -339,8 +345,8 @@ def step_buffers(p: StokesProblem, fd):
                 [[np.asarray(p.K1)]], np.asarray(p.p_bc_mask), dtype=dtype)
     elif cfg.multigrid:
         raise NotImplementedError(
-            "multigrid=True needs backend='lattice' (the V-cycle transfers "
-            "are lattice-stencil ops; the gather-ELL backend keeps "
+            "multigrid=True needs backend='lattice' or 'grid' (the V-cycle "
+            "transfers are lattice-stencil ops; the gather-ELL backend keeps "
             "Jacobi-preconditioned Krylov)")
     return aux, bufs
 
@@ -626,6 +632,8 @@ def solve(prob_fd=None, cfg: StokesConfig | None = None, **kw) -> StokesResult:
     if prob_fd is None:
         prob_fd = build(cfg, **kw)
     p, fd = prob_fd
+    if p.cfg.backend == "grid":
+        return _solve_grid(p, fd)
     aux, bufs = step_buffers(p, fd)
 
     @jax.jit
@@ -635,9 +643,28 @@ def solve(prob_fd=None, cfg: StokesConfig | None = None, **kw) -> StokesResult:
         return u, pr
 
     u, pr = _run(bufs, p.u0, p.p0)
+    return _result(p, u, pr)
+
+
+def _result(p, u, pr):
+    u = jnp.asarray(u)
+    pr = jnp.asarray(pr)
     u_ex = exact_velocity(p.sp)
     d = u - u_ex
     err = jnp.sqrt(
         d[0] @ ell_matvec(p.sp, p.M2, d[0]) + d[1] @ ell_matvec(p.sp, p.M2, d[1])
     )
     return StokesResult(u, pr, float(err), p.dt, p.cfg.num_steps)
+
+
+def _solve_grid(p, fd) -> StokesResult:
+    """backend="grid": the fully gather-free step — the grid-space SPMD
+    formulation (parallel/stokes_sharded.py) on a 1-device mesh. Every
+    RHS term rides lattice planes / strided slices instead of ELL
+    gathers+scatters, which probe_stokes_cost measured as a ~16 ms
+    solve-independent per-step floor at nx=64 on the TPU."""
+    from conservation_fem_tpu.parallel.stokes_sharded import ShardedStokes
+
+    dmesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("i",))
+    u, pr = ShardedStokes(p, fd, dmesh).solve()
+    return _result(p, u, pr)

@@ -127,3 +127,16 @@ def test_multigrid_dense_degeneration_guard():
         # the guard fires host-side before any compile
         stokes.solve(stokes.build(nx=63, num_steps=1, backend="lattice",
                                   multigrid=True))
+
+
+def test_backend_grid_matches_lattice():
+    """backend="grid" (the fully gather-free single-chip step: the
+    grid-space SPMD formulation on a 1-device mesh) == the lattice
+    backend, adaptive and with multigrid."""
+    base = dict(nx=10, num_steps=20, T=0.4)
+    for extra in ({}, dict(multigrid=True)):
+        r_l = stokes.solve(stokes.build(**base, backend="lattice", **extra))
+        r_g = stokes.solve(stokes.build(**base, backend="grid", **extra))
+        du = np.abs(np.asarray(r_g.u) - np.asarray(r_l.u)).max()
+        dp = np.abs(np.asarray(r_g.p) - np.asarray(r_l.p)).max()
+        assert du < 1e-9 and dp < 1e-9, (extra, du, dp)
