@@ -179,7 +179,8 @@ def main():
         # retry the probe before concluding the TPU is down.
         # BENCH_REQUIRE_TPU=1: a capture chain wants a hard failure (rc=3)
         # instead of the driver's honest CPU degradation.
-        attempts = 3
+        # BENCH_PROBE_ATTEMPTS: budget override for flapping-tunnel days.
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 3))
         alive = False
         for i in range(attempts):
             if _backend_alive():
