@@ -57,7 +57,11 @@ def _config(kpp, mesh_size, dtype):
     # path remains REQUIRED for the HBM-tiled kernel (mesh >= 256:
     # cross-tile dot reductions don't fit the one-pass sweep).
     dt = 0.01 * min(1.0, 64.0 / mesh_size)
-    tiled = mesh_size >= 256          # past split-kernel VMEM ceiling
+    # Composed-XLA runs (BENCH_NO_FUSED=1) keep the BiCGStab config at
+    # every mesh: the dot-free-Chebyshev constraint is a property of the
+    # one-launch tiled kernel, not of the mesh size, and XLA scan steps
+    # carry no per-launch tax under the amortized timing model.
+    tiled = mesh_size >= 256 and not os.environ.get("BENCH_NO_FUSED")
     return kpp.KPPConfig(
         mesh_size=mesh_size, dtype=dtype, dt=dt,
         modified_newton=True,
