@@ -261,7 +261,15 @@ def main():
                                         **({} if T is None else {"T": T})))
         return p
 
-    p = build(mesh_size)
+    # BENCH_T: measure at a shortened horizon (e.g. 0.1). Used where the
+    # full-T run's exposure window keeps hitting TPU-worker crashes
+    # (mesh 512, docs/tpu_capture_r4/mesh512.log). Gating: if a committed
+    # short anchor matches this exact horizon, the measured end state is
+    # gated directly against it; the full-T anchor is skipped (different
+    # discrete trajectory length).
+    bench_T = (float(os.environ["BENCH_T"])
+               if os.environ.get("BENCH_T") else None)
+    p = build(mesh_size, T=bench_T)
     n_dofs = int(p.u0.shape[0])
     log(f"mesh {mesh_size}: fused mode = "
         f"{p._fused_mode() if hasattr(p, '_fused_mode') else None}")
@@ -277,9 +285,21 @@ def main():
                           "vs_baseline": 0,
                           "error": "solution sanity check failed"}))
         sys.exit(1)
-    rel, found = _accuracy(u, mesh_size)
-    if not found:
-        rel, found = _accuracy_short(build, mesh_size)
+    if bench_T is not None:
+        gdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "golden")
+        spath = os.path.join(
+            gdir, f"kpp_rv_anchor_mesh{mesh_size}_T{bench_T}.npy")
+        if os.path.exists(spath):
+            ref = np.load(spath).astype(np.float64)
+            rel = float(np.linalg.norm(u - ref) / np.linalg.norm(ref))
+            found = True
+        else:
+            rel, found = None, False
+    else:
+        rel, found = _accuracy(u, mesh_size)
+        if not found:
+            rel, found = _accuracy_short(build, mesh_size)
     if found and rel > ACCURACY_GATE:
         print(json.dumps({"metric": "KPP-RV DOF-steps/sec/chip",
                           "value": 0, "unit": "DOF-steps/s",
