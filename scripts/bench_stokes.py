@@ -106,6 +106,66 @@ def main():
         print(f"nx {nx:4d} (N2={n2})  lattice+MG fixed(ki=6,kip=6): "
               f"{t_mf*1e3:8.2f} ms/step   speedup {t_e/t_mf:.2f}x   "
               f"Linf vs ell {d:.2e}", flush=True)
+        # fully gather-free grid-space step (backend="grid": the SPMD
+        # formulation on a 1-device mesh) — removes the solve-independent
+        # gather-RHS floor (probe_stokes_cost: ~16 ms at nx 64)
+        t_g, u_g = run_grid(stokes.build(**base, backend="grid",
+                                         multigrid=True, krylov_iters=6),
+                            steps)
+        d = np.abs(u_g - u_e).max()
+        print(f"nx {nx:4d} (N2={n2})  grid+MG fixed(ki=6,kip=6): "
+              f"{t_g*1e3:8.2f} ms/step   speedup {t_e/t_g:.2f}x   "
+              f"Linf vs ell {d:.2e}", flush=True)
+
+
+def run_grid(prob_fd, num_steps, reps=(1, 3)):
+    """Amortized timing of the gather-free grid-space step (the
+    ShardedStokes formulation on a 1-device mesh), mapped back to dof
+    vectors for the Linf check (same mapping as ShardedStokes.solve)."""
+    import jax
+    import numpy as np
+
+    from conservation_fem_tpu.parallel.stokes_sharded import ShardedStokes
+
+    import time
+
+    p, fd = prob_fd
+    dmesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("i",))
+    sh = ShardedStokes(p, fd, dmesh)
+    step = sh.make_step()
+    u0, p0 = sh.init_state()
+
+    times = {}
+    u = None
+    for R in reps:
+        @jax.jit
+        def _run(u0, p0):
+            def rep(carry, _):
+                def body(c, _):
+                    return step(*c), None
+
+                c, _ = jax.lax.scan(body, carry, None, length=num_steps)
+                return c, None
+
+            (uu, pn), _ = jax.lax.scan(rep, (u0, p0), None, length=R)
+            return uu, pn
+
+        u, pn = _run(u0, p0)
+        s = float(np.asarray(u).sum())
+        assert np.isfinite(s)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            u, pn = _run(u0, p0)
+            s = float(np.asarray(u).sum())
+            best = min(best, time.perf_counter() - t0)
+        times[R] = best
+    per_step = (times[reps[1]] - times[reps[0]]) / (
+        (reps[1] - reps[0]) * num_steps)
+    uh = np.asarray(u)[:, :sh.nI2]
+    u_dof = np.stack([uh[s].reshape(-1)[np.asarray(sh.plan2.idx)]
+                      for s in range(2)])
+    return per_step, u_dof
 
 
 if __name__ == "__main__":
