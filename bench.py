@@ -74,10 +74,14 @@ def _config(kpp, mesh_size, dtype):
         newton_iters=2,
         newton_linear_iters=4 if not tiled else 16,
         inner_solver="bicgstab" if not tiled else "cheby",
-        # BENCH_BF16_PLANES=1: stream the tiled kernel's Chebyshev
-        # operator planes as bf16 HBM copies (tiled meshes only; the
-        # accuracy gate below still applies unchanged)
+        # BENCH_BF16_PLANES=1: stream the solver operator planes as bf16
+        # HBM copies — the tiled kernel's Chebyshev planes when tiled,
+        # else the composed-XLA mass/Jacobian sweep planes
+        # (structured.sweep_form). The accuracy gate below applies
+        # unchanged either way.
         tiled_bf16_planes=bool(tiled and os.environ.get(
+            "BENCH_BF16_PLANES")),
+        xla_bf16_planes=bool(not tiled and os.environ.get(
             "BENCH_BF16_PLANES")),
     )
 

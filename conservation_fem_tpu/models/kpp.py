@@ -55,6 +55,7 @@ class KPPConfig:
     inner_solver: str = "bicgstab"  # "cheby": dot-free inner solves
     newton_final_residual: bool = True  # see HyperbolicConfig
     tiled_bf16_planes: bool = False     # see HyperbolicConfig
+    xla_bf16_planes: bool = False       # see HyperbolicConfig
     # unstructured operator application (h5/gmsh meshes): "gather" (XLA
     # gather ELL), "banded" (RCM diagonals), or "blocked" (blocked-window
     # dense MXU ops + RCM, ops/blocked.py — the fast unstructured path).
@@ -119,6 +120,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         inner_solver=cfg.inner_solver,
         newton_final_residual=cfg.newton_final_residual,
         tiled_bf16_planes=cfg.tiled_bf16_planes,
+        xla_bf16_planes=cfg.xla_bf16_planes,
         ell_matvec_backend=cfg.ell_matvec_backend,
         blocked_matrix_free=cfg.blocked_matrix_free,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,

@@ -96,6 +96,12 @@ class HyperbolicConfig:
     # per-iteration HBM stream; residual/F evaluations stay f32 so the
     # Newton fixed point is unchanged (ops/pallas_tiled.tiled_rv_step)
     tiled_bf16_planes: bool = False
+    # composed-XLA structured solver twin of tiled_bf16_planes: stream the
+    # mass / frozen-Jacobian 7-plane operators through the fixed-iteration
+    # sweeps as bfloat16 copies (structured.sweep_form). Residual and
+    # quadrature passes stay f32; no-op off f32 and on non-structured
+    # backends. Default OFF pending the on-chip accuracy A/B at mesh 256.
+    xla_bf16_planes: bool = False
     # blocked backend quality mode (f32 one-hots + HIGHEST-precision
     # contractions, blocked.make_blocked_plan). Default OFF here: the
     # shock-dominated KPP/Burgers horizons stay at their f32-floor

@@ -73,7 +73,10 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         # scoped VMEM and Mosaic fails to compile — fall back to the
         # composed XLA CG there (measured OOM at 513x513 f32).
         diag = jnp.where(sd.bc2, 1.0, sd.diagM2)
-        op = lambda x2: st.constrained_matvec(sd, sd.M_coef, x2)
+        # this projection feeds only the RV epsilon (tolerant), so the
+        # sweep operator may stream as bf16 (structured.sweep_form)
+        Mc = st.sweep_form(sd.M_coef, self.cfg.xla_bf16_planes)
+        op = lambda x2: st.constrained_matvec(sd, Mc, x2)
         pre = jacobi_preconditioner(diag)
         if self.cfg.cg_iters is not None:
             # fixed-count unrolled CG: straight-line code beats both the
@@ -112,7 +115,10 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
 
         def jacobian(v2):
             J = base + 0.5 * dt * st.flux_jacobian_coef(sd, v2, self.flux_prime)
-            mv = lambda x2: st.constrained_matvec(sd, J, x2)
+            # only the inner-solve sweeps see the (optionally bf16) copy;
+            # the preconditioner diagonal and the Newton residual stay f32
+            Js = st.sweep_form(J, cfg.xla_bf16_planes)
+            mv = lambda x2: st.constrained_matvec(sd, Js, x2)
             pre = jacobi_preconditioner(jnp.where(sd.bc2, 1.0, J[0]))
             return mv, pre
 

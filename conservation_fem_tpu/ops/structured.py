@@ -147,6 +147,24 @@ def local_to_stencil(sd: StructuredData, loc):
     return coef
 
 
+def sweep_form(coef, enable: bool):
+    """bf16 HBM copy of solver-sweep operator planes (f32 inputs only).
+
+    Structured twin of blocked.sweep_form: when `enable`, the 7-plane
+    operator streamed by every Krylov/Chebyshev sweep iteration is stored
+    as bfloat16, halving the dominant per-iteration HBM stream at
+    mesh >= 256 (planes are 7x the field size). The matvec accumulates in
+    f32 (bf16 * f32 promotes), and residual / quadrature passes keep the
+    exact f32 operator, so only the linear-solve direction is perturbed
+    (~1e-3 relative), not the Newton fixed point. No-op off f32 (f64
+    accuracy-gated paths unchanged). XLA hoists the cast out of the scan,
+    so exactly one bf16 copy lives in HBM.
+    """
+    if enable and coef.dtype == jnp.float32:
+        return coef.astype(jnp.bfloat16)
+    return coef
+
+
 def constrained_matvec(sd: StructuredData, coef, x2):
     """Dirichlet-constrained stencil matvec (rows/cols zeroed, unit diag)."""
     x_in = jnp.where(sd.bc2, 0.0, x2)

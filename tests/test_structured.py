@@ -98,3 +98,26 @@ def test_smoothing_stencil_matches_ell():
         mesh_size=20, stabilization="si", smooth_l=4.0, backend="ell", T=0.1))
     np.testing.assert_allclose(
         np.asarray(p1.solve().u), np.asarray(p2.solve().u), atol=1e-10)
+
+
+def test_xla_bf16_planes():
+    """bf16 solver-plane streaming (structured.sweep_form knob).
+
+    f64: sweep_form is a no-op, so the run is bit-identical. f32: only
+    the fixed-iteration solve directions are perturbed (~1e-3 relative
+    operator rounding); the trajectory must stay within a loose bound of
+    the exact-f32 run.
+    """
+    base = dict(mesh_size=4, T=0.05, backend="stencil", cg_iters=6,
+                newton_iters=2, newton_linear_iters=4)
+    r64a = kpp.build(kpp.KPPConfig(**base)).solve()
+    r64b = kpp.build(kpp.KPPConfig(xla_bf16_planes=True, **base)).solve()
+    np.testing.assert_array_equal(np.asarray(r64a.u), np.asarray(r64b.u))
+
+    r32a = kpp.build(kpp.KPPConfig(dtype="float32", **base)).solve()
+    r32b = kpp.build(kpp.KPPConfig(dtype="float32", xla_bf16_planes=True,
+                                   **base)).solve()
+    ref = np.asarray(r32a.u)
+    diff = np.abs(np.asarray(r32b.u) - ref).max()
+    assert np.isfinite(np.asarray(r32b.u)).all()
+    assert diff < 5e-3 * max(1.0, np.abs(ref).max()), diff
