@@ -73,6 +73,12 @@ def _config(kpp, mesh_size, dtype):
         cg_iters=6 if not tiled else 10,
         newton_iters=2,
         newton_linear_iters=4 if not tiled else 16,
+        # the final-iterate residual eval feeds only the converged flag
+        # (trajectory identical, documented in HyperbolicConfig); at
+        # mesh 256 the probe measured ~1 ms/step for one quadrature pass,
+        # so the throughput config drops it — the accuracy gate below is
+        # the correctness check
+        newton_final_residual=False,
         inner_solver="bicgstab" if not tiled else "cheby",
         # BENCH_BF16_PLANES=1: stream the solver operator planes as bf16
         # HBM copies — the tiled kernel's Chebyshev planes when tiled,

@@ -60,13 +60,19 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
 
     # -- 2D pipeline ---------------------------------------------------------
 
+    def _fprime_xy(self):
+        # componentwise flux derivative for the plane-form quadrature
+        # kernels (ops/structured nonlinear_rhs / flux_jacobian_coef)
+        return getattr(self, "flux_prime_xy", None)
+
     def _residual_bdf2_2d(self, u2, uo2, uoo2):
         sd, dt = self.sd, self.dt
         if self.cfg.residual_scheme == "bdf1":
             du = (u2 - uo2) / dt
         else:
             du = (3.0 * u2 - 4.0 * uo2 + uoo2) / (2.0 * dt)
-        rhs = st.mass_matvec(sd, du) + st.nonlinear_rhs(sd, u2, self.flux_prime)
+        rhs = st.mass_matvec(sd, du) + st.nonlinear_rhs(
+            sd, u2, self.flux_prime, self._fprime_xy())
         rhs = jnp.where(sd.bc2, 0.0, rhs)
         # the fused Pallas CG keeps the whole grid + CG state in VMEM
         # (~15 field-sized buffers); above ~12 MB it cannot fit the 16 MB
@@ -101,20 +107,22 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
     def _newton_cn_2d(self, u2, eps2, g2):
         sd, dt, cfg = self.sd, self.dt, self.cfg
         Kc = st.keps_coef(sd, eps2)
-        N_un = st.nonlinear_rhs(sd, u2, self.flux_prime)
+        N_un = st.nonlinear_rhs(sd, u2, self.flux_prime, self._fprime_xy())
         Kc_un = st.matvec(sd, Kc, u2)
         base = sd.M_coef + 0.5 * dt * Kc
 
         def residual(v2):
             F = (
                 st.mass_matvec(sd, v2 - u2)
-                + 0.5 * dt * (st.nonlinear_rhs(sd, v2, self.flux_prime) + N_un)
+                + 0.5 * dt * (st.nonlinear_rhs(
+                    sd, v2, self.flux_prime, self._fprime_xy()) + N_un)
                 + 0.5 * dt * (st.matvec(sd, Kc, v2) + Kc_un)
             )
             return jnp.where(sd.bc2, v2 - g2, F)
 
         def jacobian(v2):
-            J = base + 0.5 * dt * st.flux_jacobian_coef(sd, v2, self.flux_prime)
+            J = base + 0.5 * dt * st.flux_jacobian_coef(
+                sd, v2, self.flux_prime, self._fprime_xy())
             # only the inner-solve sweeps see the (optionally bf16) copy;
             # the preconditioner diagonal and the Newton residual stay f32
             Js = st.sweep_form(J, cfg.xla_bf16_planes)

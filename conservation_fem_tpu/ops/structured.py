@@ -189,35 +189,110 @@ def cell_grad(sd: StructuredData, x2):
     return _einsum("txya,tad->txyd", u_cell, sd.grads)
 
 
-def nonlinear_rhs(sd: StructuredData, x2, fprime):
-    """N(u)_a = int (f'(u) . grad u) phi_a dx (cf. assembly.convection_rhs_flux)."""
-    u_q = quad_values(sd, x2)                         # (2,nx,ny,Q)
-    fp = fprime(u_q)                                  # (2,nx,ny,Q,2)
-    gu = cell_grad(sd, x2)                            # (2,nx,ny,2)
-    conv = _einsum("txyqd,txyd->txyq", fp, gu)
-    vals = 2.0 * sd.area * _einsum("q,txyq,qa->txya", sd.qw, conv, sd.phi)
-    return node_scatter(sd, vals)
+def _fp_comp(fprime, fprime_xy):
+    """Componentwise flux derivative (mirrors pallas_fused._fp_components;
+    duplicated so this module stays free of Pallas imports)."""
+    if fprime_xy is not None:
+        return fprime_xy
+    return (lambda v: fprime(v)[..., 0]), (lambda v: fprime(v)[..., 1])
+
+
+def nonlinear_rhs(sd: StructuredData, x2, fprime, fprime_xy=None):
+    """N(u)_a = int (f'(u) . grad u) phi_a dx (cf. assembly.convection_rhs_flux).
+
+    COMPONENTWISE quadrature: every intermediate is an (nx, ny) plane —
+    the q/a/d dims are unrolled Python loops over scalar weights. The
+    round-3 blocked-backend finding applies to XLA layouts here too: TPU
+    pads a trailing dim to 128 lanes, so materializing (2,nx,ny,Q) /
+    (...,2) intermediates costs 21-64x their logical bytes. The probe at
+    mesh 256 (scripts/probe_kpp_cost.py) measured ~1.0 ms per residual
+    evaluation vs a ~0.2 ms byte floor with the einsum forms this
+    replaces. Scalar-weighted plane MACs are also exact f32 (pure VPU,
+    no MXU operand rounding) — strictly at-least-as-accurate as the
+    einsum_exact forms.
+    """
+    fx, fy = _fp_comp(fprime, fprime_xy)
+    nx, ny = sd.nx, sd.ny
+    nq = sd.qw.shape[0]
+    out = jnp.zeros((nx + 1, ny + 1), x2.dtype)
+    two_area = 2.0 * sd.area
+    for t in range(2):
+        cs = CORNERS[t]
+        c = [x2[di:di + nx, dj:dj + ny] for (di, dj) in cs]
+        gux = sum(sd.grads[t, a, 0] * c[a] for a in range(3))
+        guy = sum(sd.grads[t, a, 1] * c[a] for a in range(3))
+        vals = [None, None, None]
+        for q in range(nq):
+            uq = sum(sd.phi[q, a] * c[a] for a in range(3))
+            conv = fx(uq) * gux + fy(uq) * guy
+            for a in range(3):
+                w = two_area * sd.qw[q] * sd.phi[q, a]
+                vals[a] = conv * w if vals[a] is None else vals[a] + conv * w
+        for a, (di, dj) in enumerate(cs):
+            out = out.at[di:di + nx, dj:dj + ny].add(vals[a])
+    return out
 
 
 def keps_coef(sd: StructuredData, eps2):
-    """eps-weighted stiffness stencil (eps P1 -> exact mean rule)."""
-    e_cell = cell_gather(sd, eps2).mean(axis=-1)      # (2,nx,ny)
-    gg = _einsum("tad,tbd->tab", sd.grads, sd.grads)
-    loc = sd.area * e_cell[..., None, None] * gg[:, None, None, :, :]
-    return local_to_stencil(sd, loc)
+    """eps-weighted stiffness stencil (eps P1 -> exact mean rule).
+
+    Componentwise planes (see nonlinear_rhs): gg entries are scalars per
+    (t, a, b), so the local matrices never materialize as rank-5 arrays.
+    """
+    nx, ny = sd.nx, sd.ny
+    coef = jnp.zeros((len(OFFSETS), nx + 1, ny + 1), eps2.dtype)
+    for t in range(2):
+        cs = CORNERS[t]
+        ae = sd.area / 3.0 * sum(
+            eps2[di:di + nx, dj:dj + ny] for (di, dj) in cs)
+        for a in range(3):
+            dai, daj = cs[a]
+            for b in range(3):
+                gg = (sd.grads[t, a, 0] * sd.grads[t, b, 0]
+                      + sd.grads[t, a, 1] * sd.grads[t, b, 1])
+                p = _PLANE[(cs[b][0] - dai, cs[b][1] - daj)]
+                coef = coef.at[p, dai:dai + nx, daj:daj + ny].add(gg * ae)
+    return coef
 
 
-def flux_jacobian_coef(sd: StructuredData, x2, fprime):
-    """Stencil of d/du N(u) (cf. assembly.assemble_flux_jacobian)."""
-    u_q = quad_values(sd, x2)                         # (2,nx,ny,Q)
-    fp, fpp = jax.jvp(fprime, (u_q,), (jnp.ones_like(u_q),))
-    gu = cell_grad(sd, x2)
-    t1 = _einsum("txyqd,txyd->txyq", fpp, gu)
-    term1 = _einsum("q,txyq,qa,qb->txyab", sd.qw, t1, sd.phi, sd.phi)
-    t2 = _einsum("txyqd,tbd->txyqb", fp, sd.grads)
-    term2 = _einsum("q,qa,txyqb->txyab", sd.qw, sd.phi, t2)
-    loc = 2.0 * sd.area * (term1 + term2)
-    return local_to_stencil(sd, loc)
+def flux_jacobian_coef(sd: StructuredData, x2, fprime, fprime_xy=None):
+    """Stencil of d/du N(u) (cf. assembly.assemble_flux_jacobian).
+
+    Componentwise quadrature planes (see nonlinear_rhs for the layout
+    rationale); f'/f'' come from jax.jvp of the per-component fluxes.
+    """
+    fx, fy = _fp_comp(fprime, fprime_xy)
+    nx, ny = sd.nx, sd.ny
+    nq = sd.qw.shape[0]
+    coef = jnp.zeros((len(OFFSETS), nx + 1, ny + 1), x2.dtype)
+    two_area = 2.0 * sd.area
+    for t in range(2):
+        cs = CORNERS[t]
+        c = [x2[di:di + nx, dj:dj + ny] for (di, dj) in cs]
+        gux = sum(sd.grads[t, a, 0] * c[a] for a in range(3))
+        guy = sum(sd.grads[t, a, 1] * c[a] for a in range(3))
+        loc = [[None] * 3 for _ in range(3)]
+        for q in range(nq):
+            uq = sum(sd.phi[q, a] * c[a] for a in range(3))
+            ones = jnp.ones_like(uq)
+            fpx, fppx = jax.jvp(fx, (uq,), (ones,))
+            fpy, fppy = jax.jvp(fy, (uq,), (ones,))
+            t1 = fppx * gux + fppy * guy
+            gb = [fpx * sd.grads[t, b, 0] + fpy * sd.grads[t, b, 1]
+                  for b in range(3)]
+            for a in range(3):
+                wqa = sd.qw[q] * sd.phi[q, a]
+                for b in range(3):
+                    contrib = (two_area * wqa) * (
+                        t1 * sd.phi[q, b] + gb[b])
+                    loc[a][b] = (contrib if loc[a][b] is None
+                                 else loc[a][b] + contrib)
+        for a in range(3):
+            dai, daj = cs[a]
+            for b in range(3):
+                p = _PLANE[(cs[b][0] - dai, cs[b][1] - daj)]
+                coef = coef.at[p, dai:dai + nx, daj:daj + ny].add(loc[a][b])
+    return coef
 
 
 def mass_matvec(sd: StructuredData, x2):

@@ -57,12 +57,16 @@ def main():
         ("cg 12 (mass +6 iters)", dict(cg_iters=12)),
         ("nl 8 (J +8 matvecs)", dict(newton_linear_iters=8)),
         ("newton 3 (+1 lin+resid)", dict(newton_iters=3)),
-        ("gfem (no RV pass)", dict(stabilization="gfem")),
-        ("exact newton (re-linearize)", dict(modified_newton=False)),
+        ("no final residual eval", dict(newton_final_residual=False)),
+        ("bf16 sweep planes", dict(xla_bf16_planes=True)),
     ]
     for label, kw in rows:
         p = kpp.build(dc.replace(base, **kw))
-        t, _ = bench._measure(p, jnp, jax)
+        try:
+            t, _ = bench._measure(p, jnp, jax)
+        except RuntimeError as e:  # e.g. an unstabilized variant blows up
+            print(f"mesh {ms}  {label:28s} FAILED: {e}", flush=True)
+            continue
         print(f"mesh {ms}  {label:28s} {t * 1e3:8.3f} ms/step", flush=True)
 
 
