@@ -38,7 +38,6 @@ from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 from conservation_fem_tpu.ops import structured as st
 from conservation_fem_tpu.ops.krylov import cg, jacobi_preconditioner
 from conservation_fem_tpu.ops.newton import newton_solve
-from conservation_fem_tpu.ops.precision import einsum_exact as _einsum
 
 OFFSETS = st.OFFSETS
 CORNERS = st.CORNERS
@@ -122,28 +121,31 @@ class ShardedStructuredKPP:
         g = idx * self.L + jnp.arange(self.L)
         return g < self.nx
 
-    def _cell_gather(self, x):
-        """x (L, n1y) -> (2, L, ny, 3) at triangle corners (local quad rows)."""
+    def _cell_planes(self, x):
+        """x (L, n1y) -> per-corner (L, ny) planes, planes[t][a].
+
+        Componentwise layout (ops/structured nonlinear_rhs rationale):
+        the corner dim stays a Python list so no (..., 3) trailing dim is
+        ever materialized with a padded TPU layout.
+        """
         xe = self._halo(x)                     # rows offset +1
         L, ny = self.L, self.ny
-        out = []
-        for t in range(2):
-            cs = [
-                jax.lax.dynamic_slice(xe, (1 + di, dj), (L, ny))
-                for (di, dj) in CORNERS[t]
-            ]
-            out.append(jnp.stack(cs, axis=-1))
-        return jnp.stack(out)
+        return [
+            [jax.lax.dynamic_slice(xe, (1 + di, dj), (L, ny))
+             for (di, dj) in CORNERS[t]]
+            for t in range(2)
+        ]
 
-    def _node_scatter(self, vals):
-        """(2, L, ny, 3) -> (L, n1y) nodal sums with boundary-row shipping."""
+    def _node_scatter_planes(self, vals):
+        """per-corner planes vals[t][a] (L, ny) -> (L, n1y) nodal sums
+        with boundary-row shipping."""
         L, ny, n1y = self.L, self.ny, self.n1y
-        qm = self._quad_row_mask()[None, :, None, None]
-        vals = jnp.where(qm, vals, 0.0)
-        out = jnp.zeros((L + 1, n1y), vals.dtype)
+        qm = self._quad_row_mask()[:, None]
+        out = jnp.zeros((L + 1, n1y), vals[0][0].dtype)
         for t in range(2):
             for a, (di, dj) in enumerate(CORNERS[t]):
-                out = out.at[di:di + L, dj:dj + ny].add(vals[t, :, :, a])
+                out = out.at[di:di + L, dj:dj + ny].add(
+                    jnp.where(qm, vals[t][a], 0.0))
         ship = jax.lax.ppermute(
             out[-1:], self.axis, [(d, d + 1) for d in range(self.n_dev - 1)]
         )
@@ -151,12 +153,12 @@ class ShardedStructuredKPP:
         ship = jnp.where(idx == 0, 0.0, ship)
         return out[:L].at[:1].add(ship)
 
-    def _local_to_stencil(self, loc):
-        """(2, L, ny, 3, 3) -> (L, 7, n1y) stencil planes with row shipping."""
+    def _local_to_stencil_planes(self, loc):
+        """local-matrix planes loc[t][a][b] (L, ny) -> (L, 7, n1y) stencil
+        planes with row shipping."""
         L, ny, n1y = self.L, self.ny, self.n1y
-        qm = self._quad_row_mask()[None, :, None, None, None]
-        loc = jnp.where(qm, loc, 0.0)
-        coef = jnp.zeros((L + 1, len(OFFSETS), n1y), loc.dtype)
+        qm = self._quad_row_mask()[:, None]
+        coef = jnp.zeros((L + 1, len(OFFSETS), n1y), loc[0][0][0].dtype)
         for t in range(2):
             cs = CORNERS[t]
             for a in range(3):
@@ -165,7 +167,7 @@ class ShardedStructuredKPP:
                     off = (cs[b][0] - dai, cs[b][1] - daj)
                     pidx = st._PLANE[off]
                     coef = coef.at[dai:dai + L, pidx, daj:daj + ny].add(
-                        loc[t, :, :, a, b]
+                        jnp.where(qm, loc[t][a][b], 0.0)
                     )
         ship = jax.lax.ppermute(
             coef[-1:], self.axis, [(d, d + 1) for d in range(self.n_dev - 1)]
@@ -179,31 +181,66 @@ class ShardedStructuredKPP:
     def _pdot(self, a, b):
         return jax.lax.psum(jnp.vdot(a, b), self.axis)
 
+    def _fp_xy(self):
+        return st._fp_comp(self.p.flux_prime,
+                           getattr(self.p, "flux_prime_xy", None))
+
     def _nonlinear_rhs(self, x, sd_phi, sd_qw, grads, area):
-        u_cell = self._cell_gather(x)                 # (2,L,ny,3)
-        u_q = _einsum("qa,txya->txyq", sd_phi, u_cell)
-        fp = self.p.flux_prime(u_q)
-        gu = _einsum("txya,tad->txyd", u_cell, grads)
-        conv = _einsum("txyqd,txyd->txyq", fp, gu)
-        vals = 2.0 * area * _einsum("q,txyq,qa->txya", sd_qw, conv, sd_phi)
-        return self._node_scatter(vals)
+        """Componentwise plane-form quadrature (ops/structured twin)."""
+        fx, fy = self._fp_xy()
+        c = self._cell_planes(x)
+        nq = sd_qw.shape[0]
+        two_area = 2.0 * area
+        vals = [[None] * 3 for _ in range(2)]
+        for t in range(2):
+            gux = sum(grads[t, a, 0] * c[t][a] for a in range(3))
+            guy = sum(grads[t, a, 1] * c[t][a] for a in range(3))
+            for q in range(nq):
+                uq = sum(sd_phi[q, a] * c[t][a] for a in range(3))
+                conv = fx(uq) * gux + fy(uq) * guy
+                for a in range(3):
+                    w = two_area * sd_qw[q] * sd_phi[q, a]
+                    vals[t][a] = (conv * w if vals[t][a] is None
+                                  else vals[t][a] + conv * w)
+        return self._node_scatter_planes(vals)
 
     def _keps(self, eps, grads, area):
-        e_cell = self._cell_gather(eps).mean(axis=-1)
-        gg = _einsum("tad,tbd->tab", grads, grads)
-        loc = area * e_cell[..., None, None] * gg[:, None, None, :, :]
-        return self._local_to_stencil(loc)
+        c = self._cell_planes(eps)
+        loc = [[[None] * 3 for _ in range(3)] for _ in range(2)]
+        for t in range(2):
+            ae = area / 3.0 * (c[t][0] + c[t][1] + c[t][2])
+            for a in range(3):
+                for b in range(3):
+                    gg = (grads[t, a, 0] * grads[t, b, 0]
+                          + grads[t, a, 1] * grads[t, b, 1])
+                    loc[t][a][b] = gg * ae
+        return self._local_to_stencil_planes(loc)
 
     def _flux_jac(self, x, sd_phi, sd_qw, grads, area):
-        u_cell = self._cell_gather(x)
-        u_q = _einsum("qa,txya->txyq", sd_phi, u_cell)
-        fp, fpp = jax.jvp(self.p.flux_prime, (u_q,), (jnp.ones_like(u_q),))
-        gu = _einsum("txya,tad->txyd", u_cell, grads)
-        t1 = _einsum("txyqd,txyd->txyq", fpp, gu)
-        term1 = _einsum("q,txyq,qa,qb->txyab", sd_qw, t1, sd_phi, sd_phi)
-        t2 = _einsum("txyqd,tbd->txyqb", fp, grads)
-        term2 = _einsum("q,qa,txyqb->txyab", sd_qw, sd_phi, t2)
-        return self._local_to_stencil(2.0 * area * (term1 + term2))
+        fx, fy = self._fp_xy()
+        c = self._cell_planes(x)
+        nq = sd_qw.shape[0]
+        two_area = 2.0 * area
+        loc = [[[None] * 3 for _ in range(3)] for _ in range(2)]
+        for t in range(2):
+            gux = sum(grads[t, a, 0] * c[t][a] for a in range(3))
+            guy = sum(grads[t, a, 1] * c[t][a] for a in range(3))
+            for q in range(nq):
+                uq = sum(sd_phi[q, a] * c[t][a] for a in range(3))
+                ones = jnp.ones_like(uq)
+                fpx, fppx = jax.jvp(fx, (uq,), (ones,))
+                fpy, fppy = jax.jvp(fy, (uq,), (ones,))
+                t1 = fppx * gux + fppy * guy
+                gb = [fpx * grads[t, b, 0] + fpy * grads[t, b, 1]
+                      for b in range(3)]
+                for a in range(3):
+                    wqa = sd_qw[q] * sd_phi[q, a]
+                    for b in range(3):
+                        contrib = (two_area * wqa) * (
+                            t1 * sd_phi[q, b] + gb[b])
+                        loc[t][a][b] = (contrib if loc[t][a][b] is None
+                                        else loc[t][a][b] + contrib)
+        return self._local_to_stencil_planes(loc)
 
     def _patch_reduce(self, x, reducer, pad_val, valid):
         x_masked = jnp.where(valid > 0, x, pad_val)
