@@ -79,12 +79,16 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         # scoped VMEM and Mosaic fails to compile — fall back to the
         # composed XLA CG there (measured OOM at 513x513 f32).
         diag = jnp.where(sd.bc2, 1.0, sd.diagM2)
-        # this projection feeds only the RV epsilon (tolerant), so the
-        # sweep operator may stream as bf16 (structured.sweep_form)
-        Mc = st.sweep_form(sd.M_coef, self.cfg.xla_bf16_planes)
-        op = lambda x2: st.constrained_matvec(sd, Mc, x2)
+        op = lambda x2: st.constrained_matvec(sd, sd.M_coef, x2)
         pre = jacobi_preconditioner(diag)
         if self.cfg.cg_iters is not None:
+            # this projection feeds only the RV epsilon (tolerant), so the
+            # FIXED-iteration sweep operator may stream as bf16
+            # (structured.sweep_form); the adaptive-rtol CG below keeps the
+            # exact operator — a bf16-perturbed operator can stall its
+            # convergence below rtol and spin to maxiter.
+            Mc = st.sweep_form(sd.M_coef, self.cfg.xla_bf16_planes)
+            op = lambda x2: st.constrained_matvec(sd, Mc, x2)
             # fixed-count unrolled CG: straight-line code beats both the
             # while-loop CG and the fused Pallas CG (each while iteration
             # costs ~270 us launch overhead on the axon runtime);
@@ -140,6 +144,7 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
                 rtol=cfg.newton_rtol, atol=cfg.newton_atol,
                 linear_solver=cfg.inner_solver,
                 cheby_bounds=cfg.cheby_lin_bounds,
+                final_residual=cfg.newton_final_residual,
             )
         return newton_solve(
             residual, u_init,
