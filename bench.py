@@ -26,6 +26,23 @@ Round-3 methodology fixes:
 Prints ONE JSON line:
   {"metric": ..., "value": DOF-steps/s on this chip,
    "unit": "DOF-steps/s", "vs_baseline": value / proxy_DOF-steps/s}
+
+Round-5 unlosable-artifact architecture (the round-4 driver artifact was
+rc=124/parsed:null — tunnel down, probe retries + f64 CPU fallback blew
+the driver's wall clock): `python bench.py` now runs a SUPERVISOR that
+does no jax work itself. It spawns the measurement as a `--child`
+subprocess under a global wall-clock budget (BENCH_BUDGET_S, default
+1140 s), reserving a tail slice for a bounded fast CPU fallback
+(mesh 32, T=0.1 short-anchor gate, 1 trial) if the TPU child dies,
+hangs, or times out. Whatever happens, ONE parsable JSON line is
+printed before the budget expires:
+  * TPU child succeeds  -> its JSON, child's rc.
+  * TPU child fails     -> fast CPU fallback JSON labeled
+                           tpu_unreachable_cpu_fallback, rc=0.
+  * everything fails    -> a value-0 JSON with an error field, rc=2.
+Verified by killing the tunnel: `timeout 1800 python bench.py` -> rc=0
+with a parsable metric. Capture chains that want a hard failure instead
+of degradation still set BENCH_REQUIRE_TPU=1 (rc=3 passthrough).
 """
 
 import json
@@ -92,9 +109,59 @@ def _config(kpp, mesh_size, dtype):
     )
 
 
+def _measure_chunked(p, jnp, jax, chunk, trials):
+    """Per-call timing of a trajectory split into `chunk`-step jitted
+    segments (carry crosses segment calls on device). Workaround for the
+    mesh-512 full-horizon TPU-worker crash (docs/tpu_capture_r4/
+    mesh512.log): the single 800-step (x R chained reps) program is what
+    crashed; segments bound per-launch exposure. The ~30 ms per-call
+    constant is paid once per SEGMENT (n_seg * 30 ms over num_steps *
+    tens-of-ms steps at this size: <0.1% inflation — per-call timing is
+    honest here, unlike the small-mesh rows that need the amortized
+    model)."""
+    import time as _t
+
+    if p.num_steps % chunk:
+        raise ValueError(
+            f"BENCH_CHUNK_STEPS={chunk} must divide num_steps={p.num_steps}")
+    n_seg = p.num_steps // chunk
+
+    @jax.jit
+    def seg(state, carry, t0):
+        with p.bound_jit_state(state):
+            ts = t0 + (jnp.arange(chunk, dtype=p.u0.dtype) + 1.0) * p.dt
+            carry, _ = jax.lax.scan(p.step, carry, ts)
+        return carry
+
+    def solve_once():
+        carry = (p.u0, p.u0, p.u0)
+        for i in range(n_seg):
+            t0 = jnp.asarray(i * chunk * p.dt, p.u0.dtype)
+            carry = seg(p._jit_state(), carry, t0)
+        u = carry[0]
+        return u, float(jnp.sum(u))           # hard sync
+
+    u, s = solve_once()                        # compile + warm
+    best = float("inf")
+    for _ in range(trials):
+        t0 = _t.perf_counter()
+        u, s = solve_once()
+        best = min(best, _t.perf_counter() - t0)
+    if not np.isfinite(s):
+        raise RuntimeError("bench solve produced non-finite values")
+    return best / p.num_steps, np.asarray(u)
+
+
 def _measure(p, jnp, jax, reps=(1, 4), trials=3):
     """True per-step seconds: difference chained-repetition timings."""
     import time as _t
+
+    if os.environ.get("BENCH_REPS"):
+        reps = tuple(int(x) for x in os.environ["BENCH_REPS"].split(","))
+    trials = int(os.environ.get("BENCH_TRIALS", trials))
+    chunk = int(os.environ.get("BENCH_CHUNK_STEPS", 0))
+    if chunk:
+        return _measure_chunked(p, jnp, jax, chunk, trials)
 
     def runner(R):
         @jax.jit
@@ -168,7 +235,7 @@ def _accuracy_short(build_fn, mesh_size):
     return float(np.linalg.norm(u - ref) / np.linalg.norm(ref)), True
 
 
-def _backend_alive(timeout=240):
+def _backend_alive(timeout=None):
     """Probe the pinned platform (the axon TPU tunnel) in a SUBPROCESS
     with a timeout: when the tunnel is down, jax.devices() in-process
     hangs indefinitely (observed for hours — CLAUDE.md), which would
@@ -177,6 +244,8 @@ def _backend_alive(timeout=240):
     exactly what this process would initialize."""
     import subprocess
 
+    if timeout is None:
+        timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", 60))
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -191,7 +260,20 @@ def _backend_alive(timeout=240):
 
 def main():
     fallback = False
-    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+    force_cpu = bool(os.environ.get("BENCH_FORCE_CPU"))
+    if force_cpu:
+        # sitecustomize's axon register() pins the platform IN-PROCESS at
+        # interpreter start, so JAX_PLATFORMS=cpu in a subprocess env is
+        # silently ignored (measured: the r5 supervisor's first "CPU"
+        # fallback child ran on the TPU and contended with a live
+        # capture). The only reliable CPU pin is the in-process config
+        # update before the first jax op — same pattern as conftest and
+        # make_anchor.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    elif os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
         # The axon tunnel refuses a fresh client for a short window after
         # the previous one exits (observed r4: back-to-back bench phases
         # failed their first probe while a later probe passed), so ALWAYS
@@ -199,7 +281,7 @@ def main():
         # BENCH_REQUIRE_TPU=1: a capture chain wants a hard failure (rc=3)
         # instead of the driver's honest CPU degradation.
         # BENCH_PROBE_ATTEMPTS: budget override for flapping-tunnel days.
-        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 3))
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 2))
         alive = False
         for i in range(attempts):
             if _backend_alive():
@@ -208,7 +290,7 @@ def main():
             if i + 1 < attempts:
                 print(f"bench: TPU probe attempt {i + 1} failed, retrying",
                       file=sys.stderr, flush=True)
-                time.sleep(30)
+                time.sleep(15)
         if not alive:
             if os.environ.get("BENCH_REQUIRE_TPU"):
                 print("bench: TPU unreachable and BENCH_REQUIRE_TPU set",
@@ -221,6 +303,7 @@ def main():
         # honest degradation: a labeled CPU measurement (f64 adaptive
         # path, same accuracy anchors) instead of a hang / empty artifact
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
         # a mesh sweep at f64 CPU would run for days — drop it here
         os.environ.pop("BENCH_SWEEP", None)
         print("bench: TPU backend unreachable -> CPU fallback "
@@ -384,5 +467,95 @@ def main():
     print(json.dumps(out))
 
 
+def _run_child(env, timeout):
+    """Run `bench.py --child` under `env` with a hard timeout; return
+    (rc, last-parsable-JSON-stdout-line-or-None). stderr is inherited so
+    BENCH_VERBOSE logs stream through."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            env=env, timeout=timeout, stdout=subprocess.PIPE)
+    except subprocess.TimeoutExpired:
+        print(f"bench: child exceeded {timeout:.0f}s, killed",
+              file=sys.stderr, flush=True)
+        return 124, None
+    except Exception as e:
+        print(f"bench: child spawn failed: {e}", file=sys.stderr, flush=True)
+        return 125, None
+    line = None
+    for raw in (r.stdout or b"").decode(errors="replace").splitlines():
+        raw = raw.strip()
+        if raw.startswith("{"):
+            try:
+                json.loads(raw)
+                line = raw
+            except ValueError:
+                pass
+    return r.returncode, line
+
+
+def supervise():
+    """Unlosable-artifact orchestration (module docstring, round 5)."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1140))
+    t_end = time.monotonic() + budget
+    cpu_pinned = (os.environ.get("JAX_PLATFORMS", "") == "cpu"
+                  or bool(os.environ.get("BENCH_FORCE_CPU")))
+    require_tpu = bool(os.environ.get("BENCH_REQUIRE_TPU"))
+    # tail reserve for the bounded CPU fallback (fallback child observed
+    # ~120-180 s incl. compiles; 330 keeps margin)
+    reserve = 0 if (cpu_pinned or require_tpu) else 330
+
+    child_env = dict(os.environ)
+    if not cpu_pinned:
+        # make the TPU child fail FAST (rc=3) instead of attempting its
+        # own slow in-process f64 fallback — the supervisor owns fallback
+        child_env["BENCH_REQUIRE_TPU"] = "1"
+    rc, line = _run_child(
+        child_env, max(60.0, t_end - time.monotonic() - reserve))
+    if line is not None:
+        print(line, flush=True)
+        sys.exit(rc)
+    if require_tpu:
+        sys.exit(rc if rc else 4)
+    if cpu_pinned:
+        # CPU-pinned child died with no JSON — nothing cheaper to try
+        print(json.dumps({"metric": "KPP-RV DOF-steps/sec/chip",
+                          "value": 0, "unit": "DOF-steps/s",
+                          "vs_baseline": 0,
+                          "error": f"cpu child died rc={rc}, no JSON"}),
+              flush=True)
+        sys.exit(2)
+
+    print("bench: TPU child produced no result -> bounded CPU fallback",
+          file=sys.stderr, flush=True)
+    fb_env = dict(os.environ)
+    fb_env.update(BENCH_FORCE_CPU="1",
+                  BENCH_MESH_SIZE=os.environ.get("BENCH_FALLBACK_MESH", "32"),
+                  BENCH_T="0.1", BENCH_TRIALS="1", BENCH_REPS="1,2")
+    for k in ("BENCH_SWEEP", "BENCH_REQUIRE_TPU", "BENCH_TILED",
+              "BENCH_CHUNK_STEPS"):
+        fb_env.pop(k, None)
+    rc2, line2 = _run_child(fb_env, max(60.0, t_end - time.monotonic() - 10))
+    if line2 is not None:
+        try:
+            obj = json.loads(line2)
+            obj["tpu_unreachable_cpu_fallback"] = True
+            print(json.dumps(obj), flush=True)
+        except ValueError:
+            print(line2, flush=True)
+        sys.exit(rc2)
+    print(json.dumps({"metric": "KPP-RV DOF-steps/sec/chip",
+                      "value": 0, "unit": "DOF-steps/s", "vs_baseline": 0,
+                      "error": f"tpu child rc={rc} and cpu fallback "
+                               f"rc={rc2} both produced no JSON"}),
+          flush=True)
+    sys.exit(2)
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        supervise()
