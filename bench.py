@@ -106,6 +106,12 @@ def _config(kpp, mesh_size, dtype):
             "BENCH_BF16_PLANES")),
         xla_bf16_planes=bool(not tiled and os.environ.get(
             "BENCH_BF16_PLANES")),
+        # mesh >= 256: fori_loop solver bodies — the UNROLLED
+        # componentwise composed-XLA step crashed the remote compile
+        # service (r5 capture: "response body closed before all bytes
+        # were read"); on-device throughput is identical (round-3 timing
+        # model). Smaller meshes keep the r4-validated unrolled programs.
+        solver_unroll=mesh_size < 256,
     )
 
 

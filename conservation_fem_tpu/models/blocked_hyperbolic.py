@@ -203,7 +203,8 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
         if cfg.stabilization == "rv":
             return blocked.rv_epsilon_nonlinear(
                 self.plan, cfg.Cvel, cfg.CRV, u_n, u_n,
-                self.flux_prime_norm, RH, self.h_cg)
+                self.flux_prime_norm, RH, self.h_cg,
+                precise=cfg.precise_reductions)
         elif cfg.stabilization == "si":
             beta = self.flux_prime_norm(u_n)
             alpha = blocked.si_alpha(self.plan, self.K_bc, u_n,

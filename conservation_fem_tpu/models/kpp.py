@@ -54,6 +54,8 @@ class KPPConfig:
     newton_linear_iters: int = 8
     inner_solver: str = "bicgstab"  # "cheby": dot-free inner solves
     newton_final_residual: bool = True  # see HyperbolicConfig
+    precise_reductions: bool = False    # see HyperbolicConfig
+    solver_unroll: bool = True          # see HyperbolicConfig
     tiled_bf16_planes: bool = False     # see HyperbolicConfig
     xla_bf16_planes: bool = False       # see HyperbolicConfig
     # unstructured operator application (h5/gmsh meshes): "gather" (XLA
@@ -119,6 +121,8 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         newton_linear_iters=cfg.newton_linear_iters,
         inner_solver=cfg.inner_solver,
         newton_final_residual=cfg.newton_final_residual,
+        precise_reductions=cfg.precise_reductions,
+        solver_unroll=cfg.solver_unroll,
         tiled_bf16_planes=cfg.tiled_bf16_planes,
         xla_bf16_planes=cfg.xla_bf16_planes,
         ell_matvec_backend=cfg.ell_matvec_backend,

@@ -107,6 +107,19 @@ class HyperbolicConfig:
     # shock-dominated KPP/Burgers horizons stay at their f32-floor
     # accuracy gates with bf16 streams, which are ~2x cheaper on HBM
     blocked_precise: bool = False
+    # f64-ACCUMULATED dots/means on both the single-device and sharded
+    # paths (ops/precision.dot_acc64 family; inputs stay f32). Shrinks
+    # the reduction-order seed that sharded-vs-single f32 trajectories
+    # chaos-amplify from f32-eps (~1e-3 end-state gap) to f64-eps
+    # (~1e-9); requires jax_enable_x64 to have effect. Asserted by
+    # dryrun_multichip's f32 blocked path at 1e-5.
+    precise_reductions: bool = False
+    # fixed-iteration solver bodies: True = straight-line unrolled XLA;
+    # False = lax.fori_loop (same on-device throughput per the round-3
+    # timing model, ~linear_iters x smaller program — required at
+    # mesh >= 256 where the unrolled componentwise step crashes the
+    # remote TPU compile service; see ops/newton.newton_fixed)
+    solver_unroll: bool = True
     smooth_l: float = 0.0          # >0: post-solve smoothing strength
     use_pallas: bool = False       # fused Pallas CG on the stencil backend
     # fused whole-step kernel: K full time steps per Mosaic launch
@@ -294,10 +307,13 @@ class HyperbolicProblem:
                 lo, hi = self.cfg.cheby_mass_bounds
                 return chebyshev_fixed(op, rhs, precond=pre,
                                        iters=self.cfg.cg_iters,
-                                       lmin=lo, lmax=hi).x
+                                       lmin=lo, lmax=hi,
+                                       unroll=self.cfg.solver_unroll).x
             return cg_fixed(op, rhs, precond=pre,
-                            iters=self.cfg.cg_iters).x
-        return cg(op, rhs, precond=pre, rtol=self.cfg.krylov_rtol).x
+                            iters=self.cfg.cg_iters, dot=self._dot,
+                            unroll=self.cfg.solver_unroll).x
+        return cg(op, rhs, precond=pre, rtol=self.cfg.krylov_rtol,
+                  dot=self._dot).x
 
     def _epsilon(self, u_n, RH):
         cfg = self.cfg
@@ -366,6 +382,8 @@ class HyperbolicProblem:
                 linear_solver=self.cfg.inner_solver,
                 cheby_bounds=self.cfg.cheby_lin_bounds,
                 final_residual=self.cfg.newton_final_residual,
+                dot=self._dot,
+                unroll=self.cfg.solver_unroll,
             )
         return newton_solve(
             residual, u_init,
@@ -375,7 +393,18 @@ class HyperbolicProblem:
             linear_rtol=self.cfg.newton_linear_rtol or self.cfg.krylov_rtol,
             jacobian_fn=jacobian,
             freeze_jacobian=self.cfg.modified_newton,
+            dot=self._dot,
         )
+
+    @property
+    def _dot(self):
+        """Inner product for the solver stack: f64-accumulated when
+        cfg.precise_reductions (ops/precision.dot_acc64), else jnp.vdot."""
+        if self.cfg.precise_reductions:
+            from conservation_fem_tpu.ops.precision import dot_acc64
+
+            return dot_acc64
+        return jnp.vdot
 
     def _smooth(self, u):
         """Post-solve patch smoothing (ref Exact_Burger_SI.py:193)."""

@@ -97,8 +97,10 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
                 lo, hi = self.cfg.cheby_mass_bounds
                 return chebyshev_fixed(op, rhs, precond=pre,
                                        iters=self.cfg.cg_iters,
-                                       lmin=lo, lmax=hi).x
-            return cg_fixed(op, rhs, precond=pre, iters=self.cfg.cg_iters).x
+                                       lmin=lo, lmax=hi,
+                                       unroll=self.cfg.solver_unroll).x
+            return cg_fixed(op, rhs, precond=pre, iters=self.cfg.cg_iters,
+                            unroll=self.cfg.solver_unroll).x
         n_elems = (sd.nx + 1) * (sd.ny + 1)
         fits_vmem = 15 * n_elems * u2.dtype.itemsize < 12 * 2**20
         if self.cfg.use_pallas and fits_vmem:
@@ -145,6 +147,7 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
                 linear_solver=cfg.inner_solver,
                 cheby_bounds=cfg.cheby_lin_bounds,
                 final_residual=cfg.newton_final_residual,
+                unroll=cfg.solver_unroll,
             )
         return newton_solve(
             residual, u_init,

@@ -683,10 +683,18 @@ def patch_sum(plan: BlockedPlan, x):
 
 
 def rv_epsilon_nonlinear(plan: BlockedPlan, Cvel, Crv, uh, u_n,
-                         fprime_norm, Rh, h):
+                         fprime_norm, Rh, h, precise=False):
     """Window-form twin of stabilization.rv_epsilon_nonlinear
-    (ref Code/Utils/RV.py:56-90); same math, same quirks."""
-    abs_term = jnp.abs(uh - uh.mean()).max()
+    (ref Code/Utils/RV.py:56-90); same math, same quirks. precise:
+    f64-accumulated mean (precision.sum_acc64) so sharded twins that
+    psum f64 partials agree at f64-order eps (precise_reductions)."""
+    if precise:
+        from conservation_fem_tpu.ops.precision import sum_acc64
+
+        mean = sum_acc64(uh) / uh.shape[0]
+    else:
+        mean = uh.mean()
+    abs_term = jnp.abs(uh - mean).max()
     u_tilde = patch_max(plan, u_n) - patch_min(plan, u_n)
     n_i = jnp.abs(u_tilde - abs_term)
     Rh_i = patch_abs_max(plan, Rh)
@@ -697,11 +705,18 @@ def rv_epsilon_nonlinear(plan: BlockedPlan, Cvel, Crv, uh, u_n,
     return jnp.minimum(Cvel * h * beta, Crv * h**2 * jnp.abs(R_i))
 
 
-def rv_epsilon_linear(plan: BlockedPlan, Cvel, Crv, uh, u_n, w_norm, Rh, h):
+def rv_epsilon_linear(plan: BlockedPlan, Cvel, Crv, uh, u_n, w_norm, Rh, h,
+                      precise=False):
     """Window-form twin of stabilization.rv_epsilon_linear
     (ref Code/Utils/RV.py:92-127); beta_i = |w_i| at the patch owner —
     the reference's quirk, reproduced (RV.py:113-114)."""
-    abs_term = jnp.abs(uh - uh.mean()).max()
+    if precise:
+        from conservation_fem_tpu.ops.precision import sum_acc64
+
+        mean = sum_acc64(uh) / uh.shape[0]
+    else:
+        mean = uh.mean()
+    abs_term = jnp.abs(uh - mean).max()
     u_tilde = patch_max(plan, u_n) - patch_min(plan, u_n)
     n_i = jnp.abs(u_tilde - abs_term)
     Rh_i = patch_abs_max(plan, Rh)

@@ -146,6 +146,7 @@ def newton_fixed(
     linear_solver: str = "bicgstab",
     cheby_bounds: tuple = (0.4, 2.2),
     final_residual: bool = True,
+    unroll: bool = True,
 ) -> NewtonResult:
     """Newton with FIXED unrolled outer and inner iteration counts.
 
@@ -161,6 +162,15 @@ def newton_fixed(
     Chebyshev semi-iteration (krylov.chebyshev_fixed) over cheby_bounds —
     one matvec and zero reductions per iteration vs BiCGStab's two and
     four, so callers typically double linear_iters for matvec parity.
+
+    unroll=False switches the INNER solves to lax.fori_loop bodies
+    (krylov._fixed_loop): same math and, per the round-3 timing model,
+    the same on-device throughput — but the emitted program is
+    linear_iters times smaller, which keeps big-mesh composed-XLA steps
+    (mesh >= 256 componentwise planes) from crushing the remote TPU
+    compile service (observed: the service drops the HTTP response
+    mid-compile — the r5 mesh-256 capture failure). The outer Newton
+    loop stays a Python loop (iters is 2-3 everywhere).
     """
     norm = lambda v: jnp.sqrt(dot(v, v))
     F = residual_fn(u0)
@@ -173,10 +183,11 @@ def newton_fixed(
             du = chebyshev_fixed(matvec, -F, precond=precond,
                                  iters=linear_iters,
                                  lmin=cheby_bounds[0],
-                                 lmax=cheby_bounds[1]).x
+                                 lmax=cheby_bounds[1], unroll=unroll).x
         else:
             du = bicgstab_fixed(matvec, -F, precond=precond,
-                                iters=linear_iters, dot=dot).x
+                                iters=linear_iters, dot=dot,
+                                unroll=unroll).x
         u = u + du
         # final_residual=False: skip the residual at the LAST iterate —
         # it only feeds the converged flag (one whole quadrature pass per

@@ -183,7 +183,12 @@ class DistributedBlocked:
             bc = bc_row.reshape(-1)
             validf = valid2.reshape(-1)
             h = h2.reshape(-1)
-            pdot = lambda a, b: jax.lax.psum(jnp.vdot(a, b), axis)
+            if cfg.precise_reductions:
+                from conservation_fem_tpu.ops.precision import pdot_acc64
+
+                pdot = pdot_acc64(axis)
+            else:
+                pdot = lambda a, b: jax.lax.psum(jnp.vdot(a, b), axis)
 
             def spmv(D, x):
                 return blocked_ops.spmv_windows(
@@ -298,8 +303,15 @@ class DistributedBlocked:
                 1e-300 if u.dtype == jnp.float64 else 1e-30, u.dtype)
             if cfg.stabilization == "rv":
                 nvalid = jax.lax.psum(validf.sum(), axis)
-                mean_u = jax.lax.psum(
-                    jnp.where(validf, u, 0.0).sum(), axis) / nvalid
+                if cfg.precise_reductions:
+                    from conservation_fem_tpu.ops.precision import (
+                        psum_acc64, sum_acc64)
+
+                    mean_u = psum_acc64(
+                        sum_acc64(jnp.where(validf, u, 0.0)), axis) / nvalid
+                else:
+                    mean_u = jax.lax.psum(
+                        jnp.where(validf, u, 0.0).sum(), axis) / nvalid
                 abs_term = jax.lax.pmax(
                     jnp.abs(jnp.where(validf, u - mean_u, 0.0)).max(), axis)
                 u_max = patch_reduce(u, jnp.max, -jnp.inf)
