@@ -32,9 +32,17 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
     def __init__(self, *args, nb: int = 128, **kwargs):
         super().__init__(*args, **kwargs)
         dtype = jnp.dtype(self.cfg.dtype)
-        self.plan = blocked.make_blocked_plan(
-            self.host_mesh, nb=nb, dtype=dtype,
-            precise=getattr(self.cfg, "blocked_precise", False))
+        if self.cfg.ell_matvec_backend == "blocked2d":
+            # 2D tiled windows (ops/tiling): W independent of N — the
+            # large-N unstructured path. The host_mesh must be a
+            # tiling.tile_mesh slot mesh (kpp.build does this).
+            self.plan = blocked.make_tiled_plan(
+                self.host_mesh, nb=nb, dtype=dtype,
+                precise=getattr(self.cfg, "blocked_precise", False))
+        else:
+            self.plan = blocked.make_blocked_plan(
+                self.host_mesh, nb=nb, dtype=dtype,
+                precise=getattr(self.cfg, "blocked_precise", False))
         self._area_flat = self.plan.area_b.reshape(-1)
         self._grads_flat = self.plan.grads_b.reshape(-1, 3, 2)
         self.M_ell = self.M          # kept for the h_cg mass projection
@@ -204,7 +212,8 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
             return blocked.rv_epsilon_nonlinear(
                 self.plan, cfg.Cvel, cfg.CRV, u_n, u_n,
                 self.flux_prime_norm, RH, self.h_cg,
-                precise=cfg.precise_reductions)
+                precise=cfg.precise_reductions,
+                valid=self.plan.row_valid)
         elif cfg.stabilization == "si":
             beta = self.flux_prime_norm(u_n)
             alpha = blocked.si_alpha(self.plan, self.K_bc, u_n,

@@ -111,6 +111,10 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
             )
 
             host_mesh = reorder_mesh(host_mesh, rcm_permutation(host_mesh))
+        elif cfg.ell_matvec_backend == "blocked2d":
+            from conservation_fem_tpu.ops.tiling import tile_mesh
+
+            host_mesh, slot_of_node = tile_mesh(host_mesh)
     hcfg = HyperbolicConfig(
         stabilization=cfg.stabilization,
         Cvel=cfg.Cvel, CRV=cfg.CRV, Cm=cfg.Cm,
@@ -129,7 +133,7 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
         blocked_matrix_free=cfg.blocked_matrix_free,
         dtype=cfg.dtype, record_metrics=cfg.record_metrics,
     )
-    if cfg.ell_matvec_backend == "blocked":
+    if cfg.ell_matvec_backend in ("blocked", "blocked2d"):
         from conservation_fem_tpu.models.blocked_hyperbolic import (
             BlockedHyperbolicProblem,
         )
@@ -149,6 +153,12 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
     )
     prob.flux_prime_xy = flux_prime_xy
     prob.bc_static = True          # g = pi/4 for all t (ref KPP_NodeRV.py)
+    if cfg.ell_matvec_backend == "blocked2d" and "slot_of_node" in dir():
+        # solutions live in the padded tile-slot numbering:
+        # u_native = u_slots[prob.slot_of_node]. (A caller-provided
+        # host_mesh must already be a tiling.tile_mesh mesh; the caller
+        # then owns the slot map.)
+        prob.slot_of_node = slot_of_node
     use_stencil = (
         cfg.backend in ("auto", "stencil")
         and built_structured

@@ -81,14 +81,25 @@ class BlockedPlan:
     # for pytree compatibility (~165 MB HBM saved on the reference mesh)
     Rrow: object = None
     Ccol: object = None
+    # 2D TILED window mode (ops/tiling + make_tiled_plan): the window is
+    # 3 contiguous runs of rw blocks at block offsets run_off (instead of
+    # the single [b*nb - B, ...) band), so W = 3*rw*nb is CONSTANT in N.
+    # In this mode B holds the window DIAGONAL OFFSET (rw + k)*nb — the
+    # only B semantics diag_of/rows_of/apply_bc_matrix ever relied on —
+    # and row_valid masks the phantom padding slots of the tiled layout
+    # out of global reductions (rv_epsilon_* valid argument).
+    run_off: tuple | None = None
+    rw: int = 0
+    row_valid: object = None
 
 
 _PLAN_ARRAY_FIELDS = (
     "Gcell", "Sv", "Rrow", "Ccol", "A_bool", "A_float", "area_b", "grads_b",
     "gx3", "gy3", "bc_row", "bc_win", "diag_eye", "patch_deg", "h_cell_b",
+    "row_valid",
 )
 _PLAN_STATIC_FIELDS = ("n", "nb", "B", "blocks", "W", "Wpad", "C", "pad_hi",
-                       "nd", "precise")
+                       "nd", "precise", "run_off", "rw")
 
 
 def _plan_flatten(p):
@@ -229,6 +240,161 @@ def _plan_struct(n, cells, cols, pmask, bc, nb, build_rc=True):
                 diag_eye=diag_eye)
 
 
+class WindowCoverageError(ValueError):
+    """A dof/patch column fell outside the tiled 3-run window — the tile
+    neighbourhood halfwidth k is too small for this mesh/layout."""
+
+
+def _plan_struct_tiled(n_slots, cells, cols, pmask, bc, nb, T, k):
+    """Tiled-window twin of _plan_struct (see ops/tiling for the layout).
+
+    Window of block b = 3 runs of rw = 2k+1 blocks at block offsets
+    run_off = (-T-k, -k, T-k); window coord of global row g is
+    r*rw*nb + (g - (b + run_off[r])*nb) for the first covering run r.
+    W = 3*rw*nb, independent of N. Raises WindowCoverageError when any
+    cell dof or patch column of a block is not covered (k too small).
+    """
+    nd = cells.shape[1]
+    assert n_slots % nb == 0, "tiled layout must be slot-padded to nb"
+    blocks = n_slots // nb
+    rw = 2 * k + 1
+    if T <= rw:
+        raise WindowCoverageError(
+            f"tile stride T={T} <= run width {rw}: mesh too small for the "
+            f"tiled layout — use the 1D RCM blocked backend")
+    run_off = (-T - k, -k, T - k)
+    W = 3 * rw * nb
+    lane = 128
+    Wpad = -(-W // lane) * lane
+    B_diag = (rw + k) * nb                     # window diagonal offset
+
+    def wcoord(b, g):
+        """Window coords (same shapes broadcast); -1 = not covered."""
+        blk = np.floor_divide(g, nb)
+        delta = blk - b
+        pos = np.full(np.broadcast(b, g).shape, -1, dtype=np.int64)
+        for r, o in enumerate(run_off):
+            sel = (delta >= o) & (delta <= o + rw - 1) & (pos < 0)
+            pos = np.where(sel, r * rw * nb + g - (b + o) * nb, pos)
+        return pos
+
+    # --- per-block cell lists (identical to _plan_struct) ---
+    cell_blk = cells // nb
+    m_idx = np.repeat(np.arange(cells.shape[0]), nd)
+    pairs = np.unique(np.stack([cell_blk.reshape(-1), m_idx], 1), axis=0)
+    blk_of, m_of = pairs[:, 0], pairs[:, 1]
+    counts = np.bincount(blk_of, minlength=blocks)
+    C = int(-(-counts.max() // 8) * 8)
+    cell_id = np.full((blocks, C), -1, dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(len(blk_of)) - off[blk_of]
+    cell_id[blk_of, slot] = m_of
+    valid = cell_id >= 0
+    safe_id = np.where(valid, cell_id, 0)
+
+    # --- one-hot operators (window coords via wcoord) ---
+    barr = np.arange(blocks)[:, None, None]
+    nodes = np.where(valid[:, :, None], cells[safe_id], -(10 ** 9))
+    wpos = wcoord(barr, nodes)
+    rpos = nodes - np.arange(blocks)[:, None, None] * nb
+    own = (rpos >= 0) & (rpos < nb) & valid[:, :, None]
+    in_win = (wpos >= 0) & valid[:, :, None]
+    if not bool((wpos[valid] >= 0).all()):
+        raise WindowCoverageError(
+            f"cell dof outside the 3-run window at k={k}")
+
+    def onehot(idx, mask, width):
+        return (np.where(mask, idx, 0).astype(np.int32),
+                np.ascontiguousarray(mask), int(width))
+
+    cm = lambda arr: arr.transpose(0, 2, 1).reshape(blocks, -1)
+    Gcell = onehot(cm(wpos), cm(in_win), Wpad)
+    Sv = onehot(cm(np.where(own, rpos, 0)), cm(own), nb)
+
+    # --- patch adjacency in window coords ---
+    A = np.zeros((blocks, nb, Wpad), dtype=bool)
+    rows_global = np.arange(blocks * nb).reshape(blocks, nb)
+    pc = cols[rows_global]                   # (blocks, nb, K)
+    pm = pmask[rows_global]
+    wcol = wcoord(np.arange(blocks)[:, None, None], pc)
+    if not bool((wcol[pm] >= 0).all()):
+        raise WindowCoverageError(
+            f"patch column outside the 3-run window at k={k}")
+    bb, rr, kk = np.nonzero(pm)
+    A[bb, rr, wcol[bb, rr, kk]] = True
+    patch_deg = np.maximum(A.sum(axis=2), 1).astype(np.float64)
+
+    bc_row = bc[rows_global]
+    # global row of each window column: col -> (run, chunk, lane)
+    col = np.arange(Wpad)
+    r_of = np.minimum(col // (rw * nb), 2)
+    base = (np.asarray(run_off)[r_of] * nb + (col - r_of * rw * nb))
+    wg = np.arange(blocks)[:, None] * nb + base[None, :]
+    in_range = (wg >= 0) & (wg < n_slots) & (col[None, :] < W)
+    bc_win = np.where(in_range, bc[np.where(in_range, wg, 0)], False)
+
+    diag_eye = np.zeros((nb, Wpad))
+    diag_eye[np.arange(nb), np.arange(nb) + B_diag] = 1.0
+
+    return dict(n=n_slots, nd=nd, nb=nb, B=B_diag, blocks=blocks, W=W,
+                Wpad=Wpad, C=C, pad_hi=0, valid=valid, safe_id=safe_id,
+                Gcell=Gcell, Sv=Sv, Rrow=None, Ccol=None, A=A,
+                patch_deg=patch_deg, bc_row=bc_row, bc_win=bc_win,
+                diag_eye=diag_eye, run_off=run_off, rw=rw)
+
+
+def make_tiled_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32,
+                    precise: bool = False, k: int | None = None
+                    ) -> BlockedPlan:
+    """Build the 2D tiled-window P1 plan (see ops/tiling + the tiled
+    fields of BlockedPlan). The mesh must come from tiling.tile_mesh /
+    pad_mesh_to_slots (slot numbering, mesh.tile_T/slot_valid set).
+
+    k (tile neighbourhood halfwidth) is auto-raised 1->3 until every
+    cell dof and patch column is covered; jittered-Delaunay meshes of
+    near-uniform density need k=1-2.
+    """
+    if not mesh.tile_T:
+        raise ValueError("make_tiled_plan needs a tiling.tile_mesh mesh "
+                         "(tile_T/slot_valid set)")
+    cells = np.asarray(mesh.cells, dtype=np.int64)
+    ks = (k,) if k is not None else (1, 2, 3)
+    st = None
+    for kk in ks:
+        try:
+            st = _plan_struct_tiled(
+                mesh.n_nodes, cells, mesh.patch_cols, mesh.patch_mask,
+                mesh.boundary_mask, nb, int(mesh.tile_T), kk)
+            break
+        except WindowCoverageError:
+            if kk == ks[-1]:
+                raise
+    valid, safe_id = st["valid"], st["safe_id"]
+    area_b = np.where(valid, mesh.area[safe_id], 0.0)
+    grads_b = np.where(valid[:, :, None, None], mesh.grads[safe_id], 0.0)
+    h_cell_b = np.where(valid, np.asarray(mesh.h_cell)[safe_id], 0.0)
+    f = lambda x: jnp.asarray(x, dtype)
+    precise = bool(precise) and jnp.dtype(dtype) == jnp.float32
+    oh_dtype = (jnp.bfloat16 if jnp.dtype(dtype) == jnp.float32
+                and not precise else jnp.float32)
+    return BlockedPlan(
+        n=st["n"], nb=nb, B=st["B"], blocks=st["blocks"], W=st["W"],
+        Wpad=st["Wpad"], C=st["C"], pad_hi=st["pad_hi"], precise=precise,
+        run_off=st["run_off"], rw=st["rw"],
+        row_valid=jnp.asarray(np.asarray(mesh.slot_valid)),
+        Gcell=build_onehot(st["Gcell"], oh_dtype),
+        Sv=build_onehot(st["Sv"], oh_dtype),
+        Rrow=None, Ccol=None,
+        A_bool=jnp.asarray(st["A"]), A_float=f(st["A"]),
+        area_b=f(area_b), grads_b=f(grads_b),
+        gx3=f(grads_b[:, :, :, 0].transpose(0, 2, 1)),
+        gy3=f(grads_b[:, :, :, 1].transpose(0, 2, 1)),
+        bc_row=jnp.asarray(st["bc_row"]), bc_win=jnp.asarray(st["bc_win"]),
+        diag_eye=f(st["diag_eye"]), patch_deg=f(st["patch_deg"]),
+        h_cell_b=f(h_cell_b),
+    )
+
+
 def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32,
                       precise: bool = False) -> BlockedPlan:
     """Build the P1 plan (host NumPy, runs once per mesh).
@@ -296,7 +462,25 @@ def make_blocked_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32,
 
 
 def windows(plan: BlockedPlan, x):
-    """x (n,) -> (blocks, Wpad) with w[b, i] = x[b*nb - B + i] (0 outside)."""
+    """x (n,) -> (blocks, Wpad) with w[b, i] = x[b*nb - B + i] (0 outside).
+
+    Tiled plans (run_off set): w[b] is instead the concatenation of the
+    3 runs x[(b + o_r)*nb : (b + o_r + rw)*nb] — still nothing but
+    static slices of a padded x, at a width independent of N."""
+    if plan.run_off is not None:
+        lpad = -plan.run_off[0] * plan.nb
+        xp = jnp.pad(x, (lpad, lpad))
+        span = plan.blocks * plan.nb
+        chunks = [
+            jax.lax.slice(xp, ((lpad + (o + q) * plan.nb),),
+                          (lpad + (o + q) * plan.nb + span,))
+            .reshape(plan.blocks, plan.nb)
+            for o in plan.run_off for q in range(plan.rw)
+        ]
+        w = jnp.concatenate(chunks, axis=1)
+        if plan.Wpad > plan.W:
+            w = jnp.pad(w, ((0, 0), (0, plan.Wpad - plan.W)))
+        return w
     xp = jnp.pad(x, (plan.B, plan.pad_hi))
     k = plan.Wpad // plan.nb
     span = plan.blocks * plan.nb
@@ -683,18 +867,31 @@ def patch_sum(plan: BlockedPlan, x):
 
 
 def rv_epsilon_nonlinear(plan: BlockedPlan, Cvel, Crv, uh, u_n,
-                         fprime_norm, Rh, h, precise=False):
+                         fprime_norm, Rh, h, precise=False, valid=None):
     """Window-form twin of stabilization.rv_epsilon_nonlinear
     (ref Code/Utils/RV.py:56-90); same math, same quirks. precise:
     f64-accumulated mean (precision.sum_acc64) so sharded twins that
-    psum f64 partials agree at f64-order eps (precise_reductions)."""
-    if precise:
-        from conservation_fem_tpu.ops.precision import sum_acc64
+    psum f64 partials agree at f64-order eps (precise_reductions).
+    valid: real-node mask for tiled slot layouts — the global mean and
+    abs-deviation max must ignore the phantom padding slots."""
+    if valid is not None:
+        uv = jnp.where(valid, uh, 0.0)
+        nreal = valid.sum().astype(uh.dtype)
+        if precise:
+            from conservation_fem_tpu.ops.precision import sum_acc64
 
-        mean = sum_acc64(uh) / uh.shape[0]
+            mean = sum_acc64(uv) / nreal
+        else:
+            mean = uv.sum() / nreal
+        abs_term = jnp.abs(jnp.where(valid, uh - mean, 0.0)).max()
     else:
-        mean = uh.mean()
-    abs_term = jnp.abs(uh - mean).max()
+        if precise:
+            from conservation_fem_tpu.ops.precision import sum_acc64
+
+            mean = sum_acc64(uh) / uh.shape[0]
+        else:
+            mean = uh.mean()
+        abs_term = jnp.abs(uh - mean).max()
     u_tilde = patch_max(plan, u_n) - patch_min(plan, u_n)
     n_i = jnp.abs(u_tilde - abs_term)
     Rh_i = patch_abs_max(plan, Rh)
@@ -702,7 +899,13 @@ def rv_epsilon_nonlinear(plan: BlockedPlan, Cvel, Crv, uh, u_n,
                        n_i.dtype)
     R_i = Rh_i / jnp.maximum(n_i, tiny)
     beta = patch_max(plan, fprime_norm(uh))
-    return jnp.minimum(Cvel * h * beta, Crv * h**2 * jnp.abs(R_i))
+    eps = jnp.minimum(Cvel * h * beta, Crv * h**2 * jnp.abs(R_i))
+    if valid is not None:
+        # phantom slots have empty patches: patch_max is -inf there and
+        # eps becomes 0 * -inf = NaN — which would poison every one-hot
+        # GEMM whose window covers the slot (0 * NaN = NaN in a dot).
+        eps = jnp.where(valid, eps, 0.0)
+    return eps
 
 
 def rv_epsilon_linear(plan: BlockedPlan, Cvel, Crv, uh, u_n, w_norm, Rh, h,

@@ -85,6 +85,12 @@ class Mesh:
     # stretched seam triangles. Consumers that derive geometry that way
     # (Pk build_space, plotting triangulations) must check this flag.
     periodic: bool = False
+    # set by ops/tiling.pad_mesh_to_slots (the 2D tiled blocked layout):
+    # slot_valid (N,) bool marks real nodes (False = phantom padding slot,
+    # Dirichlet-pinned and cell-free); tile_T is the tile stride T (blocks
+    # per strip) the tiled blocked plan needs. 0 = not a tiled mesh.
+    slot_valid: Array = None
+    tile_T: int = 0
 
     @property
     def n_nodes(self) -> int:

@@ -50,6 +50,12 @@ class DistributedBlocked:
         self.dmesh = device_mesh
         self.axis = axis
         plan = problem.plan
+        if getattr(plan, "run_off", None) is not None:
+            raise NotImplementedError(
+                "sharding the 2D tiled blocked plan needs strip-wise "
+                "2D halos (the band-halo layout assumes the 1D RCM "
+                "window); shard the 1D blocked plan or the stencil "
+                "backend instead")
         self.plan = plan
         n_dev = device_mesh.shape[axis]
         self.n_dev = n_dev
