@@ -75,28 +75,28 @@ def _config(kpp, mesh_size, dtype):
     # cross-tile dot reductions don't fit the one-pass sweep).
     dt = 0.01 * min(1.0, 64.0 / mesh_size)
     # mesh >= 256 default: composed-XLA BiCGStab (fused mode resolves to
-    # None past the split kernel's VMEM ceiling). The one-launch HBM
-    # tiled kernel REQUIRES the dot-free Chebyshev inner solver, and
-    # that config's inexactness fails the 1e-2 anchor gate at mesh 256
-    # (L2rel 1.564e-2 on TPU f32 AND CPU f32 — solver config, not
-    # hardware; scripts/predict_gate256.py), while BiCGStab configs
-    # pass everywhere (256: 2.165e-3 CPU f32). XLA scan steps carry no
-    # per-launch tax under the amortized timing model, so the tiled
-    # kernel is an opt-in capture path: BENCH_TILED=1.
-    tiled = mesh_size >= 256 and bool(os.environ.get("BENCH_TILED"))
+    # None past the split kernel's VMEM ceiling). BENCH_TILED=1 runs the
+    # one-launch HBM row-tiled kernel instead — since r5 with the SAME
+    # BiCGStab config (in-kernel cross-tile SMEM dot reductions,
+    # ops/pallas_tiled); the r4 dot-free-Chebyshev gate failure
+    # (L2rel 1.564e-2, scripts/predict_gate256.py) no longer applies.
+    # BENCH_TILED=cheby recovers the old dot-free config for A/Bs.
+    tiled_env = os.environ.get("BENCH_TILED", "")
+    tiled = mesh_size >= 256 and bool(tiled_env)
+    tiled_cheby = tiled and tiled_env == "cheby"
     return kpp.KPPConfig(
         mesh_size=mesh_size, dtype=dtype, dt=dt,
         modified_newton=True,
-        cg_iters=6 if not tiled else 10,
+        cg_iters=6 if not tiled_cheby else 10,
         newton_iters=2,
-        newton_linear_iters=4 if not tiled else 16,
+        newton_linear_iters=4 if not tiled_cheby else 16,
         # the final-iterate residual eval feeds only the converged flag
         # (trajectory identical, documented in HyperbolicConfig); at
         # mesh 256 the probe measured ~1 ms/step for one quadrature pass,
         # so the throughput config drops it — the accuracy gate below is
         # the correctness check
         newton_final_residual=False,
-        inner_solver="bicgstab" if not tiled else "cheby",
+        inner_solver="bicgstab" if not tiled_cheby else "cheby",
         # BENCH_BF16_PLANES=1: stream the solver operator planes as bf16
         # HBM copies — the tiled kernel's Chebyshev planes when tiled,
         # else the composed-XLA mass/Jacobian sweep planes
@@ -347,7 +347,11 @@ def main():
             if T is not None:
                 cfg = _dc.replace(cfg, T=T)
             p = kpp.build(cfg)
-            if not os.environ.get("BENCH_NO_FUSED"):
+            # mesh >= 256 stays composed-XLA by default (the validated
+            # 221 M r5 path); BENCH_TILED=1 opts into the one-launch
+            # kernel, whose bicgstab mode now _fused_mode-resolves there
+            if not os.environ.get("BENCH_NO_FUSED") and (
+                    ms < 256 or os.environ.get("BENCH_TILED")):
                 p.cfg = _dc.replace(p.cfg, use_pallas=True)
         else:
             # the SAME CFL-scaled dt as the f32 config and the anchor

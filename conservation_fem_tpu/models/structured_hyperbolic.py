@@ -188,7 +188,10 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
             # the fields fit (mesh 128: split ~1.5 ms vs tiled 3.0 ms —
             # HBM re-reads the Jacobian planes every Chebyshev iteration)
             return "split"
-        if cfg.inner_solver == "cheby":
+        if cfg.inner_solver in ("cheby", "bicgstab"):
+            # bicgstab since r5: cross-tile SMEM dot reductions (PCG mass
+            # solve + BiCGStab Newton solves) run inside the one-launch
+            # kernel — the r4 gate-failing dot-free restriction is gone
             return "tiled"
         return None
 

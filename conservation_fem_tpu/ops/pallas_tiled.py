@@ -26,12 +26,19 @@ geometry:
     only the Chebyshev direction d is read with halo while being
     rewritten, so d ping-pongs between two HBM buffers.
 
-Inner solves are DOT-FREE Chebyshev semi-iterations (cf.
-krylov.chebyshev_fixed): a global reduction per Krylov iteration would
-need a cross-tile accumulation pass each — Chebyshev needs none. The two
-global scalars the RV epsilon needs (mean(u), max|u - mean|) are
-accumulated tile-by-tile into SMEM across early sweeps that read u
-anyway (sequential execution makes this race-free).
+Inner solves: the dot-free Chebyshev semi-iteration (cf.
+krylov.chebyshev_fixed) — one sweep per iteration, no reductions — or,
+since round 5, Jacobi-PCG (mass projection) + BiCGStab (Newton solves)
+whose global inner products are accumulated tile-by-tile into SMEM
+scalars across the sequential fori_loop sweeps (2 sweeps per CG
+iteration, 3 per BiCGStab iteration; exact twins of krylov.cg_fixed /
+bicgstab_fixed incl. breakdown guards, tested at 2e-15). This closes the
+r4 accuracy-gate failure at mesh 256: the dot-free Chebyshev config the
+one-pass sweep required was the diagnosed cause (L2rel 1.564e-2 vs gate
+1e-2, reproduced bit-for-bit on CPU), while BiCGStab configs pass at
+every mesh. The two global scalars the RV epsilon needs (mean(u),
+max|u - mean|) ride the same SMEM mechanism (sequential execution makes
+it race-free).
 
 Identity with the XLA fixed-iteration cheby step is tested in interpret
 mode (tests/test_pallas_tiled.py); bench.py gates the compiled kernel's
@@ -151,12 +158,15 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
     (16, 128) bf16 tiling, so the halo doubles to 16 rows and tile rows
     round to multiples of 16 (2H/T = 25% extra load DMA at T=128).
     """
-    if inner_solver != "cheby":
+    if inner_solver not in ("cheby", "bicgstab"):
         raise NotImplementedError(
-            "tiled_rv_step is dot-free by construction: a BiCGStab/CG "
-            "inner solve would need a cross-tile reduction pass per "
-            "Krylov iteration — use inner_solver='cheby' "
-            "(HyperbolicConfig.inner_solver)")
+            "tiled_rv_step inner_solver must be 'cheby' or 'bicgstab'")
+    use_bicg = inner_solver == "bicgstab"
+    if use_bicg and row0_base is not None:
+        raise NotImplementedError(
+            "block mode hoists its global reductions outside the kernel; "
+            "the in-kernel BiCGStab dots are single-device only — use "
+            "inner_solver='cheby' for the sharded block path")
     n1x, n1y = nx + 1, ny + 1
     external = row0_base is not None
     if external and stabilization == "rv" and abs_term is None:
@@ -205,14 +215,37 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             # the mass planes additionally stream from the bf16 cast
             # input Mc16_h via slab A16
             (Mc16_h, uk_h, cx_h, cr_h, cd0_h, cd1_h, eps_h, dJ_h, Nun_h,
-             Kun_h, F_h, uk2_h, Kc_h, Jc16_h, A, B, A16, C16, V, sems,
-             sm) = rest
+             Kun_h, F_h, uk2_h, Kc_h, Jc16_h, *rest2) = rest
             Jc_h = C = None
         else:
             (uk_h, cx_h, cr_h, cd0_h, cd1_h, eps_h, dJ_h, Nun_h, Kun_h,
-             F_h, uk2_h, Kc_h, Jc_h, A, B, C, V, sems, sm) = rest
+             F_h, uk2_h, Kc_h, Jc_h, *rest2) = rest
             Mc16_h = Jc16_h = A16 = C16 = None
+        if use_bicg:
+            (s_h, t_h, p2_h, v2_h, *rest2) = rest2
+        else:
+            s_h = t_h = p2_h = v2_h = None
+        if use_bf16:
+            (A, B, A16, C16, V, sems, sm) = rest2
+        else:
+            (A, B, C, V, sems, sm) = rest2
         f = lambda c: jnp.asarray(c, dtype)
+        stiny = f(1e-30 if dtype == jnp.float32 else 1e-300)
+
+        def sdiv(num, den):
+            """bicgstab_fixed.safe_div twin (breakdown-safe scalars)."""
+            ok = jnp.abs(den) > stiny
+            return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
+        def tdot(L, a, b):
+            """Per-tile masked partial dot: interior rows & valid region
+            only — the global dot is the SMEM accumulation over the
+            sequential tile sweeps (this kernel's whole reason the
+            r4 gate failure existed: the one-pass sweep could not do
+            this; accumulating in SMEM across the fori_loop can)."""
+            li = jax.lax.broadcasted_iota(jnp.int32, (T2, Yp), 0)
+            interior = (li >= H) & (li < H + T)
+            return jnp.sum(jnp.where(L.valid & interior, a * b, 0.0))
         # solver-plane rounding: 1/diag preconditioners are computed from
         # the SAME bf16-rounded diagonal the sweeps stream, so the
         # Chebyshev polynomial sees one consistent operator
@@ -278,7 +311,11 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
             dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, rnd(Mc[0]))
             V[3] = rhs                                  # cr
             V[4] = jnp.zeros_like(rhs)                  # cx
-            V[5] = dMinv * rhs / f(th_m)                # cd
+            if use_bicg:
+                V[5] = dMinv * rhs                      # p0 = z0 (PCG)
+                sm[2] += tdot(L, rhs, V[5])             # rz0
+            else:
+                V[5] = dMinv * rhs / f(th_m)            # cd (Chebyshev)
             # interior rows only — the halo rows belong to the
             # neighbouring tiles' accumulation
             if not external:
@@ -290,43 +327,123 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
 
         sm[0] = jnp.zeros((), dtype)
         sm[1] = jnp.zeros((), dtype)
+        sm[2] = jnp.zeros((), dtype)
         jax.lax.fori_loop(0, tiles, s1_body, 0)
 
-        # --- sweeps: mass Chebyshev (cg_iters) ---------------------------
-        for k, (c1, c2) in enumerate(cs_m):
-            cd_in = cd0_h if k % 2 == 0 else cd1_h
-            cd_out = cd1_h if k % 2 == 0 else cd0_h
-            first = k == 0
+        def mass_planes_pair(t):
+            return ((planes(Mc16_h, t), A16) if use_bf16
+                    else (planes(Mc_h, t), A))
 
-            def s2_body(t, _, c1=c1, c2=c2, cd_in=cd_in, cd_out=cd_out,
-                        first=first):
-                L = lib_for(t)
-                mass_pair = ((planes(Mc16_h, t), A16) if use_bf16
-                             else (planes(Mc_h, t), A))
-                pairs = [mass_pair, (rows(cd_in, t), V.at[0]),
-                         (rows(cr_h, t), V.at[1]), (rows(cx_h, t), V.at[2])]
-                if first:
-                    pairs.append((rows(u_h, t), V.at[3]))
-                load(t, pairs)
-                src = A16 if use_bf16 else A
-                Mc = tuple(src[j].astype(dtype) for j in range(_NP))
-                d, r, x = V[0], V[1], V[2]
-                dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Mc[0])
-                op = L.pinned(lambda v: L.plane_mv(Mc, v))
-                x = x + d
-                r = r - op(d)
-                dn = f(c1) * d + f(c2) * (dMinv * r)
-                if first and not external:
-                    mean = sm[0] / f(n_nodes)
-                    dev = jnp.where(L.valid, jnp.abs(V[3] - mean), 0.0)
-                    sm[1] = jnp.maximum(sm[1], jnp.max(dev))
-                V[1] = r
-                V[2] = x
-                V[0] = dn
-                store(t, [(1, cr_h), (2, cx_h), (0, cd_out)])
-                return 0
+        def mass_from_slab():
+            src = A16 if use_bf16 else A
+            return tuple(src[j].astype(dtype) for j in range(_NP))
 
-            jax.lax.fori_loop(0, tiles, s2_body, 0)
+        if use_bicg:
+            # --- mass solve: Jacobi-PCG, 2 sweeps per iteration ----------
+            # (mirrors krylov.cg_fixed: same guards, same update order;
+            # dots are SMEM accumulations across the sequential tile
+            # sweeps). State: x=cx, r=cr, q=cd1; p PING-PONGS between
+            # cd0_h and eps_h (free until s3): the p-update sweep
+            # halo-reads p_old while rewriting p — in place, tile t+1's
+            # upper halo would see tile t's already-updated rows (the
+            # update_sweep hazard).
+            rz = sm[2]
+            beta = f(0.0)
+            cur_p, alt_p = cd0_h, eps_h
+            for k in range(cg_iters):
+                first = k == 0
+                sm[3] = jnp.zeros((), dtype)
+                p_in, p_out = cur_p, (cur_p if first else alt_p)
+
+                def mA_body(t, _, first=first, beta=beta, p_in=p_in,
+                            p_out=p_out):
+                    L = lib_for(t)
+                    pairs = [mass_planes_pair(t), (rows(p_in, t), V.at[0]),
+                             (rows(cr_h, t), V.at[1])]
+                    if first and not external:
+                        pairs.append((rows(u_h, t), V.at[2]))
+                    load(t, pairs)
+                    Mc = mass_from_slab()
+                    dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Mc[0])
+                    p = V[0]
+                    if not first:
+                        p = dMinv * V[1] + beta * p     # p = z + beta p
+                    q = L.pinned(lambda v: L.plane_mv(Mc, v))(p)
+                    sm[3] += tdot(L, p, q)
+                    if first and not external:
+                        mean = sm[0] / f(n_nodes)
+                        dev = jnp.where(L.valid, jnp.abs(V[2] - mean), 0.0)
+                        sm[1] = jnp.maximum(sm[1], jnp.max(dev))
+                    V[0] = p
+                    V[3] = q
+                    outs = [(3, cd1_h)]
+                    if not first:
+                        outs.append((0, p_out))
+                    store(t, outs)
+                    return 0
+
+                jax.lax.fori_loop(0, tiles, mA_body, 0)
+                if not first:
+                    cur_p, alt_p = p_out, cur_p
+                pAp = sm[3]
+                alpha = rz / jnp.where(jnp.abs(pAp) > 0, pAp, stiny)
+                alpha = jnp.where(rz > 0, alpha, 0.0)
+                sm[4] = jnp.zeros((), dtype)
+
+                def mB_body(t, _, alpha=alpha, cur_p=cur_p):
+                    L = lib_for(t)
+                    load(t, [mass_planes_pair(t), (rows(cx_h, t), V.at[0]),
+                             (rows(cr_h, t), V.at[1]),
+                             (rows(cur_p, t), V.at[2]),
+                             (rows(cd1_h, t), V.at[3])])
+                    Mc = mass_from_slab()
+                    dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Mc[0])
+                    x = V[0] + alpha * V[2]
+                    r = V[1] - alpha * V[3]
+                    sm[4] += tdot(L, r, dMinv * r)
+                    V[0] = x
+                    V[1] = r
+                    store(t, [(0, cx_h), (1, cr_h)])
+                    return 0
+
+                jax.lax.fori_loop(0, tiles, mB_body, 0)
+                rz_new = sm[4]
+                beta = rz_new / jnp.where(rz > 0, rz, stiny)
+                rz = rz_new
+        else:
+            # --- sweeps: mass Chebyshev (cg_iters) -----------------------
+            for k, (c1, c2) in enumerate(cs_m):
+                cd_in = cd0_h if k % 2 == 0 else cd1_h
+                cd_out = cd1_h if k % 2 == 0 else cd0_h
+                first = k == 0
+
+                def s2_body(t, _, c1=c1, c2=c2, cd_in=cd_in, cd_out=cd_out,
+                            first=first):
+                    L = lib_for(t)
+                    pairs = [mass_planes_pair(t), (rows(cd_in, t), V.at[0]),
+                             (rows(cr_h, t), V.at[1]),
+                             (rows(cx_h, t), V.at[2])]
+                    if first:
+                        pairs.append((rows(u_h, t), V.at[3]))
+                    load(t, pairs)
+                    Mc = mass_from_slab()
+                    d, r, x = V[0], V[1], V[2]
+                    dMinv = 1.0 / jnp.where(L.bc | ~L.valid, 1.0, Mc[0])
+                    op = L.pinned(lambda v: L.plane_mv(Mc, v))
+                    x = x + d
+                    r = r - op(d)
+                    dn = f(c1) * d + f(c2) * (dMinv * r)
+                    if first and not external:
+                        mean = sm[0] / f(n_nodes)
+                        dev = jnp.where(L.valid, jnp.abs(V[3] - mean), 0.0)
+                        sm[1] = jnp.maximum(sm[1], jnp.max(dev))
+                    V[1] = r
+                    V[2] = x
+                    V[0] = dn
+                    store(t, [(1, cr_h), (2, cx_h), (0, cd_out)])
+                    return 0
+
+                jax.lax.fori_loop(0, tiles, s2_body, 0)
 
         # --- sweep: RV epsilon (cx holds RH) -----------------------------
         if stabilization == "rv":
@@ -411,26 +528,150 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
                 V[2] = dJinv
                 V[3] = -F                                   # cr
                 V[4] = jnp.zeros_like(F)                    # cx
-                V[5] = dJinv * (-F) / f(th_l)               # cd
-                store(t, [(2, dJ_h), (3, cr_h), (4, cx_h), (5, cd0_h)],
-                      plane_pairs=[jc_pair])
+                if use_bicg:
+                    V[5] = -F                               # p0 = rhat = r0
+                    sm[5] += tdot(L, V[3], V[3])            # rho0
+                    store(t, [(2, dJ_h), (3, cr_h), (4, cx_h), (5, cd0_h),
+                              (5, eps_h)], plane_pairs=[jc_pair])
+                else:
+                    V[5] = dJinv * (-F) / f(th_l)           # cd
+                    store(t, [(2, dJ_h), (3, cr_h), (4, cx_h), (5, cd0_h)],
+                          plane_pairs=[jc_pair])
                 return 0
 
+            if use_bicg:
+                sm[5] = jnp.zeros((), dtype)
             jax.lax.fori_loop(0, tiles, s5_body, 0)
 
         def solver_init_sweep():
-            """Re-arm the Chebyshev state from the current F (frozen
+            """Re-arm the inner-solver state from the current F (frozen
             Jacobian: Jc/dJinv stay)."""
             def s5b_body(t, _):
+                L = lib_for(t)
                 load(t, [(rows(F_h, t), V.at[0]), (rows(dJ_h, t), V.at[1])])
                 F, dJinv = V[0], V[1]
                 V[2] = -F
                 V[3] = jnp.zeros_like(F)
-                V[4] = dJinv * (-F) / f(th_l)
-                store(t, [(2, cr_h), (3, cx_h), (4, cd0_h)])
+                if use_bicg:
+                    V[4] = -F
+                    sm[5] += tdot(L, V[2], V[2])
+                    store(t, [(2, cr_h), (3, cx_h), (4, cd0_h), (4, eps_h)])
+                else:
+                    V[4] = dJinv * (-F) / f(th_l)
+                    store(t, [(2, cr_h), (3, cx_h), (4, cd0_h)])
                 return 0
 
+            if use_bicg:
+                sm[5] = jnp.zeros((), dtype)
             jax.lax.fori_loop(0, tiles, s5b_body, 0)
+
+        def jc_planes_pair(t):
+            return ((planes(Jc16_h, t), C16) if use_bf16
+                    else (planes(Jc_h, t), C))
+
+        def jc_from_slab():
+            src = C16 if use_bf16 else C
+            return tuple(src[j].astype(dtype) for j in range(_NP))
+
+        def lin_bicg_sweeps():
+            """Jacobi-preconditioned BiCGStab (krylov.bicgstab_fixed
+            twin), 3 sweeps per iteration with SMEM dot accumulation.
+            State: x=cx, r=cr, rhat=eps_h (frozen), s/t own buffers;
+            p ping-pongs cd0<->p2 and v cd1<->v2 (bA halo-reads p_old/
+            v_old while writing p_new/v_new — the update_sweep hazard)."""
+            rho = sm[5]
+            alpha = f(1.0)
+            omega = f(1.0)
+            beta = f(0.0)
+            cur_p, alt_p = cd0_h, p2_h
+            cur_v, alt_v = cd1_h, v2_h
+            for k in range(lin_iters):
+                first = k == 0
+                sm[6] = jnp.zeros((), dtype)
+                if first:
+                    # p0 already sits in cur_p; v is fresh data — writing
+                    # it to cur_v is hazard-free (nothing reads v at k=0)
+                    p_in = p_out = cur_p
+                    v_in = v_out = cur_v
+                else:
+                    p_in, p_out = cur_p, alt_p
+                    v_in, v_out = cur_v, alt_v
+
+                def bA_body(t, _, first=first, beta=beta, omega=omega,
+                            p_in=p_in, p_out=p_out, v_in=v_in,
+                            v_out=v_out):
+                    L = lib_for(t)
+                    pairs = [jc_planes_pair(t), (rows(p_in, t), V.at[0]),
+                             (rows(cr_h, t), V.at[1]),
+                             (rows(dJ_h, t), V.at[2]),
+                             (rows(eps_h, t), V.at[3])]
+                    if not first:
+                        pairs.append((rows(v_in, t), V.at[4]))
+                    load(t, pairs)
+                    Jc = jc_from_slab()
+                    p = V[0]
+                    if not first:
+                        p = V[1] + beta * (p - omega * V[4])
+                    phat = V[2] * p
+                    v = L.pinned(lambda w: L.plane_mv(Jc, w))(phat)
+                    sm[6] += tdot(L, V[3], v)               # rhat . v
+                    V[5] = p
+                    V[6] = v
+                    outs = [(6, v_out)]
+                    if not first:
+                        outs.append((5, p_out))
+                    store(t, outs)
+                    return 0
+
+                jax.lax.fori_loop(0, tiles, bA_body, 0)
+                if not first:
+                    cur_p, alt_p = alt_p, cur_p
+                    cur_v, alt_v = alt_v, cur_v
+                # cur_p/cur_v now hold the CURRENT p/v
+                alpha = sdiv(rho, sm[6])
+                sm[7] = jnp.zeros((), dtype)
+                sm[8] = jnp.zeros((), dtype)
+
+                def bB_body(t, _, alpha=alpha, v_buf=cur_v):
+                    L = lib_for(t)
+                    load(t, [jc_planes_pair(t), (rows(cr_h, t), V.at[0]),
+                             (rows(v_buf, t), V.at[1]),
+                             (rows(dJ_h, t), V.at[2])])
+                    Jc = jc_from_slab()
+                    s = V[0] - alpha * V[1]
+                    shat = V[2] * s
+                    tt = L.pinned(lambda w: L.plane_mv(Jc, w))(shat)
+                    sm[7] += tdot(L, tt, s)
+                    sm[8] += tdot(L, tt, tt)
+                    V[3] = s
+                    V[4] = tt
+                    store(t, [(3, s_h), (4, t_h)])
+                    return 0
+
+                jax.lax.fori_loop(0, tiles, bB_body, 0)
+                omega = sdiv(sm[7], sm[8])
+                sm[9] = jnp.zeros((), dtype)
+
+                def bC_body(t, _, alpha=alpha, omega=omega, p_cur=cur_p):
+                    L = lib_for(t)
+                    load(t, [(rows(cx_h, t), V.at[0]),
+                             (rows(p_cur, t), V.at[1]),
+                             (rows(dJ_h, t), V.at[2]),
+                             (rows(s_h, t), V.at[3]),
+                             (rows(t_h, t), V.at[4]),
+                             (rows(eps_h, t), V.at[5])])
+                    x = V[0] + alpha * (V[2] * V[1]) + omega * (V[2] * V[3])
+                    r = V[3] - omega * V[4]
+                    sm[9] += tdot(L, V[5], r)               # rhat . r
+                    V[6] = x
+                    V[7] = r
+                    store(t, [(6, cx_h), (7, cr_h)])
+                    return 0
+
+                jax.lax.fori_loop(0, tiles, bC_body, 0)
+                rho_new = sm[9]
+                beta = sdiv(rho_new, rho) * sdiv(alpha, omega)
+                rho = rho_new
 
         def lin_cheby_sweeps():
             for k, (c1, c2) in enumerate(cs_l):
@@ -496,19 +737,20 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
 
             jax.lax.fori_loop(0, tiles, sc_body, 0)
 
+        lin_sweeps = lin_bicg_sweeps if use_bicg else lin_cheby_sweeps
         cur, nxt = uk_h, uk2_h
         if freeze_jacobian:
             linearize_sweep(cur)
             for n in range(newton_iters):
                 if n > 0:
                     solver_init_sweep()
-                lin_cheby_sweeps()
+                lin_sweeps()
                 update_sweep(cur, nxt)
                 cur, nxt = nxt, cur
         else:
             for n in range(newton_iters):
                 linearize_sweep(cur)
-                lin_cheby_sweeps()
+                lin_sweeps()
                 update_sweep(cur, nxt)
                 cur, nxt = nxt, cur
         if cur is not uk_h:
@@ -542,6 +784,8 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
         in_specs += [pl.BlockSpec(memory_space=space)]
         operands += [padrows3(Mc2.astype(jnp.bfloat16))]
         out_shape = [fld] * 11 + [pln, pln16]
+        if use_bicg:
+            out_shape += [fld] * 4       # s, t, p2, v2
         plane_slabs = [
             pltpu.VMEM((_NP, T2, Yp), dtype),            # A: Mc tile
             pltpu.VMEM((_NP, T2, Yp), dtype),            # B: Kc tile
@@ -550,6 +794,8 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
         ]
     else:
         out_shape = [fld] * 11 + [pln, pln]
+        if use_bicg:
+            out_shape += [fld] * 4       # s, t, p2, v2
         plane_slabs = [
             pltpu.VMEM((_NP, T2, Yp), dtype),            # A: Mc tile
             pltpu.VMEM((_NP, T2, Yp), dtype),            # B: Kc tile
@@ -559,11 +805,11 @@ def tiled_rv_step(u2, uo2, uoo2, g2, Mc2, *, nx, ny, dt, area, h, grads,
         kernel,
         out_shape=out_shape,
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=space)] * 13,
+        out_specs=[pl.BlockSpec(memory_space=space)] * len(out_shape),
         scratch_shapes=plane_slabs + [
             pltpu.VMEM((8, T2, Yp), dtype),         # V: field slots
             pltpu.SemaphoreType.DMA((24,)),
-            pltpu.SMEM((4,), dtype),
+            pltpu.SMEM((12,), dtype),
         ],
         interpret=bool(interpret),
         **kw,

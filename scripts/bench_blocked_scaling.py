@@ -90,18 +90,37 @@ def main():
     # larger gather runs are ~2 min each and have crashed the worker).
     do_gather = os.environ.get("BENCH_GATHER", "1") != "0"
     gather_max = int(os.environ.get("BENCH_GATHER_MAX_NX", "140"))
+    # blocked2d (r5, ops/tiling): constant-width 3-run windows — the
+    # large-N rows 448 (N~200k) / 640 (N~410k) are only reachable on
+    # this backend (the 1D band's one-hots pass the HBM ceiling there);
+    # the shared small rows measure the 1D-vs-2D crossover directly.
+    # BENCH_2D_MAX_NX caps the large rows (e.g. 316 for a quick sweep).
+    d2_max = int(os.environ.get("BENCH_2D_MAX_NX", "640"))
     runs = [(nx, "blocked") for nx in (140, 224, 316)]
+    runs += [(nx, "blocked2d")
+             for nx in (140, 224, 316, 448, 640) if nx <= d2_max]
     if do_gather:
         runs += [(nx, "gather") for nx in (140, 224, 316) if nx <= gather_max]
     for nx, mv in runs:
-        p = irr_problem(nx, "float32", ell_matvec_backend=mv,
-                        **fixed)
-        per_step, _ = measure_per_step(p, verbose=True)
-        n = int(p.u0.shape[0])
-        print(f"irr{nx}/{mv:7s} N={n:6d}  {per_step*1e6:8.1f} us/step"
+        try:
+            p = irr_problem(nx, "float32", ell_matvec_backend=mv,
+                            **fixed)
+            per_step, _ = measure_per_step(p, verbose=True)
+        except Exception as e:
+            # one row failing (e.g. HBM OOM at the largest N) must not
+            # lose the rest of the sweep
+            print(f"irr{nx}/{mv}: RUN FAIL {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            fails.append(f"irr{nx}/{mv}:run")
+            continue
+        n = int(np.asarray(getattr(p, "slot_of_node", p.u0)).shape[0]) \
+            if mv == "blocked2d" else int(p.u0.shape[0])
+        print(f"irr{nx}/{mv:9s} N={n:6d}  {per_step*1e6:8.1f} us/step"
               f"  {n/per_step/1e6:8.2f} M DOF-steps/s", flush=True)
-        gate(f"irr{nx}/{mv}", np.asarray(p.solve().u, np.float64),
-             f"kpp_rv_anchor_irr{nx}.npy")
+        u = np.asarray(p.solve().u, np.float64)
+        if mv == "blocked2d":
+            u = u[p.slot_of_node]
+        gate(f"irr{nx}/{mv}", u, f"kpp_rv_anchor_irr{nx}.npy")
 
     if fails:
         print(f"SCALING BENCH ACCURACY FAIL: {fails}", flush=True)

@@ -38,7 +38,10 @@ from conservation_fem_tpu.models import kpp  # noqa: E402
 # irregular-mesh bench configs (shared with scripts/bench_blocked_scaling):
 # dt keeps dt/h_min <= ~0.64 on the jittered mesh; T bounds the run.
 _IRR = {140: dict(dt=0.005, T=0.5), 224: dict(dt=0.0025, T=0.25),
-        316: dict(dt=0.0018, T=0.18)}
+        316: dict(dt=0.0018, T=0.18),
+        # large-N rows for the 2D tiled blocked backend (r5): ~100 steps
+        # each at CFL-matched dt; anchors are f64 CPU gather-ELL runs
+        448: dict(dt=0.00125, T=0.125), 640: dict(dt=0.0009, T=0.09)}
 
 
 def irr_problem(nx, dtype, **kw):
@@ -50,6 +53,15 @@ def irr_problem(nx, dtype, **kw):
     m = reorder_mesh(m, rcm_permutation(m))
     cfg = kpp.KPPConfig(dtype=dtype, dt=_IRR[nx]["dt"], T=_IRR[nx]["T"],
                         backend="ell", **kw)
+    if kw.get("ell_matvec_backend") == "blocked2d":
+        # tile the RCM-ordered mesh so u_slots[prob.slot_of_node] is in
+        # the SAME numbering as the committed irr anchors
+        from conservation_fem_tpu.ops.tiling import tile_mesh
+
+        mt, slot = tile_mesh(m)
+        prob = kpp.build(cfg, host_mesh=mt)
+        prob.slot_of_node = slot
+        return prob
     return kpp.build(cfg, host_mesh=m)
 
 

@@ -67,6 +67,18 @@ for s in $STAGES; do
     bench64)
       run_stage bench64_default \
         "BENCH_REQUIRE_TPU=1 BENCH_BUDGET_S=1100 BENCH_VERBOSE=1 python bench.py" ;;
+    tiled256)
+      run_stage mesh256_tiled_bicg \
+        "BENCH_REQUIRE_TPU=1 BENCH_BUDGET_S=5100 BENCH_MESH_SIZE=256 BENCH_TILED=1 BENCH_VERBOSE=1 python bench.py" ;;
+    scaling2d)
+      run_stage scaling_2d \
+        "BENCH_GATHER=0 python scripts/bench_blocked_scaling.py" ;;
+    probe_sharded)
+      run_stage probe_sharded_onchip \
+        "python scripts/probe_sharded_onchip.py" ;;
+    tpu_gate)
+      run_stage tpu_gate \
+        "python scripts/tpu_gate.py" ;;
     *)
       echo "unknown stage $s" >&2 ;;
   esac

@@ -167,6 +167,13 @@ def main():
         tiled_rv_step,
         kpp.KPPConfig(**base, newton_linear_iters=12,
                       inner_solver="cheby"), tile_rows=8))
+    # r5: in-kernel PCG/BiCGStab with cross-tile SMEM dot reductions —
+    # the gate compares against the XLA bicgstab_fixed step, so the
+    # Mosaic lowering of the SMEM scalar accumulators is what's tested
+    _gate("tiled_bicgstab_dots", lambda: fused_compare(
+        tiled_rv_step,
+        kpp.KPPConfig(**base, newton_linear_iters=4,
+                      inner_solver="bicgstab"), tile_rows=8))
     # bf16 solver-plane streams (16-row-aligned geometry, 2 tiles over
     # the 25-row grid); rounding is an inexact-solver perturbation only,
     # so the f32-tolerance identity widens to ~bf16-eps of field scale
