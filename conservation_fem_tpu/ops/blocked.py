@@ -467,7 +467,7 @@ def windows(plan: BlockedPlan, x):
     Tiled plans (run_off set): w[b] is instead the concatenation of the
     3 runs x[(b + o_r)*nb : (b + o_r + rw)*nb] — still nothing but
     static slices of a padded x, at a width independent of N."""
-    if plan.run_off is not None:
+    if getattr(plan, "run_off", None) is not None:
         lpad = -plan.run_off[0] * plan.nb
         xp = jnp.pad(x, (lpad, lpad))
         span = plan.blocks * plan.nb

@@ -50,12 +50,6 @@ class DistributedBlocked:
         self.dmesh = device_mesh
         self.axis = axis
         plan = problem.plan
-        if getattr(plan, "run_off", None) is not None:
-            raise NotImplementedError(
-                "sharding the 2D tiled blocked plan needs strip-wise "
-                "2D halos (the band-halo layout assumes the 1D RCM "
-                "window); shard the 1D blocked plan or the stencil "
-                "backend instead")
         self.plan = plan
         n_dev = device_mesh.shape[axis]
         self.n_dev = n_dev
@@ -63,10 +57,19 @@ class DistributedBlocked:
         self.Lb = Lb
         self.blocks_pad = Lb * n_dev
         self.rows_local = Lb * plan.nb
-        if n_dev > 1 and self.rows_local < plan.B:
+        # halo rows each side: the 1D band window reads B rows past the
+        # local range; the 2D tiled window (plan.run_off set) reads up to
+        # (T+k) BLOCKS past it — still one contiguous band, because the
+        # tile-slot ordering is strip-major (ops/tiling), so the same
+        # ppermute band-halo machinery covers both
+        self.halo = (-plan.run_off[0] * plan.nb
+                     if getattr(plan, "run_off", None) is not None
+                     else plan.B)
+        if n_dev > 1 and self.rows_local < self.halo:
             raise ValueError(
-                f"bandwidth B={plan.B} exceeds a device's {self.rows_local} "
-                "rows — use fewer devices or a larger mesh")
+                f"window halo {self.halo} rows exceeds a device's "
+                f"{self.rows_local} rows — use fewer devices or a larger "
+                "mesh")
         self.dtype = problem.u0.dtype
         pad_b = self.blocks_pad - plan.blocks
         sh = lambda spec: NamedSharding(device_mesh, spec)
@@ -85,9 +88,17 @@ class DistributedBlocked:
             return jax.device_put(v.reshape(self.blocks_pad, plan.nb),
                                   sh(P(axis, None)))
 
-        self.valid_s = jax.device_put(
-            (jnp.arange(total) < plan.n).reshape(self.blocks_pad, plan.nb),
-            sh(P(axis, None)))
+        if getattr(plan, "row_valid", None) is not None:
+            # tiled slot layout: phantom padding slots are invalid
+            rv = jnp.pad(jnp.asarray(plan.row_valid),
+                         (0, total - plan.n), constant_values=False)
+            self.valid_s = jax.device_put(
+                rv.reshape(self.blocks_pad, plan.nb), sh(P(axis, None)))
+        else:
+            self.valid_s = jax.device_put(
+                (jnp.arange(total) < plan.n).reshape(self.blocks_pad,
+                                                     plan.nb),
+                sh(P(axis, None)))
         self.bcrow_s = padb(plan.bc_row, False)
         self.patchdeg_s = padb(plan.patch_deg, 1.0)
         self.u0_s = pad_rows(problem.u0)
@@ -120,8 +131,8 @@ class DistributedBlocked:
     # ---- local primitives (inside shard_map) ----------------------------
 
     def _band_halo(self, x_flat):
-        """x (rows_local,) -> (left B, right B) bands from neighbors."""
-        B, n = self.plan.B, self.n_dev
+        """x (rows_local,) -> (left, right) halo bands from neighbors."""
+        B, n = self.halo, self.n_dev
         ax = self.axis
         if n == 1:
             z = jnp.zeros((B,), x_flat.dtype)
@@ -141,6 +152,21 @@ class DistributedBlocked:
         pl = self.plan
         Lb = self.Lb
         left, right = self._band_halo(x_flat)
+        if getattr(pl, "run_off", None) is not None:
+            # tiled 3-run windows (blocked.windows tiled branch, with the
+            # band halos standing in for the single-device edge padding)
+            xp = jnp.concatenate([left, x_flat, right])
+            span = Lb * pl.nb
+            w = jnp.concatenate([
+                jax.lax.slice(
+                    xp, (self.halo + (o + q) * pl.nb,),
+                    (self.halo + (o + q) * pl.nb + span,)).reshape(Lb,
+                                                                   pl.nb)
+                for o in pl.run_off for q in range(pl.rw)
+            ], axis=1)
+            if pl.Wpad > pl.W:
+                w = jnp.pad(w, ((0, 0), (0, pl.Wpad - pl.W)))
+            return w
         extra = (pl.Wpad // pl.nb - 1) * pl.nb - 2 * pl.B
         xp = jnp.concatenate(
             [left, x_flat, right, jnp.zeros((extra,), x_flat.dtype)])
@@ -183,7 +209,8 @@ class DistributedBlocked:
                 gx3=grads_b[:, :, :, 0].transpose(0, 2, 1),
                 gy3=grads_b[:, :, :, 1].transpose(0, 2, 1),
                 Rrow=None, Ccol=None, A_bool=None, A_float=None,
-                bc_row=None, bc_win=None, diag_eye=None, patch_deg=None)
+                bc_row=None, bc_win=None, diag_eye=None, patch_deg=None,
+                row_valid=None)
             pin2 = bc_row | ~valid2
             pin = pin2.reshape(-1)
             bc = bc_row.reshape(-1)

@@ -96,18 +96,43 @@ def test_small_mesh_rejected():
         blocked.make_tiled_plan(mt, dtype=jnp.float64)
 
 
-def test_sharded_twin_guard(meshes):
-    _, mt, _ = meshes
-    cfg = dict(dtype="float64", backend="ell",
-               ell_matvec_backend="blocked2d")
-    p = kpp.build(kpp.KPPConfig(**cfg), host_mesh=mt)
-
-    class _FakeMesh:
-        shape = {"i": 1}
+def test_sharded_tiled_identity(meshes):
+    """DistributedBlocked over the tiled plan: the 2D 3-run window's
+    halo is still ONE contiguous band ((T+k)*nb rows — strip-major slot
+    ordering), so the band-halo ppermute machinery shards it directly.
+    Identity with the single-device tiled solve at f64 roundoff."""
+    import jax
 
     from conservation_fem_tpu.parallel.blocked_sharded import (
         DistributedBlocked,
     )
 
-    with pytest.raises(NotImplementedError):
-        DistributedBlocked(p, _FakeMesh())
+    m, mt, slot = meshes
+    cfg = dict(dtype="float64", dt=0.005, T=0.03, backend="ell",
+               ell_matvec_backend="blocked2d", krylov_rtol=1e-12)
+    u1 = np.asarray(kpp.build(kpp.KPPConfig(**cfg), host_mesh=mt).solve().u)
+    # 4 devices: each must own >= (T+k)*nb halo rows (T=6, k=1 here)
+    devs = jax.devices()[:4]
+    dmesh = jax.sharding.Mesh(np.array(devs), ("i",))
+    tw = DistributedBlocked(kpp.build(kpp.KPPConfig(**cfg), host_mesh=mt),
+                            dmesh)
+    u_s = tw.solve()
+    assert np.abs(u_s - u1).max() < 1e-12
+
+
+def test_sharded_tiled_halo_too_small(meshes):
+    """Too many devices for the (T+k)-block halo: loud error."""
+    import jax
+
+    from conservation_fem_tpu.parallel.blocked_sharded import (
+        DistributedBlocked,
+    )
+
+    _, mt, _ = meshes
+    cfg = dict(dtype="float64", backend="ell",
+               ell_matvec_backend="blocked2d")
+    p = kpp.build(kpp.KPPConfig(**cfg), host_mesh=mt)
+    devs = jax.devices()[:8]
+    dmesh = jax.sharding.Mesh(np.array(devs), ("i",))
+    with pytest.raises(ValueError):
+        DistributedBlocked(p, dmesh)
