@@ -79,6 +79,9 @@ for s in $STAGES; do
     tpu_gate)
       run_stage tpu_gate \
         "python scripts/tpu_gate.py" ;;
+    probe256)
+      run_stage probe_kpp_cost_256 \
+        "python scripts/probe_kpp_cost.py 256" ;;
     *)
       echo "unknown stage $s" >&2 ;;
   esac
