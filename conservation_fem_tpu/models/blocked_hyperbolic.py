@@ -38,7 +38,8 @@ class BlockedHyperbolicProblem(HyperbolicProblem):
             # tiling.tile_mesh slot mesh (kpp.build does this).
             self.plan = blocked.make_tiled_plan(
                 self.host_mesh, nb=nb, dtype=dtype,
-                precise=getattr(self.cfg, "blocked_precise", False))
+                precise=getattr(self.cfg, "blocked_precise", False),
+                need_patch_sum=self.cfg.smooth_l > 0)
         else:
             self.plan = blocked.make_blocked_plan(
                 self.host_mesh, nb=nb, dtype=dtype,

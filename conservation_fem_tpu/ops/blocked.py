@@ -344,8 +344,8 @@ def _plan_struct_tiled(n_slots, cells, cols, pmask, bc, nb, T, k):
 
 
 def make_tiled_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32,
-                    precise: bool = False, k: int | None = None
-                    ) -> BlockedPlan:
+                    precise: bool = False, k: int | None = None,
+                    need_patch_sum: bool = False) -> BlockedPlan:
     """Build the 2D tiled-window P1 plan (see ops/tiling + the tiled
     fields of BlockedPlan). The mesh must come from tiling.tile_mesh /
     pad_mesh_to_slots (slot numbering, mesh.tile_T/slot_valid set).
@@ -385,7 +385,10 @@ def make_tiled_plan(mesh: Mesh, nb: int = 128, dtype=jnp.float32,
         Gcell=build_onehot(st["Gcell"], oh_dtype),
         Sv=build_onehot(st["Sv"], oh_dtype),
         Rrow=None, Ccol=None,
-        A_bool=jnp.asarray(st["A"]), A_float=f(st["A"]),
+        # A_float (patch_sum / smooth_vector only) is a W-wide f32
+        # operator — ~1.8 GiB at N=400k; skip it unless smoothing is on
+        A_bool=jnp.asarray(st["A"]),
+        A_float=f(st["A"]) if need_patch_sum else None,
         area_b=f(area_b), grads_b=f(grads_b),
         gx3=f(grads_b[:, :, :, 0].transpose(0, 2, 1)),
         gy3=f(grads_b[:, :, :, 1].transpose(0, 2, 1)),
@@ -863,6 +866,10 @@ def patch_abs_max(plan: BlockedPlan, x):
 
 def patch_sum(plan: BlockedPlan, x):
     """sum_{j in patch(i)} x_j (incl self) as a 0/1 SpMV."""
+    if plan.A_float is None:
+        raise ValueError(
+            "this plan was built without A_float (need_patch_sum=False) "
+            "— rebuild with need_patch_sum=True for smoothing/patch_sum")
     return spmv(plan, plan.A_float, x)
 
 

@@ -101,6 +101,9 @@ def main():
              for nx in (140, 224, 316, 448, 640) if nx <= d2_max]
     if do_gather:
         runs += [(nx, "gather") for nx in (140, 224, 316) if nx <= gather_max]
+    only = os.environ.get("BENCH_2D_ONLY_NX")
+    if only:
+        runs = [(int(only), "blocked2d")]
     for nx, mv in runs:
         try:
             p = irr_problem(nx, "float32", ell_matvec_backend=mv,

@@ -82,6 +82,9 @@ for s in $STAGES; do
     probe256)
       run_stage probe_kpp_cost_256 \
         "python scripts/probe_kpp_cost.py 256" ;;
+    irr640)
+      run_stage scaling_irr640 \
+        "BENCH_2D_ONLY_NX=640 python scripts/bench_blocked_scaling.py" ;;
     *)
       echo "unknown stage $s" >&2 ;;
   esac
