@@ -36,6 +36,7 @@ GATE = 2e-2     # L2rel vs the committed f64 anchor
 
 
 def main():
+    import jax.numpy as jnp
     import __graft_entry__ as ge
 
     ge._enable_compile_cache()
@@ -108,7 +109,23 @@ def main():
         try:
             p = irr_problem(nx, "float32", ell_matvec_backend=mv,
                             **fixed)
-            per_step, _ = measure_per_step(p, verbose=True)
+            if nx >= 640:
+                # ANY rep-chained program at N~400k crashes the TPU
+                # worker (the mesh-512 full-T failure family — bounded
+                # per-launch exposure is required); time the single
+                # trajectory per-call: the ~30 ms tunnel constant is
+                # <0.2% of this row's ~16 s trajectories
+                import time as _t
+
+                from timeharness import make_runner
+
+                run1 = make_runner(p, 1)
+                _ = float(jnp.sum(run1(p._jit_state(), p.u0)))  # compile
+                t0 = _t.perf_counter()
+                _ = float(jnp.sum(run1(p._jit_state(), p.u0)))
+                per_step = (_t.perf_counter() - t0) / p.num_steps
+            else:
+                per_step, _ = measure_per_step(p, verbose=True)
         except Exception as e:
             # one row failing (e.g. HBM OOM at the largest N) must not
             # lose the rest of the sweep
