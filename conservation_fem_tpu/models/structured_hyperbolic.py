@@ -65,14 +65,16 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         # kernels (ops/structured nonlinear_rhs / flux_jacobian_coef)
         return getattr(self, "flux_prime_xy", None)
 
-    def _residual_bdf2_2d(self, u2, uo2, uoo2):
+    def _residual_bdf2_2d(self, u2, uo2, uoo2, N_u=None):
         sd, dt = self.sd, self.dt
         if self.cfg.residual_scheme == "bdf1":
             du = (u2 - uo2) / dt
         else:
             du = (3.0 * u2 - 4.0 * uo2 + uoo2) / (2.0 * dt)
-        rhs = st.mass_matvec(sd, du) + st.nonlinear_rhs(
-            sd, u2, self.flux_prime, self._fprime_xy())
+        if N_u is None:
+            N_u = st.nonlinear_rhs(sd, u2, self.flux_prime,
+                                   self._fprime_xy())
+        rhs = st.mass_matvec(sd, du) + N_u
         rhs = jnp.where(sd.bc2, 0.0, rhs)
         # the fused Pallas CG keeps the whole grid + CG state in VMEM
         # (~15 field-sized buffers); above ~12 MB it cannot fit the 16 MB
@@ -110,10 +112,12 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
                                rtol=self.cfg.krylov_rtol)
         return cg(op, rhs, precond=pre, rtol=self.cfg.krylov_rtol).x
 
-    def _newton_cn_2d(self, u2, eps2, g2):
+    def _newton_cn_2d(self, u2, eps2, g2, N_un=None):
         sd, dt, cfg = self.sd, self.dt, self.cfg
         Kc = st.keps_coef(sd, eps2)
-        N_un = st.nonlinear_rhs(sd, u2, self.flux_prime, self._fprime_xy())
+        if N_un is None:
+            N_un = st.nonlinear_rhs(sd, u2, self.flux_prime,
+                                    self._fprime_xy())
         Kc_un = st.matvec(sd, Kc, u2)
         base = sd.M_coef + 0.5 * dt * Kc
 
@@ -308,8 +312,14 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         u_n, u_old, u_old_old = carry
         sh = self._shape2
         u2, uo2, uoo2 = (v.reshape(sh) for v in (u_n, u_old, u_old_old))
+        # one quadrature pass for N(u_n), shared by the residual
+        # projection and the Newton frozen term (bit-identical reuse —
+        # guarantees the sharing rather than relying on XLA CSE to
+        # dedupe the two identical subgraphs)
+        N_un = st.nonlinear_rhs(self.sd, u2, self.flux_prime,
+                                self._fprime_xy())
         if self.cfg.stabilization == "rv":
-            RH2 = self._residual_bdf2_2d(u2, uo2, uoo2)
+            RH2 = self._residual_bdf2_2d(u2, uo2, uoo2, N_u=N_un)
             eps2 = st.rv_epsilon(
                 self.sd, self.cfg.Cvel, self.cfg.CRV, u2, RH2,
                 self.flux_prime_norm,
@@ -323,7 +333,7 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         else:
             eps2 = jnp.zeros_like(u2)
         g2 = self.bc_value(self.mesh.points, t).reshape(sh)
-        res = self._newton_cn_2d(u2, eps2, g2)
+        res = self._newton_cn_2d(u2, eps2, g2, N_un=N_un)
         uh = res.u
         if self.cfg.smooth_l > 0:
             uh = st.smooth_vector_grid(self.sd, uh, self.cfg.smooth_l)

@@ -85,6 +85,16 @@ for s in $STAGES; do
     irr640)
       run_stage scaling_irr640 \
         "BENCH_2D_ONLY_NX=640 python scripts/bench_blocked_scaling.py" ;;
+    fam_blocked)
+      run_stage fam_blocked "python scripts/bench_blocked.py" ;;
+    fam_pk)
+      run_stage fam_pk "python scripts/bench_pk.py" ;;
+    fam_adv)
+      run_stage fam_adv "python scripts/bench_advection.py" ;;
+    fam_euler)
+      run_stage fam_euler "python scripts/bench_euler.py" ;;
+    fam_stokes)
+      run_stage fam_stokes "python scripts/bench_stokes.py" ;;
     *)
       echo "unknown stage $s" >&2 ;;
   esac
