@@ -136,3 +136,30 @@ def test_sharded_tiled_halo_too_small(meshes):
     dmesh = jax.sharding.Mesh(np.array(devs), ("i",))
     with pytest.raises(ValueError):
         DistributedBlocked(p, dmesh)
+
+
+def test_full_run_identity_si(meshes):
+    """SI stabilization on the tiled plan (si_alpha windows + bc-applied
+    stiffness via apply_bc_matrix use the reinterpreted diag offset)."""
+    m, mt, slot = meshes
+    cfg = dict(dtype="float64", dt=0.005, T=0.03, backend="ell",
+               stabilization="si", krylov_rtol=1e-12)
+    u_ref = np.asarray(kpp.build(kpp.KPPConfig(**cfg), host_mesh=m).solve().u)
+    p2 = kpp.build(kpp.KPPConfig(**cfg, ell_matvec_backend="blocked2d"),
+                   host_mesh=mt)
+    u2 = np.asarray(p2.solve().u)
+    assert np.abs(u2[slot] - u_ref).max() < 1e-11
+
+
+def test_full_run_identity_smoothing(meshes):
+    """smooth_l > 0 exercises patch_sum — the lazily-built A_float
+    (need_patch_sum) must materialize on this path."""
+    m, mt, slot = meshes
+    cfg = dict(dtype="float64", dt=0.005, T=0.02, backend="ell",
+               smooth_l=2.0, krylov_rtol=1e-12)
+    u_ref = np.asarray(kpp.build(kpp.KPPConfig(**cfg), host_mesh=m).solve().u)
+    p2 = kpp.build(kpp.KPPConfig(**cfg, ell_matvec_backend="blocked2d"),
+                   host_mesh=mt)
+    assert p2.plan.A_float is not None
+    u2 = np.asarray(p2.solve().u)
+    assert np.abs(u2[slot] - u_ref).max() < 1e-11
