@@ -351,6 +351,41 @@ class StructuredHyperbolicProblem(HyperbolicProblem):
         return (uh, u_n, u_old), metrics
 
 
+    # -- jit-state plumbing ---------------------------------------------------
+    # The grid-sized buffers (7-plane mass stencil, bc mask, nodal h,
+    # mesh points) must cross jit boundaries as ARGUMENTS: closure
+    # captures are serialized into the compile payload, and the remote
+    # TPU compile service rejects oversized programs with HTTP 413 —
+    # first hit at mesh 1024 (M_coef alone is 470 MB; mesh points
+    # 134 MB). Small statics (grads/phi/qw/area, Python nx/ny) stay
+    # baked.
+
+    def _jit_state(self):
+        self._force_lazy_operators()
+        st_ = {"M_coef": self.sd.M_coef, "bc2": self.sd.bc2,
+               "h_cg2": self.sd.h_cg2, "diagM2": self.sd.diagM2,
+               "pts": self.mesh.points}
+        if self.cfg.stabilization == "si":
+            st_["K_bc_coef"] = self._K_bc_coef
+        return st_
+
+    def _bind_jit_state(self, state):
+        tok = (self.sd, self.mesh,
+               getattr(self, "_K_bc_coef", None))
+        self.sd = self.sd._replace(
+            M_coef=state["M_coef"], bc2=state["bc2"],
+            h_cg2=state["h_cg2"], diagM2=state["diagM2"])
+        self.mesh = self.mesh._replace(points=state["pts"])
+        if "K_bc_coef" in state:
+            self._K_bc_coef = state["K_bc_coef"]
+        return tok
+
+    def _restore_jit_state(self, token):
+        self.sd, self.mesh, kbc = token
+        if kbc is not None:
+            self._K_bc_coef = kbc
+
+
 def structure(problem: HyperbolicProblem, nx: int, ny: int):
     """Upgrade a built HyperbolicProblem to the stencil backend in place."""
     problem.__class__ = StructuredHyperbolicProblem

@@ -95,6 +95,9 @@ for s in $STAGES; do
       run_stage fam_euler "python scripts/bench_euler.py" ;;
     fam_stokes)
       run_stage fam_stokes "python scripts/bench_stokes.py" ;;
+    mesh1024)
+      run_stage mesh1024_T01 \
+        "BENCH_REQUIRE_TPU=1 BENCH_BUDGET_S=5100 BENCH_MESH_SIZE=1024 BENCH_T=0.1 BENCH_CHUNK_STEPS=40 BENCH_TRIALS=1 BENCH_VERBOSE=1 python bench.py" ;;
     *)
       echo "unknown stage $s" >&2 ;;
   esac
