@@ -56,6 +56,12 @@ class KPPConfig:
     newton_final_residual: bool = True  # see HyperbolicConfig
     precise_reductions: bool = False    # see HyperbolicConfig
     solver_unroll: bool = True          # see HyperbolicConfig
+    # lean structured mesh (ops/mesh.rectangle_mesh_lean): skip the
+    # generic patch/scatter structure the stencil backend never reads —
+    # its host build costs ~115 GB RAM at mesh 2048 (the measured OOM
+    # ceiling). None = auto: lean whenever the stencil path will be used
+    # and mesh_size >= 512. Identical geometry/trajectories (tested).
+    lean_mesh: bool | None = None
     tiled_bf16_planes: bool = False     # see HyperbolicConfig
     xla_bf16_planes: bool = False       # see HyperbolicConfig
     # unstructured operator application (h5/gmsh meshes): "gather" (XLA
@@ -99,10 +105,24 @@ def build(cfg: KPPConfig | None = None, host_mesh: Mesh | None = None, **kw):
     if cfg is None:
         cfg = KPPConfig(**kw)
     built_structured = host_mesh is None and cfg.mesh_source == "structured"
+    will_stencil = (
+        built_structured
+        and cfg.backend in ("auto", "stencil")
+        and cfg.stabilization in ("rv", "si", "gfem")
+        and cfg.ell_matvec_backend == "gather"
+    )
+    lean = (cfg.lean_mesh if cfg.lean_mesh is not None
+            else will_stencil and cfg.mesh_size >= 512)
     if host_mesh is None:
         if cfg.mesh_source == "structured":
             n = 4 * cfg.mesh_size   # [-2,2] spans 4 units
-            host_mesh = rectangle_mesh((-2, -2), (2, 2), nx=n, ny=n)
+            if lean:
+                from conservation_fem_tpu.ops.mesh import rectangle_mesh_lean
+
+                host_mesh = rectangle_mesh_lean((-2, -2), (2, 2), nx=n,
+                                                ny=n)
+            else:
+                host_mesh = rectangle_mesh((-2, -2), (2, 2), nx=n, ny=n)
         else:
             host_mesh = load_h5_mesh(cfg.mesh_source)
         if cfg.ell_matvec_backend in ("banded", "blocked"):

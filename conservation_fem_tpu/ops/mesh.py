@@ -381,6 +381,63 @@ def make_periodic(host: Mesh, axes=(0, 1), tol: float = 1e-9) -> Mesh:
     )
 
 
+def rectangle_mesh_lean(p0=(0.0, 0.0), p1=(1.0, 1.0), nx: int = 8,
+                        ny: int | None = None) -> Mesh:
+    """rectangle_mesh('right') WITHOUT the generic sparse structure — for
+    the STENCIL backend only, which reads just points, cells (counts +
+    two exemplars' geometry), per-cell geometry and the boundary mask
+    (ops/structured.build_structured). The patch/scatter fields are
+    1-element placeholders: any generic-path consumer fails loudly on
+    their shapes.
+
+    Why: the generic builder's patch/scatter orderings (np.unique/argsort
+    over 9M int64 pairs) cost ~115 GB host RAM at mesh 2048 (M=8.4M
+    cells) — the measured OOM that capped single-chip structured runs at
+    mesh 1024 (RESULTS.md). This constructor is O(N) flat arrays: ~2 GB
+    at 2048. Geometry values are IDENTICAL to rectangle_mesh (same cell
+    ordering: lowers then uppers, '/' diagonal) — tested in
+    tests/test_mesh.py.
+    """
+    if ny is None:
+        ny = nx
+    x = np.linspace(p0[0], p1[0], nx + 1)
+    y = np.linspace(p0[1], p1[1], ny + 1)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    points = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    I, J = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    I, J = I.ravel(), J.ravel()
+    v00, v10 = vid(I, J), vid(I + 1, J)
+    v01, v11 = vid(I, J + 1), vid(I + 1, J + 1)
+    tris = np.concatenate(
+        [np.stack([v00, v10, v11], 1), np.stack([v00, v11, v01], 1)],
+        axis=0).astype(np.int64)
+    # uniform geometry: every lower (upper) triangle is a translate of
+    # cell 0 (cell nx*ny) — compute the two exemplars, broadcast views
+    area0, grads2, h0 = _cell_geometry(points, tris[[0, nx * ny]])
+    M = tris.shape[0]
+    area = np.broadcast_to(area0[:1], (M,))
+    grads = np.concatenate([
+        np.broadcast_to(grads2[0][None], (nx * ny, 3, 2)),
+        np.broadcast_to(grads2[1][None], (nx * ny, 3, 2))])
+    h_cell = np.broadcast_to(h0[:1], (M,))
+    bnd = np.zeros((nx + 1, ny + 1), dtype=bool)
+    bnd[0, :] = bnd[-1, :] = True
+    bnd[:, 0] = bnd[:, -1] = True
+    z1 = np.zeros(1, dtype=np.int64)
+    return Mesh(
+        points=points, cells=tris.astype(np.int32),
+        boundary_mask=bnd.reshape(-1),
+        patch_cols=z1.reshape(1, 1), patch_mask=np.zeros((1, 1), bool),
+        diag_slot=z1, cell_slots=z1.reshape(1, 1, 1),
+        area=area, grads=grads, h_cell=h_cell,
+        mat_perm=z1, mat_segs=z1, vec_perm=z1, vec_segs=z1,
+    )
+
+
 def rectangle_mesh(
     p0=(0.0, 0.0),
     p1=(1.0, 1.0),
