@@ -120,17 +120,26 @@ class Mesh:
             dtype = jnp.float64 if jnp.zeros(0).dtype == jnp.float64 else jnp.float32
         f = lambda x: jnp.asarray(x, dtype=dtype)
         i = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        # lean structured meshes (rectangle_mesh_lean: patch_cols is the
+        # (1,1) placeholder): the stencil path reads only points and the
+        # boundary mask on device — uploading the O(M) cell arrays is
+        # dead weight AND, at mesh >= 2048, blows the host RAM through
+        # the TPU tunnel client's transfer buffering (RESULTS.md
+        # mesh-2048 diagnosis). Ship 1-element placeholders instead;
+        # any generic-path consumer fails loudly on their shapes.
+        lean = self.patch_cols.shape == (1, 1) and self.n_nodes > 1
+        z1 = np.zeros(1, dtype=np.int64)
         return MeshArrays(
             points=f(self.points),
-            cells=i(self.cells),
+            cells=i(z1.reshape(1, 1) if lean else self.cells),
             boundary_mask=jnp.asarray(self.boundary_mask),
             patch_cols=i(self.patch_cols),
             patch_mask=jnp.asarray(self.patch_mask),
             diag_slot=i(self.diag_slot),
             cell_slots=i(self.cell_slots),
-            area=f(self.area),
-            grads=f(self.grads),
-            h_cell=f(self.h_cell),
+            area=f(z1 if lean else self.area),
+            grads=f(z1.reshape(1, 1, 1) if lean else self.grads),
+            h_cell=f(z1 if lean else self.h_cell),
             mat_perm=i(self.mat_perm),
             mat_segs=i(self.mat_segs),
             vec_perm=i(self.vec_perm),
